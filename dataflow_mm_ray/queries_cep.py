@@ -1,0 +1,196 @@
+"""CEP / streaming-shaped queries over the canonical transcript stream,
+with DuckDB oracles. See sources/transcripts.py for the derivation."""
+from __future__ import annotations
+
+from dataflow_mm_ray.queries import register
+from dataflow_mm_ray.sources.transcripts import TRANSCRIPTS_CTE, transcripts_from_events
+from dataflow_mm_ray.sources.tables import read_table
+from dataflow_mm_ray.stages import dedup, filters, join, stats, windows
+
+TUMBLING_WIDTH_S = 3600
+SLIDING_WIDTH_S = 7200
+SLIDING_SLIDE_S = 3600
+SESSION_GAP_S = 1800
+LATENESS_S = 604800  # 7 days
+SCORE_MIN, SCORE_MAX = 50.0, 150.0
+
+
+@register(
+    "transcripts",
+    TRANSCRIPTS_CTE + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+)
+def q_transcripts(sf_dir: str):
+    return transcripts_from_events(sf_dir)
+
+
+@register(
+    "tumbling_window",
+    TRANSCRIPTS_CTE
+    + f"""
+SELECT conv_id,
+       make_timestamp(epoch_us(ts) // (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000)
+                      * (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000)) AS window_start,
+       count(*) AS n_turns,
+       count(*) FILTER (WHERE role = 'user') AS n_user_turns,
+       count(*) FILTER (WHERE role = 'assistant' AND tool IS NOT NULL) AS n_tool_calls,
+       sum(length(text)) AS sum_chars
+FROM transcripts
+GROUP BY 1, 2
+""",
+)
+def q_tumbling(sf_dir: str):
+    return windows.tumbling_window_agg(transcripts_from_events(sf_dir), width_s=TUMBLING_WIDTH_S)
+
+
+@register(
+    "sliding_window",
+    TRANSCRIPTS_CTE
+    + f"""
+, slid AS (
+  SELECT conv_id, text,
+         make_timestamp(epoch_us(ts) // (CAST({SLIDING_SLIDE_S} AS BIGINT) * 1000000)
+                        * (CAST({SLIDING_SLIDE_S} AS BIGINT) * 1000000)
+                        - off.i * CAST({SLIDING_SLIDE_S} AS BIGINT) * 1000000) AS window_start
+  FROM transcripts CROSS JOIN (SELECT unnest(range({SLIDING_WIDTH_S // SLIDING_SLIDE_S})) AS i) off
+)
+SELECT conv_id, window_start, count(*) AS n_turns, sum(length(text)) AS sum_chars
+FROM slid GROUP BY 1, 2
+""",
+)
+def q_sliding(sf_dir: str):
+    return windows.sliding_window_agg(
+        transcripts_from_events(sf_dir), width_s=SLIDING_WIDTH_S, slide_s=SLIDING_SLIDE_S
+    )
+
+
+@register(
+    "session_window",
+    TRANSCRIPTS_CTE
+    + f"""
+, gaps AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), sess AS (
+  SELECT conv_id, ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS sid
+  FROM gaps
+)
+SELECT conv_id, CAST(sid AS INTEGER) AS session_id, count(*) AS n_turns,
+       min(ts) AS session_start, max(ts) AS session_end,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sess GROUP BY 1, 2
+""",
+)
+def q_session(sf_dir: str):
+    return windows.session_window_agg(transcripts_from_events(sf_dir), gap_s=SESSION_GAP_S)
+
+
+@register(
+    "tool_join",
+    TRANSCRIPTS_CTE
+    + """
+, inv AS (
+  SELECT conv_id, turn_idx, tool, ts FROM transcripts
+  WHERE role = 'assistant' AND tool IS NOT NULL
+), resp AS (
+  SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'tool'
+)
+SELECT i.conv_id, i.turn_idx AS invoke_idx, i.tool,
+       CAST(r.turn_idx AS INTEGER) AS response_idx,
+       epoch_us(r.ts) - epoch_us(i.ts) AS latency_us
+FROM inv i LEFT JOIN resp r
+  ON r.conv_id = i.conv_id AND r.turn_idx > i.turn_idx
+QUALIFY row_number() OVER (PARTITION BY i.conv_id, i.turn_idx ORDER BY r.turn_idx NULLS LAST) = 1
+""",
+)
+def q_tool_join(sf_dir: str):
+    return join.tool_response_join(transcripts_from_events(sf_dir))
+
+
+@register(
+    "dedup_exact",
+    TRANSCRIPTS_CTE
+    + """
+, keyed AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         regexp_replace(text, ' #[0-9]+ ', ' ') AS dedup_key
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, dedup_key
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY dedup_key ORDER BY conv_id, turn_idx) = 1
+""",
+)
+def q_dedup_exact(sf_dir: str):
+    ds = dedup.add_dedup_key(transcripts_from_events(sf_dir))
+    return dedup.dedup_first_wins(ds, "dedup_key", order_by=("conv_id", "turn_idx"))
+
+
+@register(
+    "score_filter",
+    f"""
+SELECT event_id, value AS score,
+       value >= {SCORE_MIN} AND value <= {SCORE_MAX} AS "select"
+FROM events
+""",
+)
+def q_score_filter(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def ren(b):
+        return b.rename_columns(["event_id", "score"])
+
+    ev = ev.map_batches(ren, batch_format="pyarrow")
+    return filters.score_filter(ev, "score", min_score=SCORE_MIN, max_score=SCORE_MAX)
+
+
+@register(
+    "hot_conversations",
+    TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, count(*) AS n_turns FROM transcripts
+GROUP BY 1 ORDER BY n_turns DESC, conv_id LIMIT 10
+""",
+)
+def q_hot_conversations(sf_dir: str):
+    return stats.hot_conversations(transcripts_from_events(sf_dir), k=10)
+
+
+@register(
+    "late_events",
+    f"""
+WITH a AS (
+  SELECT user_id, event_id, ts, md5(CAST(event_id AS VARCHAR)) AS ak FROM events
+), b AS (
+  SELECT *, max(ts) OVER (PARTITION BY user_id ORDER BY ak
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM a
+)
+SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+       event_id, ts,
+       epoch_us(pm) - epoch_us(ts) - CAST({LATENESS_S} AS BIGINT) * 1000000 AS late_by_us
+FROM b
+WHERE pm IS NOT NULL
+  AND epoch_us(pm) - epoch_us(ts) - CAST({LATENESS_S} AS BIGINT) * 1000000 > 0
+""",
+)
+def q_late_events(sf_dir: str):
+    return stats.late_events(sf_dir, lateness_s=LATENESS_S)
+
+
+@register(
+    "conversation_digest",
+    TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, count(*) AS n_turns,
+       string_agg(role, '|' ORDER BY turn_idx) AS roles_str,
+       md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS text_md5
+FROM transcripts GROUP BY 1
+""",
+)
+def q_conversation_digest(sf_dir: str):
+    return stats.conversation_digest(transcripts_from_events(sf_dir))

@@ -1,0 +1,97 @@
+"""The canonical transcript stream.
+
+The engine's canonical input (BASELINE.json ``input_hint``) is a
+Parquet table of multi-turn conversation / agent transcript turns:
+
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp[us]
+
+The sandbox test data has no such table, so we *derive* one
+deterministically from the ``events`` table (event_id, ts, user_id,
+event_type, value, props):
+
+- ``conv_id``   = ``conv-<user_id zero-padded to 6>`` (one conversation
+  per user — user activity skew becomes conversation skew, exercising
+  hot-key handling);
+- ``turn_idx``  = rank of the event within its user by ``(ts, event_id)``
+  (0-based, contiguous, int32);
+- ``role``      = cycle by ``turn_idx % 4``: user, assistant, tool,
+  assistant — so every 4-turn block contains an assistant turn that
+  invokes a tool (idx%4==1) followed by a ``role='tool'`` response
+  (idx%4==2): the stateful-join fixture;
+- ``text``      = ``"<event_type> #<event_id> <props>"``;
+- ``tool``      = ``tool_<event_type>`` on turns with idx%4 in (1,2),
+  NULL otherwise;
+- ``ts``        = the event timestamp (event time).
+
+The same derivation is expressed in ANSI SQL (``TRANSCRIPTS_CTE``) so
+every downstream query has a DuckDB oracle over the raw tables.
+
+Scale note: the derivation needs all turns of one conversation
+co-located to rank them — a single hash-partitioned shuffle on
+``user_id`` via partition_map; per-partition ranking is vectorized
+(``groupby(...).cumcount``), not a Python loop per conversation.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dataflow_mm_ray.partition import partition_map
+from dataflow_mm_ray.schema import DEFAULT_NUM_PARTITIONS
+from dataflow_mm_ray.sources.tables import read_table
+
+# Shared SQL CTE: prepend to every oracle query. DuckDB views `events`
+# etc. are pre-registered by the correctness driver.
+TRANSCRIPTS_CTE = """
+WITH _ev_ranked AS (
+  SELECT user_id, event_id, event_type, props, ts,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx
+  FROM events
+), transcripts AS (
+  SELECT
+    'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+    turn_idx,
+    CASE turn_idx % 4 WHEN 0 THEN 'user' WHEN 2 THEN 'tool' ELSE 'assistant' END AS role,
+    event_type || ' #' || CAST(event_id AS VARCHAR) || ' ' || props AS text,
+    CASE WHEN turn_idx % 4 IN (1, 2) THEN 'tool_' || event_type END AS tool,
+    ts
+  FROM _ev_ranked
+)
+"""
+
+_ROLE_CYCLE = np.array(["user", "assistant", "tool", "assistant"], dtype=object)
+
+
+def _events_to_turns(part: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-partition derivation (partition = hash(user_id))."""
+    part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    turn_idx = part.groupby("user_id", sort=False).cumcount().to_numpy().astype(np.int32)
+    mod4 = turn_idx % 4
+    tool = np.where(
+        (mod4 == 1) | (mod4 == 2),
+        "tool_" + part["event_type"].to_numpy(dtype=object),
+        None,
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": "conv-" + part["user_id"].astype(str).str.zfill(6),
+            "turn_idx": turn_idx,
+            "role": _ROLE_CYCLE[mod4],
+            "text": (
+                part["event_type"].to_numpy(dtype=object)
+                + " #"
+                + part["event_id"].astype(str).to_numpy(dtype=object)
+                + " "
+                + part["props"].to_numpy(dtype=object)
+            ),
+            "tool": tool,
+            "ts": part["ts"].to_numpy(),
+        }
+    )
+
+
+def transcripts_from_events(sf_dir: str, num_partitions: int = DEFAULT_NUM_PARTITIONS):
+    """events.parquet -> canonical transcript Dataset (lazy)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "props"])
+    return partition_map(ev, "user_id", _events_to_turns, num_partitions=num_partitions)

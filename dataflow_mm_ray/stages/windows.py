@@ -1,0 +1,189 @@
+"""Event-time windows over the transcript stream.
+
+Tumbling / sliding windows are *stateless per row* (a pure function of
+``ts``), so window assignment runs in vectorized ``map_batches``; the
+per-(key, window) aggregate is a two-phase sum: partial aggregates per
+batch (combiner) followed by one small ``groupby().aggregate`` over the
+partials. At 100 TB the shuffle therefore moves one row per (conv,
+window) per *batch*, not one row per turn.
+
+Session windows need every turn of a conversation co-located and
+ts-ordered — one hash-partitioned shuffle via ``partition_map``, then a
+vectorized gap-scan per partition. The gap-close rule mirrors the
+reference's Silero-VAD ``min_silence_duration_s`` segment closing
+(``dataflow/operators/core_audio/generate/
+audio_silero_voice_activity_detection_timestamps_generator.py:35-68``):
+a session closes when the gap to the next turn exceeds ``gap_s``.
+
+All duration outputs are integer microseconds (``*_us``) — exact in
+both Arrow and DuckDB, immune to float-rounding drift in the oracle
+comparison.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Sum
+
+from dataflow_mm_ray.partition import partition_map
+from dataflow_mm_ray.schema import DEFAULT_NUM_PARTITIONS
+
+US = 1_000_000
+
+
+def _ts_us(ts: pd.Series) -> np.ndarray:
+    """timestamp[us] series -> int64 microseconds since epoch."""
+    return ts.to_numpy(dtype="datetime64[us]").astype(np.int64)
+
+
+def _window_start(us: np.ndarray, width_s: int) -> np.ndarray:
+    width_us = width_s * US
+    return (us // width_us) * width_us
+
+
+def _partial_window_counts(batch: pd.DataFrame, width_s: int) -> pd.DataFrame:
+    """Per-batch combiner: one partial row per (conv_id, window_start)."""
+    us = _ts_us(batch["ts"])
+    w = _window_start(us, width_s)
+    part = pd.DataFrame(
+        {
+            "conv_id": batch["conv_id"].to_numpy(),
+            "window_start_us": w,
+            "n_turns": np.int64(1),
+            "n_user_turns": (batch["role"].to_numpy() == "user").astype(np.int64),
+            "n_tool_calls": (
+                (batch["role"].to_numpy() == "assistant") & batch["tool"].notna().to_numpy()
+            ).astype(np.int64),
+            "sum_chars": batch["text"].str.len().to_numpy(dtype=np.int64),
+        }
+    )
+    return part.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
+
+
+def tumbling_window_agg(transcripts, width_s: int = 3600):
+    """Per (conv_id, tumbling window): turn counts and char volume.
+
+    Returns columns: conv_id, window_start (timestamp[us]), n_turns,
+    n_user_turns, n_tool_calls, sum_chars.
+    """
+    partials = transcripts.map_batches(
+        lambda b: _partial_window_counts(b, width_s), batch_format="pandas"
+    )
+    agg = partials.groupby(["conv_id", "window_start_us"]).aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("n_user_turns", alias_name="n_user_turns"),
+        Sum("n_tool_calls", alias_name="n_tool_calls"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["window_start"] = b.pop("window_start_us").to_numpy().astype("datetime64[us]")
+        return b[["conv_id", "window_start", "n_turns", "n_user_turns", "n_tool_calls", "sum_chars"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def sliding_window_agg(transcripts, width_s: int = 7200, slide_s: int = 3600):
+    """Per (conv_id, sliding window): each turn lands in width/slide
+    windows; replication happens vectorized per batch (concat of shifted
+    copies), then the same two-phase sum as tumbling.
+
+    Returns: conv_id, window_start, n_turns, sum_chars.
+    """
+    if width_s % slide_s != 0:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(batch["ts"])
+        bucket = (us // (slide_s * US)) * (slide_s * US)
+        chars = batch["text"].str.len().to_numpy(dtype=np.int64)
+        conv = batch["conv_id"].to_numpy()
+        frames = []
+        for i in range(k):
+            start = bucket - i * slide_s * US
+            frames.append(
+                pd.DataFrame(
+                    {"conv_id": conv, "window_start_us": start, "n_turns": np.int64(1), "sum_chars": chars}
+                )
+            )
+        rep = pd.concat(frames, ignore_index=True)
+        return rep.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
+
+    partials = transcripts.map_batches(replicate, batch_format="pandas")
+    agg = partials.groupby(["conv_id", "window_start_us"]).aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["window_start"] = b.pop("window_start_us").to_numpy().astype("datetime64[us]")
+        return b[["conv_id", "window_start", "n_turns", "sum_chars"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _sessionize(part: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+    """Vectorized session assignment over one hash partition
+    (pre-sorted by (conv_id, turn_idx) via partition_map)."""
+    us = _ts_us(part["ts"])
+    conv = part["conv_id"].to_numpy()
+    new_conv = np.empty(len(part), dtype=bool)
+    new_conv[0:1] = True
+    if len(part) > 1:
+        new_conv[1:] = conv[1:] != conv[:-1]
+    gap = np.empty(len(part), dtype=np.int64)
+    gap[0:1] = 0
+    if len(part) > 1:
+        gap[1:] = us[1:] - us[:-1]
+    new_session = new_conv | (gap > gap_s * US)
+    sid = np.cumsum(new_session)  # global session ordinal within partition
+    df = pd.DataFrame({"conv_id": conv, "__sid": sid, "us": us})
+    agg = df.groupby(["conv_id", "__sid"], as_index=False, sort=False).agg(
+        n_turns=("us", "size"), start_us=("us", "min"), end_us=("us", "max")
+    )
+    # session_id = 0-based ordinal of the session within its conversation
+    agg["session_id"] = agg.groupby("conv_id", sort=False).cumcount().astype(np.int32)
+    out = pd.DataFrame(
+        {
+            "conv_id": agg["conv_id"],
+            "session_id": agg["session_id"],
+            "n_turns": agg["n_turns"].astype(np.int64),
+            "session_start": agg["start_us"].to_numpy().astype("datetime64[us]"),
+            "session_end": agg["end_us"].to_numpy().astype("datetime64[us]"),
+            "duration_us": (agg["end_us"] - agg["start_us"]).astype(np.int64),
+        }
+    )
+    return out
+
+
+def session_window_agg(
+    transcripts, gap_s: int = 1800, num_partitions: int = DEFAULT_NUM_PARTITIONS
+):
+    """Gap-based session windows per conversation.
+
+    A new session starts when the event-time gap to the previous turn
+    exceeds ``gap_s``. Returns: conv_id, session_id (int32, 0-based per
+    conversation), n_turns, session_start, session_end, duration_us.
+    """
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "session_id": pd.Series([], dtype=np.int32),
+                    "n_turns": pd.Series([], dtype=np.int64),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "session_end": pd.Series([], dtype="datetime64[us]"),
+                    "duration_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        return _sessionize(part, gap_s)
+
+    return partition_map(
+        transcripts, "conv_id", fn, num_partitions=num_partitions, sort_by=("conv_id", "turn_idx")
+    )
