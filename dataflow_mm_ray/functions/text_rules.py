@@ -1,0 +1,166 @@
+"""The 15 heuristic text-quality rules of the reference's
+``RuleBaseFilter`` (``dataflow/operators/core_vision/filter/
+rule_base_filter.py:243-354``, constants at 162-190), re-implemented as
+a batch kernel that emits one boolean column per rule (True = the rule
+fires = the row would be dropped) plus the final ``keep`` flag.
+
+Semantics are matched rule-for-rule, including the quirks:
+
+- "lines" are the non-empty pieces of ``re.finditer(r"[^\n]*\n|[^\n]+$")``;
+- rule 7's sentence split by ``[–.!?,;•/|…]`` within '\n'-paragraphs is
+  equivalent to one split on ``[–.!?,;•/|…\n]`` (empty fragments count 0);
+- rule 15 counts lines that are non-empty *after* punctuation-stripping
+  normalization;
+- thresholds and inclusive/exclusive comparisons follow the reference
+  exactly (e.g. ellipsis ratio ``>=``, caps ratio ``>``).
+
+Every rule is also expressible in DuckDB SQL (see queries_text.py), so
+the whole filter is oracle-checked end to end.
+"""
+from __future__ import annotations
+
+import re
+import string
+import unicodedata
+
+import numpy as np
+import pandas as pd
+
+ELLIPSIS_THRESHOLD = 0.3
+MEAN_WORD_LEN_MIN = 3
+MEAN_WORD_LEN_MAX = 20
+SYMBOL_WORD_RATIO = 0.4
+ID_CARD_THRESHOLD = 3
+NO_PUNC_THRESHOLD = 112
+CURLY_BRACKET_THRESHOLD = 0.025
+CAPITAL_WORDS_THRESHOLD = 0.2
+LOREM_IPSUM_THRESHOLD = 3e-8
+UNIQUE_WORDS_THRESHOLD = 0.1
+BULLETPOINT_THRESHOLD = 0.9
+JAVASCRIPT_THRESHOLD = 3
+WATERMARK_WORDS = ("Copyright", "Watermark", "Confidential")
+
+_LINE_RE = re.compile(r"[^\n]*\n|[^\n]+$")
+_SENT_SPLIT_RE = re.compile(r"[–.!?,;•/|…\n]")
+_HTML_ENTITY_RE = re.compile(
+    r"[&＆](nbsp|lt|gt|amp|quot|apos|hellip|ndash|mdash|lsquo|rsquo|ldquo|rdquo)"
+)
+_ID_RE = re.compile(
+    r"(身\s{0,10}份|id\s{0,10}number\s{0,10}|identification|identity|"
+    r"\s{0,10}ID\s{0,10}No\s{0,10}|id\s{0,10}card\s{0,10}|NRIC\s{0,10}number\s{0,10}|"
+    r"IC\s{0,10}number\s{0,10}|resident\s{0,10}registration\s{0,10}|"
+    r"I.D.\s{0,10}Number\s{0,10})",
+    re.I,
+)
+_SPECIAL_RE = re.compile(
+    r"u200e|&#247;|\? :|[�□]|\{\/U\}|"
+    r"U\+26[0-F][0-D]|U\+273[3-4]|U\+1F[3-6][0-4][0-F]|U\+1F6[8-F][0-F]"
+)
+_WATERMARK_RE = re.compile("|".join(WATERMARK_WORDS))
+_WS_COLLAPSE_RE = re.compile(r"\s+")
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+BULLET_CHARS = ("•", "‣", "▶", "◀", "◦",
+                "■", "□", "▪", "▫", "–")
+
+RULE_NAMES = [
+    "r_empty", "r_colon_end", "r_ellipsis", "r_mean_word_len", "r_symbol_ratio",
+    "r_html_entity", "r_id_card", "r_no_punct_run", "r_special_chars",
+    "r_watermark", "r_curly_brackets", "r_caps_ratio", "r_lorem_ipsum",
+    "r_unique_words", "r_bulletpoints", "r_javascript",
+]
+
+
+def _lines(text: str) -> list[str]:
+    return [m.group(0) for m in _LINE_RE.finditer(text) if m.group(0).strip()]
+
+
+def _normalize(text: str) -> str:
+    """The reference's ``normalize`` (rule_base_filter.py:35-54): strip
+    ASCII punctuation, lowercase, collapse whitespace, NFD."""
+    text = text.translate(_PUNCT_TABLE).lower()
+    text = _WS_COLLAPSE_RE.sub(" ", text.strip())
+    return unicodedata.normalize("NFD", text)
+
+
+def rule_flags(text: str) -> list[bool]:
+    """Per-rule fired flags for one text, reference order."""
+    if not text or not text.strip():
+        return [True] + [False] * 15
+
+    words = text.split()
+    num_words = len(words)
+    lines = _lines(text)
+    num_lines = len(lines)
+
+    r_colon = text.endswith(":")
+
+    r_ellipsis = False
+    if num_lines > 0:
+        ell = sum(ln.rstrip().endswith(("...", "…")) for ln in lines)
+        r_ellipsis = ell / num_lines >= ELLIPSIS_THRESHOLD
+
+    r_mwl = False
+    if num_words > 0:
+        mean_len = sum(len(w) for w in words) / num_words
+        r_mwl = mean_len < MEAN_WORD_LEN_MIN or mean_len >= MEAN_WORD_LEN_MAX
+
+    r_sym = False
+    if num_words > 0:
+        n_sym = float(text.count("#") + text.count("...") + text.count("…"))
+        r_sym = n_sym / num_words >= SYMBOL_WORD_RATIO
+
+    r_html = _HTML_ENTITY_RE.search(text) is not None
+    r_id = len(_ID_RE.findall(text)) >= ID_CARD_THRESHOLD
+
+    max_words = 0
+    for sent in _SENT_SPLIT_RE.split(text):
+        wc = len(sent.split())
+        if wc > max_words:
+            max_words = wc
+    r_nopunct = max_words > NO_PUNC_THRESHOLD
+
+    r_special = _SPECIAL_RE.search(text) is not None
+    r_water = _WATERMARK_RE.search(text) is not None
+    r_curly = (text.count("{") + text.count("}")) / len(text) >= CURLY_BRACKET_THRESHOLD
+
+    r_caps = False
+    if num_words > 0:
+        n_caps = sum(map(str.isupper, words))
+        r_caps = n_caps / num_words > CAPITAL_WORDS_THRESHOLD
+
+    lorem_count = text.lower().count("lorem ipsum")
+    r_lorem = lorem_count / len(text) > LOREM_IPSUM_THRESHOLD
+
+    r_unique = False
+    if num_words > 0:
+        lower_words = text.lower().split()
+        r_unique = len(set(lower_words)) / len(lower_words) <= UNIQUE_WORDS_THRESHOLD
+
+    r_bullet = False
+    if num_lines > 0:
+        nb = sum(ln.lstrip().startswith(BULLET_CHARS) for ln in lines)
+        r_bullet = nb / num_lines > BULLETPOINT_THRESHOLD
+
+    r_js = False
+    norm_lines = [n for n in (_normalize(ln) for ln in _lines(text)) if n.strip()]
+    if norm_lines:
+        n = len(norm_lines)
+        js = sum("javascript" in ln for ln in norm_lines)
+        r_js = not (n <= 3 or (n - js) >= JAVASCRIPT_THRESHOLD)
+
+    return [
+        False, r_colon, r_ellipsis, r_mwl, r_sym, r_html, r_id, r_nopunct,
+        r_special, r_water, r_curly, r_caps, r_lorem, r_unique, r_bullet, r_js,
+    ]
+
+
+def rule_flags_batch(texts) -> pd.DataFrame:
+    """Batch kernel: one bool column per rule + ``keep``. Regexes are
+    compiled once at import; the per-row body is pure C-regex work."""
+    n = len(texts)
+    mat = np.empty((n, len(RULE_NAMES)), dtype=bool)
+    for i, t in enumerate(texts):
+        mat[i] = rule_flags(t if isinstance(t, str) else "")
+    df = pd.DataFrame(mat, columns=RULE_NAMES)
+    df["keep"] = ~mat.any(axis=1)
+    return df
