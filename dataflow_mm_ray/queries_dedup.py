@@ -1,4 +1,116 @@
-"""Dedup-suite and similarity-search queries over documents/embeddings.
-Filled in as the kernels land; see stages/neardup.py and
-stages/similarity.py."""
+"""Dedup-suite and similarity-search queries over documents/embeddings."""
 from __future__ import annotations
+
+import pandas as pd
+
+from dataflow_mm_ray.functions.textstats_sql import textstats_sql
+from dataflow_mm_ray.queries import register
+from dataflow_mm_ray.sources.tables import read_table
+from dataflow_mm_ray.stages import neardup, similarity
+from dataflow_mm_ray.stages.dedup import dedup_first_wins
+
+TOPK_K = 10
+TOPK_NQ = 5
+KNN_K = 10
+KNN_KEEP_RATIO = 0.6
+NEARDUP_THRESHOLD = 0.4
+
+_EMB_CTE = """
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+"""
+
+
+@register(
+    "topk_cosine",
+    _EMB_CTE
+    + f"""
+, q AS (SELECT vec_id AS query_id, e FROM b WHERE vec_id < {TOPK_NQ})
+SELECT query_id, vec_id, sim FROM (
+  SELECT q.query_id, b.vec_id, round(list_cosine_similarity(q.e, b.e), 9) AS sim
+  FROM q, b WHERE b.vec_id <> q.query_id
+)
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {TOPK_K}
+""",
+)
+def q_topk_cosine(sf_dir: str):
+    """Brute-force cosine top-k ANN baseline (broadcast query matrix,
+    per-batch partial top-k)."""
+    return similarity.brute_force_topk(sf_dir, k=TOPK_K, n_queries=TOPK_NQ)
+
+
+@register(
+    "knn_percentile",
+    _EMB_CTE
+    + f"""
+, pair AS (
+  SELECT a.vec_id, c.vec_id AS other, round(list_cosine_similarity(a.e, c.e), 9) AS sim
+  FROM b a, b c WHERE a.vec_id <> c.vec_id
+), topk AS (
+  SELECT vec_id, sim FROM pair
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, other) <= {KNN_K}
+), s AS (
+  SELECT vec_id, round(avg(sim), 9) AS avg_knn_sim FROM topk GROUP BY 1
+)
+SELECT vec_id, avg_knn_sim FROM s
+WHERE avg_knn_sim < (SELECT quantile_cont(avg_knn_sim, {KNN_KEEP_RATIO}) FROM s)
+""",
+)
+def q_knn_percentile(sf_dir: str):
+    """KNNSimilarityFilter (knn_similarity_filter.py:112-141,194-196)."""
+    return similarity.knn_percentile_filter(sf_dir, k=KNN_K, keep_ratio=KNN_KEEP_RATIO)
+
+
+@register(
+    "embedding_neardup",
+    _EMB_CTE
+    + f"""
+, pair AS (
+  SELECT a.vec_id, c.vec_id AS other, round(list_cosine_similarity(a.e, c.e), 9) AS sim
+  FROM b a, b c WHERE a.vec_id <> c.vec_id
+)
+SELECT vec_id, round(max(sim), 9) AS max_similarity,
+       NOT bool_or(sim >= {NEARDUP_THRESHOLD} AND other < vec_id) AS keep
+FROM pair GROUP BY 1
+""",
+)
+def q_embedding_neardup(sf_dir: str):
+    """ImageDeduplicateFilter first-wins cosine dedup
+    (image_deduplication_filter.py:122-197)."""
+    return similarity.embedding_neardup(sf_dir, threshold=NEARDUP_THRESHOLD)
+
+
+@register(
+    "docs_dedup_fingerprint",
+    "WITH _stats AS (" + textstats_sql(source="documents") + ") "
+    "SELECT d.doc_id, d.text, s.fingerprint FROM documents d "
+    "JOIN _stats s ON d.doc_id = s.doc_id "
+    "QUALIFY row_number() OVER (PARTITION BY s.fingerprint ORDER BY d.doc_id) = 1",
+)
+def q_docs_dedup_fingerprint(sf_dir: str):
+    """Exact first-wins dedup of documents on the shingle fingerprint."""
+    from dataflow_mm_ray.functions.textstats import fingerprint
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_fp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["fingerprint"] = [fingerprint(t if isinstance(t, str) else "") for t in b["text"]]
+        return b
+
+    keyed = docs.map_batches(add_fp, batch_format="pandas")
+    return dedup_first_wins(keyed, "fingerprint", order_by=("doc_id",))
+
+
+@register("minhash_dedup", None)  # probabilistic candidate recall — no SQL oracle
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup (banded groupby, no all-pairs); pandas
+    parity + recall tests in tests/test_neardup.py."""
+    return neardup.minhash_lsh_dedup(sf_dir)
+
+
+@register("simhash_dedup", None)
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup; sequential first-wins scan mirrors the
+    reference's ImageDiversityFilter order dependence
+    (image_diversity_filter.py:100-119)."""
+    return neardup.simhash_dedup(sf_dir)

@@ -1,0 +1,163 @@
+"""Embedding similarity: brute-force cosine top-k (ANN baseline),
+KNN-percentile filtering, and embedding near-dup marking.
+
+Scale shape (the part that must survive 100 TB):
+
+- the *query/reference* side is small and broadcast once via
+  ``ray.put`` — each map task reads it zero-copy from the object
+  store; it is never re-shipped per batch;
+- the *data* side streams through ``map_batches`` as Arrow blocks;
+  each batch does one float64 matmul (vectorized) and keeps only its
+  partial top-k, so the shuffle that follows moves k rows per (query,
+  batch), not the full similarity matrix;
+- the O(n^2) all-pairs variants (knn filter, near-dup marking) keep
+  the *full* reference matrix broadcast — valid to ~10^5 vectors; the
+  documented scale path is IVF/LSH bucketing (see stages/neardup.py
+  for the LSH machinery), which turns the matmul into per-bucket
+  matmuls after one groupby shuffle.
+
+Reference semantics reproduced:
+- ``KNNSimilarityFilter`` (knn_similarity_filter.py:112-141,194-196):
+  mean cosine similarity to the k nearest neighbors, keep rows strictly
+  below the global ``keep_ratio`` percentile (np.percentile linear
+  interpolation == DuckDB quantile_cont).
+- ``ImageDeduplicateFilter`` (image_deduplication_filter.py:122-197):
+  a row is a duplicate iff ANY earlier row (by id order) has cosine
+  similarity >= threshold; per-row ``max_similarity`` is recorded.
+
+All similarities are computed in float64 and rounded to 9 dp on both
+the Ray and SQL sides (DuckDB's float32 ``list_cosine_similarity`` is
+avoided by casting to DOUBLE[] in the oracles).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from dataflow_mm_ray.sources.tables import read_table
+
+SIM_ROUND = 9
+
+
+def _normalized_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load embeddings as a (vec_ids, unit-norm float64 matrix) pair.
+
+    Driver-side materialization of the broadcast side only — at scale
+    this is the small reference set / centroid table, not the stream.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)[order]
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids[order], m / norms
+
+
+def _batch_matrix(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(dtype=np.int64)
+    m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, m / norms
+
+
+def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """For each query vector (vec_id < n_queries): top-k most similar
+    other vectors by cosine. Returns query_id, vec_id, sim."""
+    q_ids_all, q_mat_all = _normalized_matrix(sf_dir)
+    mask = q_ids_all < n_queries
+    q_ids, q_mat = q_ids_all[mask], q_mat_all[mask]
+    q_ref = ray.put((q_ids, q_mat))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, qm = ray.get(q_ref)
+        ids, m = _batch_matrix(batch)
+        sims = np.round(m @ qm.T, SIM_ROUND)  # (batch, nq)
+        out_q, out_v, out_s = [], [], []
+        for c in range(sims.shape[1]):
+            col = sims[:, c].copy()
+            col[ids == qi[c]] = -np.inf  # exclude self
+            take = min(k, len(col))
+            # partial top-k with (sim desc, vec_id asc) tie-break
+            idx = np.lexsort((ids, -col))[:take]
+            idx = idx[np.isfinite(col[idx])]
+            out_q.append(np.full(len(idx), qi[c], dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(col[idx])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(partial_topk, batch_format="pandas", batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_percentile_filter(sf_dir: str, k: int = 10, keep_ratio: float = 0.6):
+    """KNNSimilarityFilter semantics: keep vectors whose mean top-k
+    cosine similarity is strictly below the keep_ratio percentile.
+    Returns vec_id, avg_knn_sim for kept rows."""
+    all_ids, all_mat = _normalized_matrix(sf_dir)
+    ref = ray.put((all_ids, all_mat))
+
+    def avg_knn(batch: pd.DataFrame) -> pd.DataFrame:
+        ai, am = ray.get(ref)
+        ids, m = _batch_matrix(batch)
+        sims = np.round(m @ am.T, SIM_ROUND)
+        sims[ids[:, None] == ai[None, :]] = -np.inf  # exclude self
+        take = min(k, sims.shape[1] - 1)
+        # top-k per row via partition, then exact mean of those k
+        part = -np.partition(-sims, take - 1, axis=1)[:, :take]
+        avg = np.round(part.mean(axis=1), SIM_ROUND)
+        return pd.DataFrame({"vec_id": ids, "avg_knn_sim": avg})
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(avg_knn, batch_format="pandas", batch_size=4096)
+    # global percentile: two-pass — collect the 1-column score vector.
+    # (At 10^12 rows this becomes a t-digest/sampled quantile; exact here
+    # for oracle parity.)
+    sdf = scored.to_pandas()
+    thr = np.percentile(sdf["avg_knn_sim"].to_numpy(), keep_ratio * 100)
+    kept = sdf[sdf["avg_knn_sim"] < thr].reset_index(drop=True)
+    return kept
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.4):
+    """ImageDeduplicateFilter semantics over the embedding table:
+    mark vec j duplicate iff any i<j has cos(i,j) >= threshold; record
+    per-row max similarity. Returns vec_id, max_similarity, keep."""
+    all_ids, all_mat = _normalized_matrix(sf_dir)
+    ref = ray.put((all_ids, all_mat))
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        ai, am = ray.get(ref)
+        ids, m = _batch_matrix(batch)
+        sims = np.round(m @ am.T, SIM_ROUND)
+        self_mask = ids[:, None] == ai[None, :]
+        sims_ns = np.where(self_mask, -np.inf, sims)
+        max_sim = sims_ns.max(axis=1)
+        earlier = ai[None, :] < ids[:, None]
+        dup = ((sims_ns >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "max_similarity": np.round(max_sim, SIM_ROUND),
+                "keep": ~dup,
+            }
+        )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(mark, batch_format="pandas", batch_size=4096)

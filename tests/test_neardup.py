@@ -1,0 +1,86 @@
+"""Near-dup pipelines: recall on injected near-duplicates, precision of
+verification, first-wins order, determinism."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataflow_mm_ray.stages.neardup import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    shingle_set,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees "
+    "as morning light spreads across the quiet village square slowly"
+)
+
+
+def _mutate(text: str, n_swaps: int, seed: int) -> str:
+    rng = np.random.RandomState(seed)
+    words = text.split()
+    for _ in range(n_swaps):
+        i = rng.randint(len(words))
+        words[i] = f"tok{rng.randint(1000)}"
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(42)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(60):
+        rows.append(" ".join(rng.choice(vocab, size=60)))
+    # inject near-dup clusters: docs 60/61 ~ BASE, 62 ~ light mutation,
+    # 63 exact dup of 60, 64 heavy mutation (not a dup)
+    rows += [BASE, _mutate(BASE, 2, 1), _mutate(BASE, 4, 2), BASE, _mutate(BASE, 30, 3)]
+    return pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+
+
+def test_minhash_estimates_jaccard():
+    a = shingle_set(BASE)
+    b = shingle_set(_mutate(BASE, 3, 9))
+    true_j = jaccard(a, b)
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = (sa == sb).mean()
+    assert abs(est - true_j) < 0.25
+    assert (minhash_signature(a) == sa).all()  # deterministic
+
+
+def test_minhash_lsh_dedup_recall_and_first_wins(ray_session, corpus, tmp_path):
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.neardup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup("", threshold=0.5, ds=rd.from_pandas(corpus))
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert keep[60]  # first occurrence survives
+    assert not keep[63]  # exact dup of 60 dropped
+    assert not keep[61]  # near dup dropped
+    assert keep[64]  # heavy mutation survives
+    # random word-salad docs must be untouched
+    assert all(keep[i] for i in range(60))
+
+
+def test_simhash_near_and_far():
+    s1 = simhash64(BASE)
+    s2 = simhash64(_mutate(BASE, 2, 5))
+    s3 = simhash64(" ".join(f"z{i}" for i in range(60)))
+    assert hamming64(s1, s2) <= 12
+    assert hamming64(s1, s3) > 12
+    assert simhash64(BASE) == s1  # deterministic
+
+
+def test_simhash_dedup_first_wins(ray_session, corpus):
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.neardup import simhash_dedup
+
+    out = simhash_dedup("", max_hamming=3, ds=rd.from_pandas(corpus))
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert keep[60]
+    assert not keep[63]  # identical text -> hamming 0 -> dropped
