@@ -3,7 +3,11 @@ with DuckDB oracles. See sources/transcripts.py for the derivation."""
 from __future__ import annotations
 
 from dataflow_mm_ray.queries import register
-from dataflow_mm_ray.sources.transcripts import TRANSCRIPTS_CTE, transcripts_from_events
+from dataflow_mm_ray.sources.transcripts import (
+    TRANSCRIPTS_CTE,
+    transcripts_from_events,
+    transcripts_partitioned,
+)
 from dataflow_mm_ray.sources.tables import read_table
 from dataflow_mm_ray.stages import dedup, filters, join, stats, windows
 
@@ -39,7 +43,9 @@ GROUP BY 1, 2
 """,
 )
 def q_tumbling(sf_dir: str):
-    return windows.tumbling_window_agg(transcripts_from_events(sf_dir), width_s=TUMBLING_WIDTH_S)
+    return transcripts_partitioned(
+        sf_dir, lambda t: windows.tumbling_window_kernel(t, TUMBLING_WIDTH_S)
+    )
 
 
 @register(
@@ -58,8 +64,8 @@ FROM slid GROUP BY 1, 2
 """,
 )
 def q_sliding(sf_dir: str):
-    return windows.sliding_window_agg(
-        transcripts_from_events(sf_dir), width_s=SLIDING_WIDTH_S, slide_s=SLIDING_SLIDE_S
+    return transcripts_partitioned(
+        sf_dir, lambda t: windows.sliding_window_kernel(t, SLIDING_WIDTH_S, SLIDING_SLIDE_S)
     )
 
 
@@ -86,7 +92,9 @@ FROM sess GROUP BY 1, 2
 """,
 )
 def q_session(sf_dir: str):
-    return windows.session_window_agg(transcripts_from_events(sf_dir), gap_s=SESSION_GAP_S)
+    return transcripts_partitioned(
+        sf_dir, lambda t: windows.session_window_kernel(t, SESSION_GAP_S)
+    )
 
 
 @register(
@@ -108,7 +116,7 @@ QUALIFY row_number() OVER (PARTITION BY i.conv_id, i.turn_idx ORDER BY r.turn_id
 """,
 )
 def q_tool_join(sf_dir: str):
-    return join.tool_response_join(transcripts_from_events(sf_dir))
+    return transcripts_partitioned(sf_dir, join.join_kernel)
 
 
 @register(
@@ -157,7 +165,8 @@ GROUP BY 1 ORDER BY n_turns DESC, conv_id LIMIT 10
 """,
 )
 def q_hot_conversations(sf_dir: str):
-    return stats.hot_conversations(transcripts_from_events(sf_dir), k=10)
+    counts = transcripts_partitioned(sf_dir, stats.conv_count_kernel)
+    return stats.topk_counts(counts.to_pandas(), k=10)
 
 
 @register(
@@ -193,4 +202,4 @@ FROM transcripts GROUP BY 1
 """,
 )
 def q_conversation_digest(sf_dir: str):
-    return stats.conversation_digest(transcripts_from_events(sf_dir))
+    return transcripts_partitioned(sf_dir, stats.digest_kernel)

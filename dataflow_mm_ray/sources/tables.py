@@ -17,6 +17,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_READ_TASK_BYTES = 8 << 20  # target bytes of parquet per read task
+
+
+def _default_num_blocks(path: str) -> int | None:
+    """Split single-file reads across tasks: Ray otherwise decodes one
+    file in ONE read task, serializing the whole pipeline behind a
+    single-threaded parquet decode (measured 2.4x slowdown end-to-end).
+    Target ~8 MiB of file per read task, capped at 4x cluster CPUs."""
+    import ray
+
+    try:
+        size = os.path.getsize(path)
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        return None
+    nb = max(1, min(size // _READ_TASK_BYTES, ncpu * 4))
+    return int(nb) if nb > 1 else None
+
+
 def read_table(
     sf_dir: str,
     name: str,
@@ -28,4 +47,9 @@ def read_table(
     Always pass ``columns`` in pipelines — at 100 TB a read that loads
     all columns for a 2-column transform is wrong.
     """
-    return rd.read_parquet(table_path(sf_dir, name), columns=list(columns) if columns else None, **kwargs)
+    path = table_path(sf_dir, name)
+    if "override_num_blocks" not in kwargs:
+        nb = _default_num_blocks(path)
+        if nb:
+            kwargs["override_num_blocks"] = nb
+    return rd.read_parquet(path, columns=list(columns) if columns else None, **kwargs)

@@ -91,7 +91,43 @@ def _events_to_turns(part: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "props"]
+
+
 def transcripts_from_events(sf_dir: str, num_partitions: int = DEFAULT_NUM_PARTITIONS):
     """events.parquet -> canonical transcript Dataset (lazy)."""
-    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "props"])
-    return partition_map(ev, "user_id", _events_to_turns, num_partitions=num_partitions)
+    from dataflow_mm_ray.partition import partition_map_parquet
+    from dataflow_mm_ray.sources.tables import table_path
+
+    return partition_map_parquet(
+        table_path(sf_dir, "events"), _EVENT_COLS, "user_id", _events_to_turns,
+        num_partitions=num_partitions,
+    )
+
+
+def transcripts_partitioned(
+    sf_dir: str,
+    kernel,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Fused single-shuffle path: derive the transcript turns AND apply
+    a per-partition ``kernel`` in the same reduce task, reading
+    row-group ranges straight off the parquet file (no driver barrier).
+
+    ``conv_id`` is 1:1 with ``user_id``, so any conv-keyed kernel
+    (sessions, joins, digests, window aggregates) is exact on the
+    user-hash partitions — this halves the shuffles of
+    ``kernel(transcripts_from_events(...))``. The kernel receives the
+    partition sorted by (conv_id, turn_idx).
+    """
+    from dataflow_mm_ray.partition import partition_map_parquet
+    from dataflow_mm_ray.sources.tables import table_path
+
+    def fused(part: pd.DataFrame) -> pd.DataFrame:
+        t = _events_to_turns(part)  # already (user, ts)-sorted = (conv, turn) order
+        return kernel(t.reset_index(drop=True))
+
+    return partition_map_parquet(
+        table_path(sf_dir, "events"), _EVENT_COLS, "user_id", fused,
+        num_partitions=num_partitions,
+    )

@@ -67,6 +67,11 @@ def _join_partition(part: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def join_kernel(turns: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition kernel (fused path): turns sorted by (conv, turn)."""
+    return _join_partition(turns)
+
+
 def tool_response_join(transcripts, num_partitions: int = DEFAULT_NUM_PARTITIONS):
     """Correlate tool invocations with their responses.
 

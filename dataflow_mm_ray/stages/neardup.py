@@ -113,29 +113,31 @@ def hamming64(a: np.uint64, b: np.uint64) -> int:
 # ---------------------------------------------------------------------------
 
 def _band_rows(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
-    """doc -> N_BANDS rows of (band_id, band_key, doc_id)."""
-    ids, bands, keys = [], [], []
-    for i, t in zip(batch[id_col].to_numpy(), batch[text_col].to_numpy()):
-        sig = minhash_signature(shingle_set(t if isinstance(t, str) else ""))
+    """doc -> N_BANDS rows of (band_id, band_key, doc_id), with one
+    vectorized hash pass per batch for the band keys."""
+    n = len(batch)
+    sigs = np.empty((n, N_PERM), dtype=np.uint64)
+    for r, t in enumerate(batch[text_col].to_numpy()):
+        sigs[r] = minhash_signature(shingle_set(t if isinstance(t, str) else ""))
+    band_strs = np.empty(n * N_BANDS, dtype=object)
+    ids = np.repeat(batch[id_col].to_numpy().astype(np.int64), N_BANDS)
+    bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+    k = 0
+    for r in range(n):
+        row = sigs[r]
         for b in range(N_BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            key = int(stable_hash_array(np.asarray(["|".join(map(str, chunk))], dtype=object))[0])
-            ids.append(i)
-            bands.append(b)
-            keys.append(key)
-    return pd.DataFrame(
-        {
-            "doc_id": np.asarray(ids, dtype=np.int64),
-            "band_id": np.asarray(bands, dtype=np.int32),
-            "band_key": np.asarray(keys, dtype=np.uint64).astype(np.int64),
-        }
-    )
+            band_strs[k] = "|".join(map(str, row[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+            k += 1
+    keys = stable_hash_array(band_strs).astype(np.int64) if n else np.empty(0, dtype=np.int64)
+    return pd.DataFrame({"doc_id": ids, "band_id": bands, "band_key": keys})
 
 
 def _candidate_pairs(ds_docs, id_col: str, text_col: str, max_bucket: int = 1000):
     """LSH banding -> candidate (lo, hi) doc pairs, deduplicated."""
+    # small batches: signature computation is per-row CPU work, so
+    # parallelism comes from concurrent tasks
     bands = ds_docs.map_batches(
-        lambda b: _band_rows(b, id_col, text_col), batch_format="pandas"
+        lambda b: _band_rows(b, id_col, text_col), batch_format="pandas", batch_size=512
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -151,22 +153,13 @@ def _candidate_pairs(ds_docs, id_col: str, text_col: str, max_bucket: int = 1000
             return pd.DataFrame({"lo": pd.Series([], dtype=np.int64), "hi": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({"lo": np.concatenate(out_lo), "hi": np.concatenate(out_hi)}).drop_duplicates()
 
-    # one shuffle: group band rows by band bucket (via band_key hash part)
+    # one shuffle: group band rows by band bucket. A pair found by
+    # several bands may appear in several partitions; the duplicate
+    # candidates are deduplicated after (cheap) verification rather
+    # than paying an extra shuffle here.
     from dataflow_mm_ray.partition import partition_map
 
-    pairs = partition_map(bands, "band_key", bucket_pairs, num_partitions=32)
-    # cross-partition duplicate pairs (same pair from different bands land
-    # in different partitions) -> one dedup pass keyed by the pair
-    def dedup_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates()
-
-    pairs = pairs.map_batches(
-        lambda b: b.assign(__pk=b["lo"] * np.int64(1 << 32) + b["hi"]), batch_format="pandas"
-    )
-    from dataflow_mm_ray.stages.dedup import dedup_first_wins
-
-    pairs = dedup_first_wins(pairs, "__pk", order_by=("lo", "hi"), num_partitions=16)
-    return pairs.drop_columns(["__pk"])
+    return partition_map(bands, "band_key", bucket_pairs, num_partitions=16)
 
 
 def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "documents",
@@ -197,7 +190,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
         m = jac >= threshold
         return pd.DataFrame({"lo": lo[m], "hi": hi[m]})
 
-    dup_pairs = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    dup_pairs = pairs.map_batches(verify, batch_format="pandas").to_pandas().drop_duplicates()
     dup_ids = set(dup_pairs["hi"].tolist())  # duplicate = later member of a pair
     partners = pd.concat(
         [dup_pairs["lo"], dup_pairs["hi"]], ignore_index=True
@@ -226,7 +219,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
         )
         return pd.DataFrame({id_col: batch[id_col].to_numpy(), "simhash": sigs.astype(np.int64)})
 
-    signed = docs.map_batches(sign, batch_format="pandas")
+    signed = docs.map_batches(sign, batch_format="pandas", batch_size=512)
     sig_pd = signed.to_pandas().sort_values(id_col).reset_index(drop=True)
 
     # banding: 4 x 16-bit exact-match blocks (pigeonhole: hamming<=3 =>

@@ -38,6 +38,16 @@ import ray
 from dataflow_mm_ray.sources.tables import read_table
 
 SIM_ROUND = 9
+# similarity batches are deliberately small: each batch does a dense
+# (batch x n_ref) float64 matmul in a single-threaded worker, so
+# parallelism comes from many concurrent map tasks, not BLAS threads.
+SIM_BATCH = 256
+
+
+def _round9(x):
+    """np.round(x, 9) without its per-call overhead (same semantics:
+    scale, rint, unscale)."""
+    return np.rint(x * 1e9) / 1e9
 
 
 def _normalized_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -49,12 +59,17 @@ def _normalized_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    ids = t["vec_id"].to_numpy()
     order = np.argsort(ids)
-    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)[order]
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    # zero-copy flatten of the list<float> column, then one reshape —
+    # never a python list per row
+    m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(col), dim)[order]
+    ids = ids[order]
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    return ids[order], m / norms
+    return ids, m / norms
 
 
 def _batch_matrix(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -76,7 +91,7 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
         qi, qm = ray.get(q_ref)
         ids, m = _batch_matrix(batch)
-        sims = np.round(m @ qm.T, SIM_ROUND)  # (batch, nq)
+        sims = _round9(m @ qm.T)  # (batch, nq)
         out_q, out_v, out_s = [], [], []
         for c in range(sims.shape[1]):
             col = sims[:, c].copy()
@@ -97,13 +112,15 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
         )
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    partials = ds.map_batches(partial_topk, batch_format="pandas", batch_size=4096)
+    partials = ds.map_batches(partial_topk, batch_format="pandas", batch_size=SIM_BATCH)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
-        return g.head(k)
+    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+        return part.groupby("query_id", sort=False, group_keys=False).head(k)
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    from dataflow_mm_ray.partition import partition_map
+
+    return partition_map(partials, "query_id", final_topk, num_partitions=8)
 
 
 def knn_percentile_filter(sf_dir: str, k: int = 10, keep_ratio: float = 0.6):
@@ -116,16 +133,18 @@ def knn_percentile_filter(sf_dir: str, k: int = 10, keep_ratio: float = 0.6):
     def avg_knn(batch: pd.DataFrame) -> pd.DataFrame:
         ai, am = ray.get(ref)
         ids, m = _batch_matrix(batch)
-        sims = np.round(m @ am.T, SIM_ROUND)
+        sims = m @ am.T
         sims[ids[:, None] == ai[None, :]] = -np.inf  # exclude self
         take = min(k, sims.shape[1] - 1)
-        # top-k per row via partition, then exact mean of those k
-        part = -np.partition(-sims, take - 1, axis=1)[:, :take]
-        avg = np.round(part.mean(axis=1), SIM_ROUND)
+        # top-k on raw sims, round only the selected values: a rounding
+        # tie at the boundary swaps equal rounded values, so the mean is
+        # unchanged — oracle-parity preserved without a full-matrix round
+        part = _round9(-np.partition(-sims, take - 1, axis=1)[:, :take])
+        avg = _round9(part.mean(axis=1))
         return pd.DataFrame({"vec_id": ids, "avg_knn_sim": avg})
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(avg_knn, batch_format="pandas", batch_size=4096)
+    scored = ds.map_batches(avg_knn, batch_format="pandas", batch_size=SIM_BATCH)
     # global percentile: two-pass — collect the 1-column score vector.
     # (At 10^12 rows this becomes a t-digest/sampled quantile; exact here
     # for oracle parity.)
@@ -145,7 +164,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4):
     def mark(batch: pd.DataFrame) -> pd.DataFrame:
         ai, am = ray.get(ref)
         ids, m = _batch_matrix(batch)
-        sims = np.round(m @ am.T, SIM_ROUND)
+        sims = _round9(m @ am.T)
         self_mask = ids[:, None] == ai[None, :]
         sims_ns = np.where(self_mask, -np.inf, sims)
         max_sim = sims_ns.max(axis=1)
@@ -154,10 +173,10 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4):
         return pd.DataFrame(
             {
                 "vec_id": ids,
-                "max_similarity": np.round(max_sim, SIM_ROUND),
+                "max_similarity": _round9(max_sim),
                 "keep": ~dup,
             }
         )
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ds.map_batches(mark, batch_format="pandas", batch_size=4096)
+    return ds.map_batches(mark, batch_format="pandas", batch_size=SIM_BATCH)

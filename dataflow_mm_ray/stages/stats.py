@@ -1,14 +1,14 @@
 """Stream-health statistics: skew detection, out-of-order (late) turns,
 conversation digests.
 
-- ``hot_conversations``: per-key counts with a per-batch combiner, then
-  top-k by (count desc, conv_id) — the detection half of the salted
-  repartition strategy (SURVEY.md §7.2 milestone 10).
-- ``late_events``: per-conversation out-of-order detection in *arrival*
-  order (event_id): an event is late if an earlier-arriving event of
-  the same conversation carries a later event-time by more than the
-  allowed lateness. This is the batch analog of watermark-based late
-  routing (streaming path: dataflow_mm_ray.streaming.watermark).
+- ``hot_conversations``: per-key counts with a per-batch combiner, one
+  hash-shuffle merge, then a driver-side top-k over the (tiny) per-key
+  count table — the detection half of the salted repartition strategy
+  (SURVEY.md §7.2 milestone 10).
+- ``late_events``: per-conversation out-of-order detection under a
+  deterministic arrival permutation — the batch analog of
+  watermark-based late routing (streaming path:
+  dataflow_mm_ray.streaming).
 - ``conversation_digest``: order-stable re-assembly check — per
   conversation the MD5 of the ts-ordered concatenated turn texts, the
   pipe-joined role string, and the turn count. Any instability of
@@ -21,26 +21,33 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Sum
-
 from dataflow_mm_ray.partition import partition_map
 from dataflow_mm_ray.schema import DEFAULT_NUM_PARTITIONS
 
 US = 1_000_000
 
 
+def conv_count_kernel(turns: pd.DataFrame) -> pd.DataFrame:
+    g = turns.groupby("conv_id", as_index=False, sort=False).size()
+    return g.rename(columns={"size": "n_turns"})
+
+
+def topk_counts(counts: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Deterministic top-k: (n_turns desc, conv_id asc)."""
+    out = counts.sort_values(["n_turns", "conv_id"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
 def hot_conversations(transcripts, k: int = 10):
     """Top-k conversations by turn count; deterministic tie-break on
-    conv_id. Returns: conv_id, n_turns."""
+    conv_id. Returns: conv_id, n_turns (pandas, small)."""
+    partials = transcripts.map_batches(conv_count_kernel, batch_format="pandas")
+    counts = partition_map(partials, "conv_id", conv_count_kernel_merge)
+    return topk_counts(counts.to_pandas(), k)
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("conv_id", as_index=False, sort=False).size()
-        return g.rename(columns={"size": "n_turns"})
 
-    partials = transcripts.map_batches(partial, batch_format="pandas")
-    counts = partials.groupby("conv_id").aggregate(Sum("n_turns", alias_name="n_turns"))
-    # top-k: small result — sort by (n_turns desc, conv_id asc) and limit.
-    return counts.sort(["n_turns", "conv_id"], descending=[True, False]).limit(k)
+def conv_count_kernel_merge(part: pd.DataFrame) -> pd.DataFrame:
+    return part.groupby("conv_id", as_index=False, sort=False)["n_turns"].sum()
 
 
 def late_events(sf_dir: str, lateness_s: int = 604800, num_partitions: int = DEFAULT_NUM_PARTITIONS):
@@ -57,12 +64,6 @@ def late_events(sf_dir: str, lateness_s: int = 604800, num_partitions: int = DEF
 
     Returns: conv_id, event_id, ts, late_by_us (>0).
     """
-    import hashlib
-
-    from dataflow_mm_ray.sources.tables import read_table
-
-    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-
     def fn(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
             return pd.DataFrame(
@@ -99,7 +100,35 @@ def late_events(sf_dir: str, lateness_s: int = 604800, num_partitions: int = DEF
             }
         )
 
-    return partition_map(ev, "user_id", fn, num_partitions=num_partitions)
+    from dataflow_mm_ray.partition import partition_map_parquet
+    from dataflow_mm_ray.sources.tables import table_path
+
+    return partition_map_parquet(
+        table_path(sf_dir, "events"), ["event_id", "ts", "user_id"], "user_id", fn,
+        num_partitions=num_partitions,
+    )
+
+
+def digest_kernel(turns: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation digest over a (conv, turn)-sorted partition."""
+    if len(turns) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype=np.int64),
+                "roles_str": pd.Series([], dtype=object),
+                "text_md5": pd.Series([], dtype=object),
+            }
+        )
+    g = turns.groupby("conv_id", sort=False)
+    agg = g.agg(
+        n_turns=("turn_idx", "size"),
+        roles_str=("role", "|".join),
+        joined=("text", "\x1f".join),
+    ).reset_index()
+    agg["text_md5"] = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in agg.pop("joined")]
+    agg["n_turns"] = agg["n_turns"].astype(np.int64)
+    return agg
 
 
 def conversation_digest(transcripts, num_partitions: int = DEFAULT_NUM_PARTITIONS):
@@ -108,29 +137,7 @@ def conversation_digest(transcripts, num_partitions: int = DEFAULT_NUM_PARTITION
 
     Returns: conv_id, n_turns, roles_str, text_md5.
     """
-
-    def fn(part: pd.DataFrame) -> pd.DataFrame:
-        if len(part) == 0:
-            return pd.DataFrame(
-                {
-                    "conv_id": pd.Series([], dtype=object),
-                    "n_turns": pd.Series([], dtype=np.int64),
-                    "roles_str": pd.Series([], dtype=object),
-                    "text_md5": pd.Series([], dtype=object),
-                }
-            )
-        g = part.groupby("conv_id", sort=False)
-        agg = g.agg(
-            n_turns=("turn_idx", "size"),
-            roles_str=("role", "|".join),
-            joined=("text", "\x1f".join),
-        ).reset_index()
-        agg["text_md5"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in agg.pop("joined")
-        ]
-        agg["n_turns"] = agg["n_turns"].astype(np.int64)
-        return agg
-
     return partition_map(
-        transcripts, "conv_id", fn, num_partitions=num_partitions, sort_by=("conv_id", "turn_idx")
+        transcripts, "conv_id", digest_kernel, num_partitions=num_partitions,
+        sort_by=("conv_id", "turn_idx"),
     )

@@ -1,19 +1,25 @@
 """Event-time windows over the transcript stream.
 
-Tumbling / sliding windows are *stateless per row* (a pure function of
-``ts``), so window assignment runs in vectorized ``map_batches``; the
-per-(key, window) aggregate is a two-phase sum: partial aggregates per
-batch (combiner) followed by one small ``groupby().aggregate`` over the
-partials. At 100 TB the shuffle therefore moves one row per (conv,
-window) per *batch*, not one row per turn.
+Tumbling / sliding window assignment is a pure function of ``ts`` and
+runs vectorized in ``map_batches``; the per-(conv, window) aggregate is
+two-phase: partial sums per batch (combiner — a hot conversation
+contributes one row per window per batch no matter how many turns it
+has), then ONE hash shuffle on ``conv_id`` (partition_map) with a
+vectorized pandas merge per partition. Grouping the merge by
+``conv_id`` keeps every key's partials co-located, so the merged sums
+are exact.
 
 Session windows need every turn of a conversation co-located and
-ts-ordered — one hash-partitioned shuffle via ``partition_map``, then a
-vectorized gap-scan per partition. The gap-close rule mirrors the
-reference's Silero-VAD ``min_silence_duration_s`` segment closing
+ts-ordered — one hash-partitioned shuffle, then a vectorized gap-scan.
+The gap-close rule mirrors the reference's Silero-VAD
+``min_silence_duration_s`` segment closing
 (``dataflow/operators/core_audio/generate/
 audio_silero_voice_activity_detection_timestamps_generator.py:35-68``):
 a session closes when the gap to the next turn exceeds ``gap_s``.
+
+Each construct also exposes a per-partition *kernel* so conv-keyed
+pipelines can fuse derivation + windowing into a single shuffle
+(``sources.transcripts.transcripts_partitioned``).
 
 All duration outputs are integer microseconds (``*_us``) — exact in
 both Arrow and DuckDB, immune to float-rounding drift in the oracle
@@ -24,12 +30,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Sum
-
 from dataflow_mm_ray.partition import partition_map
 from dataflow_mm_ray.schema import DEFAULT_NUM_PARTITIONS
 
 US = 1_000_000
+
+_WINDOW_COLS = ["conv_id", "window_start", "n_turns", "n_user_turns", "n_tool_calls", "sum_chars"]
 
 
 def _ts_us(ts: pd.Series) -> np.ndarray:
@@ -37,19 +43,14 @@ def _ts_us(ts: pd.Series) -> np.ndarray:
     return ts.to_numpy(dtype="datetime64[us]").astype(np.int64)
 
 
-def _window_start(us: np.ndarray, width_s: int) -> np.ndarray:
-    width_us = width_s * US
-    return (us // width_us) * width_us
-
-
 def _partial_window_counts(batch: pd.DataFrame, width_s: int) -> pd.DataFrame:
     """Per-batch combiner: one partial row per (conv_id, window_start)."""
     us = _ts_us(batch["ts"])
-    w = _window_start(us, width_s)
+    width_us = width_s * US
     part = pd.DataFrame(
         {
             "conv_id": batch["conv_id"].to_numpy(),
-            "window_start_us": w,
+            "window_start_us": (us // width_us) * width_us,
             "n_turns": np.int64(1),
             "n_user_turns": (batch["role"].to_numpy() == "user").astype(np.int64),
             "n_tool_calls": (
@@ -61,74 +62,85 @@ def _partial_window_counts(batch: pd.DataFrame, width_s: int) -> pd.DataFrame:
     return part.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
 
 
-def tumbling_window_agg(transcripts, width_s: int = 3600):
+def _merge_window_partials(part: pd.DataFrame) -> pd.DataFrame:
+    agg = part.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
+    agg["window_start"] = agg.pop("window_start_us").to_numpy().astype("datetime64[us]")
+    return agg[_WINDOW_COLS]
+
+
+def tumbling_window_kernel(turns: pd.DataFrame, width_s: int) -> pd.DataFrame:
+    """Exact per-partition tumbling aggregate (conv co-located)."""
+    return _merge_window_partials(_partial_window_counts(turns, width_s))
+
+
+def tumbling_window_agg(
+    transcripts, width_s: int = 3600, num_partitions: int = DEFAULT_NUM_PARTITIONS
+):
     """Per (conv_id, tumbling window): turn counts and char volume.
 
-    Returns columns: conv_id, window_start (timestamp[us]), n_turns,
+    Returns: conv_id, window_start (timestamp[us]), n_turns,
     n_user_turns, n_tool_calls, sum_chars.
     """
     partials = transcripts.map_batches(
         lambda b: _partial_window_counts(b, width_s), batch_format="pandas"
     )
-    agg = partials.groupby(["conv_id", "window_start_us"]).aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Sum("n_user_turns", alias_name="n_user_turns"),
-        Sum("n_tool_calls", alias_name="n_tool_calls"),
-        Sum("sum_chars", alias_name="sum_chars"),
-    )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        b["window_start"] = b.pop("window_start_us").to_numpy().astype("datetime64[us]")
-        return b[["conv_id", "window_start", "n_turns", "n_user_turns", "n_tool_calls", "sum_chars"]]
-
-    return agg.map_batches(finish, batch_format="pandas")
+    return partition_map(partials, "conv_id", _merge_window_partials, num_partitions=num_partitions)
 
 
-def sliding_window_agg(transcripts, width_s: int = 7200, slide_s: int = 3600):
+def _partial_sliding(batch: pd.DataFrame, width_s: int, slide_s: int) -> pd.DataFrame:
+    k = width_s // slide_s
+    us = _ts_us(batch["ts"])
+    bucket = (us // (slide_s * US)) * (slide_s * US)
+    chars = batch["text"].str.len().to_numpy(dtype=np.int64)
+    conv = batch["conv_id"].to_numpy()
+    frames = [
+        pd.DataFrame(
+            {
+                "conv_id": conv,
+                "window_start_us": bucket - i * slide_s * US,
+                "n_turns": np.int64(1),
+                "sum_chars": chars,
+            }
+        )
+        for i in range(k)
+    ]
+    rep = pd.concat(frames, ignore_index=True)
+    return rep.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
+
+
+def _merge_sliding_partials(part: pd.DataFrame) -> pd.DataFrame:
+    agg = part.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
+    agg["window_start"] = agg.pop("window_start_us").to_numpy().astype("datetime64[us]")
+    return agg[["conv_id", "window_start", "n_turns", "sum_chars"]]
+
+
+def sliding_window_kernel(turns: pd.DataFrame, width_s: int, slide_s: int) -> pd.DataFrame:
+    return _merge_sliding_partials(_partial_sliding(turns, width_s, slide_s))
+
+
+def sliding_window_agg(
+    transcripts,
+    width_s: int = 7200,
+    slide_s: int = 3600,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
     """Per (conv_id, sliding window): each turn lands in width/slide
-    windows; replication happens vectorized per batch (concat of shifted
+    windows; replication is vectorized per batch (concat of shifted
     copies), then the same two-phase sum as tumbling.
 
     Returns: conv_id, window_start, n_turns, sum_chars.
     """
     if width_s % slide_s != 0:
         raise ValueError("width_s must be a multiple of slide_s")
-    k = width_s // slide_s
-
-    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
-        us = _ts_us(batch["ts"])
-        bucket = (us // (slide_s * US)) * (slide_s * US)
-        chars = batch["text"].str.len().to_numpy(dtype=np.int64)
-        conv = batch["conv_id"].to_numpy()
-        frames = []
-        for i in range(k):
-            start = bucket - i * slide_s * US
-            frames.append(
-                pd.DataFrame(
-                    {"conv_id": conv, "window_start_us": start, "n_turns": np.int64(1), "sum_chars": chars}
-                )
-            )
-        rep = pd.concat(frames, ignore_index=True)
-        return rep.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
-
-    partials = transcripts.map_batches(replicate, batch_format="pandas")
-    agg = partials.groupby(["conv_id", "window_start_us"]).aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Sum("sum_chars", alias_name="sum_chars"),
+    partials = transcripts.map_batches(
+        lambda b: _partial_sliding(b, width_s, slide_s), batch_format="pandas"
     )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        b["window_start"] = b.pop("window_start_us").to_numpy().astype("datetime64[us]")
-        return b[["conv_id", "window_start", "n_turns", "sum_chars"]]
-
-    return agg.map_batches(finish, batch_format="pandas")
+    return partition_map(partials, "conv_id", _merge_sliding_partials, num_partitions=num_partitions)
 
 
 def _sessionize(part: pd.DataFrame, gap_s: int) -> pd.DataFrame:
     """Vectorized session assignment over one hash partition
-    (pre-sorted by (conv_id, turn_idx) via partition_map)."""
+    (pre-sorted by (conv_id, turn_idx))."""
     us = _ts_us(part["ts"])
     conv = part["conv_id"].to_numpy()
     new_conv = np.empty(len(part), dtype=bool)
@@ -147,7 +159,7 @@ def _sessionize(part: pd.DataFrame, gap_s: int) -> pd.DataFrame:
     )
     # session_id = 0-based ordinal of the session within its conversation
     agg["session_id"] = agg.groupby("conv_id", sort=False).cumcount().astype(np.int32)
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
             "conv_id": agg["conv_id"],
             "session_id": agg["session_id"],
@@ -157,7 +169,21 @@ def _sessionize(part: pd.DataFrame, gap_s: int) -> pd.DataFrame:
             "duration_us": (agg["end_us"] - agg["start_us"]).astype(np.int64),
         }
     )
-    return out
+
+
+def session_window_kernel(turns: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+    if len(turns) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "session_id": pd.Series([], dtype=np.int32),
+                "n_turns": pd.Series([], dtype=np.int64),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "duration_us": pd.Series([], dtype=np.int64),
+            }
+        )
+    return _sessionize(turns, gap_s)
 
 
 def session_window_agg(
@@ -169,21 +195,10 @@ def session_window_agg(
     exceeds ``gap_s``. Returns: conv_id, session_id (int32, 0-based per
     conversation), n_turns, session_start, session_end, duration_us.
     """
-
-    def fn(part: pd.DataFrame) -> pd.DataFrame:
-        if len(part) == 0:
-            return pd.DataFrame(
-                {
-                    "conv_id": pd.Series([], dtype=object),
-                    "session_id": pd.Series([], dtype=np.int32),
-                    "n_turns": pd.Series([], dtype=np.int64),
-                    "session_start": pd.Series([], dtype="datetime64[us]"),
-                    "session_end": pd.Series([], dtype="datetime64[us]"),
-                    "duration_us": pd.Series([], dtype=np.int64),
-                }
-            )
-        return _sessionize(part, gap_s)
-
     return partition_map(
-        transcripts, "conv_id", fn, num_partitions=num_partitions, sort_by=("conv_id", "turn_idx")
+        transcripts,
+        "conv_id",
+        lambda part: session_window_kernel(part, gap_s),
+        num_partitions=num_partitions,
+        sort_by=("conv_id", "turn_idx"),
     )
