@@ -1,0 +1,294 @@
+"""Operator-parity queries: conversation formatting, generators
+(stub serving), reward evaluation, chunking, UDF hook, corpus stats,
+percentile filters."""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from dataflow_mm_ray.queries import register
+from dataflow_mm_ray.sources.tables import read_table
+from dataflow_mm_ray.sources.transcripts import transcripts_partitioned
+
+KEEP_RATIO = 0.3  # CLIPScoreFilter-style top-fraction keep
+
+
+def _documents(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# conversation formatting (Conversation2Message)
+# ---------------------------------------------------------------------------
+
+@register("conversation_message", None)  # nested JSON output — pytest-oracled
+def q_conversation_message(sf_dir: str):
+    """Conversation2Message (conversation_to_message.py:49-104) over
+    re-assembled transcript conversations; see tests/test_operators.py
+    for the semantics oracle."""
+    from dataflow_mm_ray.stages.conversations import _assemble_kernel
+
+    return transcripts_partitioned(
+        sf_dir, lambda p: _assemble_kernel(p, "You are a helpful assistant.")
+    )
+
+
+# ---------------------------------------------------------------------------
+# generators with deterministic stub serving
+# ---------------------------------------------------------------------------
+
+@register(
+    "prompted_qa",
+    "SELECT doc_id, text AS prompt, 'ans-' || md5(text) AS answer FROM documents",
+)
+def q_prompted_qa(sf_dir: str):
+    """PromptedQAGenerator (prompted_qa_generator.py:44-84) with the
+    md5-echo stub serving in a concurrency-4 actor pool."""
+    from dataflow_mm_ray.serving import prompted_qa
+
+    docs = _documents(sf_dir).map_batches(
+        lambda b: b.rename_columns(["doc_id", "prompt"]), batch_format="pyarrow"
+    )
+    return prompted_qa(docs, concurrency=(1, 2), batch_size=2048)
+
+
+_TEMPLATE = "Q: {text}\nSrc: {source}"
+
+
+@register(
+    "templated_qa",
+    "SELECT doc_id, text, source, "
+    "'ans-' || md5('Q: ' || text || chr(10) || 'Src: ' || source) AS answer FROM documents",
+)
+def q_templated_qa(sf_dir: str):
+    """PromptTemplatedQAGenerator + NamedPlaceholderPromptTemplate
+    (prompt_template.py:20-57)."""
+    from dataflow_mm_ray.serving import templated_qa
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return templated_qa(
+        docs, _TEMPLATE, {"text": "text", "source": "source"}, concurrency=(1, 2), batch_size=2048
+    )
+
+
+# ---------------------------------------------------------------------------
+# reward evaluation
+# ---------------------------------------------------------------------------
+
+_EVAL_FIXTURE_SQL = """
+_fix AS (
+  SELECT doc_id,
+    ['multiple choice', 'numerical', 'OCR', 'free-form', 'regression'][(doc_id % 5) + 1] AS problem_type,
+    doc_id % 3 AS k,
+    chr(65 + CAST(doc_id % 4 AS INTEGER)) AS mc_gt,
+    chr(65 + CAST((doc_id + 1) % 4 AS INTEGER)) AS mc_alt,
+    CAST(doc_id % 1000 AS VARCHAR) AS numbase,
+    CAST((doc_id % 100 + 1) * 10 AS VARCHAR) AS reg_gt,
+    CAST((doc_id % 100 + 1) * 11 AS VARCHAR) AS reg_alt
+  FROM documents
+), _ans AS (
+  SELECT doc_id, problem_type, k,
+    CASE problem_type
+      WHEN 'multiple choice' THEN mc_gt
+      WHEN 'numerical' THEN numbase || '.25'
+      WHEN 'regression' THEN reg_gt
+    END AS gt_ans,
+    CASE problem_type
+      WHEN 'multiple choice' THEN CASE WHEN k = 0 THEN mc_gt ELSE mc_alt END
+      WHEN 'numerical' THEN CASE k WHEN 0 THEN numbase || '.25' WHEN 1 THEN numbase || '.254' ELSE numbase || '.26' END
+      WHEN 'regression' THEN CASE WHEN k = 0 THEN reg_gt ELSE reg_alt END
+    END AS out_ans
+  FROM _fix
+  WHERE problem_type IN ('multiple choice', 'numerical', 'regression')
+)
+"""
+
+_EVAL_REWARD_SQL = """
+SELECT doc_id, problem_type,
+  round(CASE problem_type
+    WHEN 'multiple choice' THEN CASE WHEN out_ans = gt_ans THEN 1.0 ELSE 0.0 END
+    WHEN 'numerical' THEN CASE
+        WHEN (contains(gt_ans, '.') OR contains(gt_ans, ',')) <> (contains(out_ans, '.') OR contains(out_ans, ','))
+          THEN 0.0
+        WHEN round(CAST(replace(gt_ans, ',', '') AS DOUBLE), 2) = round(CAST(replace(out_ans, ',', '') AS DOUBLE), 2)
+          THEN 1.0 ELSE 0.0 END
+    WHEN 'regression' THEN
+        1 - least(1.0, greatest(0.0,
+            (abs(CAST(out_ans AS DOUBLE) - CAST(gt_ans AS DOUBLE)) + 1e-9)
+            / (abs(CAST(gt_ans AS DOUBLE)) + 1e-9)))
+  END, 6) AS reward
+FROM _ans
+"""
+
+
+@register("answer_reward_exact", "WITH " + _EVAL_FIXTURE_SQL + _EVAL_REWARD_SQL)
+def q_answer_reward_exact(sf_dir: str):
+    """GeneralTextAnswerEvaluator — SQL-expressible branches (multiple
+    choice / numerical / regression) on the shared deterministic
+    fixture; the WER/ROUGE branches are covered by ``answer_reward``
+    (rows-only) + pytest."""
+    from dataflow_mm_ray.stages.rewards import derive_eval_fixture, reward_eval
+
+    fixture = _documents(sf_dir).map_batches(derive_eval_fixture, batch_format="pandas")
+    scored = reward_eval(fixture)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["problem_type"].isin(["multiple choice", "numerical", "regression"])
+        return b.loc[m, ["doc_id", "problem_type", "reward"]]
+
+    return scored.map_batches(keep, batch_format="pandas")
+
+
+@register("answer_reward", None)  # WER/ROUGE branches: pytest-oracled
+def q_answer_reward(sf_dir: str):
+    from dataflow_mm_ray.stages.rewards import derive_eval_fixture, reward_eval
+
+    fixture = _documents(sf_dir).map_batches(derive_eval_fixture, batch_format="pandas")
+    return reward_eval(fixture)
+
+
+# ---------------------------------------------------------------------------
+# chunk merge (TimestampChunkRowGenerator, merge mode)
+# ---------------------------------------------------------------------------
+
+CHUNK_MAX_DURATION_S = 6 * 3600
+
+
+@register("chunk_merge", None)  # greedy capped merge: pytest-oracled
+def q_chunk_merge(sf_dir: str):
+    """Sessions -> segments -> greedy duration-capped merge
+    (audio_timestamp_chunk_row_generator.py:297-346 semantics)."""
+    from dataflow_mm_ray.stages.chunks import chunk_rows
+    from dataflow_mm_ray.stages.windows import session_window_kernel
+
+    def to_segments(part: pd.DataFrame) -> pd.DataFrame:
+        s = session_window_kernel(part, 1800)
+        return pd.DataFrame(
+            {
+                "conv_id": s["conv_id"],
+                "start_us": s["session_start"].astype("datetime64[us]").astype(np.int64),
+                "end_us": s["session_end"].astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    segments = transcripts_partitioned(sf_dir, to_segments)
+    return chunk_rows(segments, mode="merge", max_duration_s=CHUNK_MAX_DURATION_S)
+
+
+# ---------------------------------------------------------------------------
+# UDF hook (FunctionalRefiner)
+# ---------------------------------------------------------------------------
+
+def _udf_head_tag(text: str, tag: str) -> str:
+    return text[:10] + tag
+
+
+@register(
+    "udf_refine",
+    "SELECT doc_id, text, substr(text, 1, 10) || '-x' AS refined FROM documents",
+)
+def q_udf_refine(sf_dir: str):
+    """FunctionalRefiner (functional_refiner.py:47-66): kwargs mapped
+    column-or-constant."""
+    from dataflow_mm_ray.stages.udf import functional_refine
+
+    return functional_refine(
+        _documents(sf_dir), _udf_head_tag, "refined", text="text", tag="-x"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus stats (IDF dictionary — utils.py:161-181)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_doc_freq",
+    """
+SELECT token, count(DISTINCT doc_id) AS df FROM (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> ''))) AS token
+  FROM documents
+) GROUP BY 1
+""",
+)
+def q_token_doc_freq(sf_dir: str):
+    """Document-frequency dictionary: per-batch partial (doc-unique
+    tokens -> counts), one hash shuffle on token, merge-sum."""
+    from dataflow_mm_ray.partition import partition_map
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in set(str(t).lower().split()):
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame({"token": list(counts), "df": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))})
+
+    partials = _documents(sf_dir).map_batches(partial, batch_format="pandas", batch_size=2048)
+    return partition_map(
+        partials, "token",
+        lambda p: p.groupby("token", as_index=False, sort=False)["df"].sum(),
+        num_partitions=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# global top-fraction percentile keep (CLIPScoreFilter keep_ratio)
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_percentile",
+    f"""
+SELECT event_id, value FROM events
+WHERE value > (SELECT quantile_cont(value, 1 - {KEEP_RATIO}) FROM events)
+""",
+)
+def q_value_percentile(sf_dir: str):
+    """CLIPScoreFilter-style global keep_ratio cut (clipscore_filter.py
+    keep_ratio; knn_similarity_filter.py:194-196 percentile pattern):
+    keep the top KEEP_RATIO fraction by score."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"]).to_pandas()
+    thr = np.percentile(ev["value"].to_numpy(), (1 - KEEP_RATIO) * 100)
+    return ev[ev["value"] > thr].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# MCTS tree chains (MCTSTreeRefiner)
+# ---------------------------------------------------------------------------
+
+def _synth_tree(doc_id: int, text: str) -> str:
+    """Deterministic MCTS-tree fixture: rollouts built from the doc's
+    words; every third doc has a wrong rollout too."""
+    words = str(text).split()[:8]
+    body = " ".join(words)
+    rollouts = [
+        {"reward": 1.0, "ephemeral_texts": [f"<think>{body}</think>", f"<answer>{doc_id}</answer>"]}
+    ]
+    if doc_id % 3 == 0:
+        rollouts.append(
+            {"reward": 0.0, "ephemeral_texts": [f"<think>wrong {body}</think>", "<answer>bad</answer>"]}
+        )
+    node = {"rollouts": rollouts, "is_terminal": doc_id % 2 == 0,
+            "children": [] if doc_id % 2 == 0 else [
+                {"rollouts": [{"reward": 1.0, "ephemeral_texts": [f"child {words[0] if words else ''}",
+                                                                  f"<answer>{doc_id + 1}</answer>"]}],
+                 "is_terminal": True, "children": []}
+            ]}
+    return json.dumps(node)
+
+
+@register("mcts_chains", None)  # recursive JSON tree walk: pytest-oracled
+def q_mcts_chains(sf_dir: str):
+    from dataflow_mm_ray.stages.udf import mcts_tree_refine
+
+    def add_tree(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["tree"] = [_synth_tree(int(i), t) for i, t in zip(b["doc_id"], b["text"])]
+        return b
+
+    with_trees = _documents(sf_dir).map_batches(add_tree, batch_format="pandas")
+    out = mcts_tree_refine(with_trees, max_chains=3)
+    return out.map_batches(
+        lambda b: b[["doc_id", "chains"]], batch_format="pandas"
+    )

@@ -1,0 +1,149 @@
+"""The serving layer: model/LLM backends as actor-pool stages.
+
+Reference shape (``dataflow/core/LLMServing.py:5-27`` ABC;
+``dataflow/serving/api_llm_serving_request.py`` thread-pool API client;
+``dataflow/serving/local_model_llm_serving.py`` vLLM engine loaded once
+per process): a serving object exposes ``generate_from_input(prompts)``
+and is expensive to construct.
+
+Ray-Data-native mapping: the serving is built ONCE per actor in the
+pool (``map_batches(cls, concurrency=N)`` — the reference's
+process-pool-with-initializer pattern, ``audio_ctc...evaluator.py:46-53``);
+each call handles one Arrow batch of prompts. The reference's single
+global ThreadPoolExecutor with ``max_workers`` becomes ``concurrency``
+actors x in-actor batching, and its None-on-error rows
+(``api_llm_serving_request.py:71-75``) become an explicit ``error``
+column (deterministic, resumable).
+
+No model weights or network exist in this sandbox, so the shipped
+backends are deterministic stubs with the real actor-pool plumbing;
+a real backend only needs to subclass ``ServingBackend``.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from dataflow_mm_ray.schema import DEFAULT_BATCH_SIZE
+
+
+class ServingBackend:
+    """Subclass and override ``generate``; construction happens once
+    per pool actor."""
+
+    def generate(self, prompts: Sequence[str]) -> list[str]:
+        raise NotImplementedError
+
+
+class DeterministicStubServing(ServingBackend):
+    """Echo-digest stub: answer = 'ans-' + md5(system_prompt + prompt).
+    SQL-expressible, so generator pipelines keep a DuckDB oracle."""
+
+    def __init__(self, system_prompt: str = ""):
+        self.system_prompt = system_prompt
+
+    def generate(self, prompts: Sequence[str]) -> list[str]:
+        return [
+            "ans-" + hashlib.md5((self.system_prompt + str(p)).encode("utf-8")).hexdigest()
+            for p in prompts
+        ]
+
+
+class PromptedGenerator:
+    """Actor-pool callable reproducing ``PromptedQAGenerator``
+    (``dataflow/operators/core_text/generate/prompted_qa_generator.py:44-84``):
+    NaN prompts -> "" (lines 69-71), one answer column appended."""
+
+    def __init__(self, backend_cls=DeterministicStubServing, backend_kwargs=None,
+                 input_key: str = "prompt", output_key: str = "answer"):
+        self.serving = backend_cls(**(backend_kwargs or {}))  # once per actor
+        self.input_key = input_key
+        self.output_key = output_key
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        prompts = [str(p) if pd.notna(p) else "" for p in batch[self.input_key]]
+        batch = batch.copy(deep=False)
+        batch[self.output_key] = np.array(self.serving.generate(prompts), dtype=object)
+        return batch
+
+
+def build_prompt(template: str, need_fields, join_list_with: str = "\n", **kwargs) -> str:
+    """``NamedPlaceholderPromptTemplate.build_prompt``
+    (``dataflow/prompts/prompt_template.py:20-57``): missing fields ->
+    "", list/tuple values joined with ``join_list_with``."""
+    values = {}
+    for key in need_fields:
+        v = kwargs.get(key, "")
+        if isinstance(v, (list, tuple)):
+            v = join_list_with.join(str(x) for x in v)
+        else:
+            v = str(v)
+        values[key] = v
+    return template.format(**values)
+
+
+class TemplatedGenerator(PromptedGenerator):
+    """``PromptTemplatedQAGenerator``: fill {field} placeholders from
+    mapped columns, then generate."""
+
+    def __init__(self, template: str, field_map: dict[str, str],
+                 backend_cls=DeterministicStubServing, backend_kwargs=None,
+                 output_key: str = "answer", join_list_with: str = "\n"):
+        super().__init__(backend_cls, backend_kwargs, output_key=output_key)
+        self.template = template
+        self.field_map = field_map  # placeholder -> column
+        self.join_list_with = join_list_with
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        need = list(self.field_map)
+        prompts = []
+        for _, row in batch[list(self.field_map.values())].iterrows():
+            kwargs = {ph: row[col] for ph, col in self.field_map.items()}
+            prompts.append(build_prompt(self.template, need, self.join_list_with, **kwargs))
+        batch = batch.copy(deep=False)
+        batch[self.output_key] = np.array(self.serving.generate(prompts), dtype=object)
+        return batch
+
+
+def prompted_qa(ds, backend_cls=DeterministicStubServing, backend_kwargs=None,
+                input_key: str = "prompt", output_key: str = "answer",
+                concurrency=(1, 4), batch_size: int = DEFAULT_BATCH_SIZE):
+    """The generator stage: an actor pool holding the serving.
+
+    ``concurrency`` defaults to an autoscaling (1, 4) pool so the
+    stage never reserves every CPU and starves its upstream read —
+    size it to the node for real model backends."""
+    return ds.map_batches(
+        PromptedGenerator,
+        fn_constructor_kwargs={
+            "backend_cls": backend_cls,
+            "backend_kwargs": backend_kwargs,
+            "input_key": input_key,
+            "output_key": output_key,
+        },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def templated_qa(ds, template: str, field_map: dict[str, str],
+                 backend_cls=DeterministicStubServing, backend_kwargs=None,
+                 output_key: str = "answer", concurrency=(1, 4),
+                 batch_size: int = DEFAULT_BATCH_SIZE):
+    return ds.map_batches(
+        TemplatedGenerator,
+        fn_constructor_kwargs={
+            "template": template,
+            "field_map": field_map,
+            "backend_cls": backend_cls,
+            "backend_kwargs": backend_kwargs,
+            "output_key": output_key,
+        },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
