@@ -292,3 +292,38 @@ def q_mcts_chains(sf_dir: str):
     return out.map_batches(
         lambda b: b[["doc_id", "chains"]], batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stub decode; see stages/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@register("image_quality", None)  # stubbed decode: pytest-oracled plumbing
+def q_image_quality(sf_dir: str):
+    """Binary image column -> actor-pool decode (STUB) -> real
+    ImageAestheticFilter stats (image_aesthetic_filter.py:53-109)."""
+    from dataflow_mm_ray.stages.multimodal import fake_image_bytes, image_pipeline
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id"]].copy(deep=False)
+        b["image"] = [fake_image_bytes(f"doc-{i}") for i in b["doc_id"]]
+        return b
+
+    docs = _documents(sf_dir).map_batches(attach, batch_format="pandas")
+    return image_pipeline(docs, concurrency=(1, 2))
+
+
+@register("audio_vad", None)  # stubbed decode: pytest-oracled plumbing
+def q_audio_vad(sf_dir: str):
+    """Binary audio column -> actor-pool VAD with the Silero parameter
+    semantics (audio_silero...generator.py:29-68) over a stub energy
+    curve; list<float> segment columns out."""
+    from dataflow_mm_ray.stages.multimodal import audio_vad_pipeline, fake_image_bytes
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id"]].copy(deep=False)
+        b["audio"] = [fake_image_bytes(f"aud-{i}") for i in b["doc_id"]]
+        return b
+
+    docs = _documents(sf_dir).map_batches(attach, batch_format="pandas")
+    return audio_vad_pipeline(docs, concurrency=(1, 2))

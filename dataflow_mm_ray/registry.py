@@ -1,0 +1,107 @@
+"""Operator registry — the engine's plugin surface.
+
+Reference: ``@OPERATOR_REGISTRY.register()`` on ``OperatorABC``
+subclasses with lazy lookup and fuzzy matching
+(``dataflow/utils/registry.py:88-105, 304-365``;
+``dataflow/core/Operator.py:4-31``).
+
+Engine equivalent: an operator is a typed spec — a callable that takes
+a Dataset (or sf_dir for sources) plus config and returns a Dataset —
+registered by name. ``get_operator`` resolves exact then
+case-insensitive then substring matches, like the reference's fuzzy
+lookup.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass(frozen=True)
+class OpSpec:
+    name: str
+    fn: Callable[..., Any]
+    description: str
+    kind: str  # "map" | "filter" | "window" | "join" | "dedup" | "source" | "generator"
+    input_cols: tuple[str, ...] = ()
+    output_cols: tuple[str, ...] = ()
+    stateful: bool = False  # True -> runs as an actor pool
+
+
+_OPERATORS: dict[str, OpSpec] = {}
+
+
+def register_op(name: str, description: str, kind: str, input_cols=(), output_cols=(),
+                stateful: bool = False):
+    def deco(fn):
+        _OPERATORS[name] = OpSpec(
+            name, fn, description, kind, tuple(input_cols), tuple(output_cols), stateful
+        )
+        return fn
+
+    return deco
+
+
+def get_operator(name: str) -> OpSpec:
+    """Exact -> case-insensitive -> unique-substring resolution
+    (mirrors registry.py:304-365 fuzzy matching)."""
+    _ensure_loaded()
+    if name in _OPERATORS:
+        return _OPERATORS[name]
+    lowered = {k.lower(): v for k, v in _OPERATORS.items()}
+    if name.lower() in lowered:
+        return lowered[name.lower()]
+    matches = [v for k, v in _OPERATORS.items() if name.lower() in k.lower()]
+    if len(matches) == 1:
+        return matches[0]
+    raise KeyError(
+        f"operator {name!r} not found; "
+        + (f"ambiguous between {[m.name for m in matches]}" if matches else f"known: {sorted(_OPERATORS)}")
+    )
+
+
+def list_operators() -> dict[str, OpSpec]:
+    _ensure_loaded()
+    return dict(_OPERATORS)
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    from dataflow_mm_ray.serving import prompted_qa, templated_qa
+    from dataflow_mm_ray.stages import filters, join, stats, windows
+    from dataflow_mm_ray.stages.chunks import chunk_rows
+    from dataflow_mm_ray.stages.conversations import conversation_to_message_stage
+    from dataflow_mm_ray.stages.dedup import dedup_first_wins
+    from dataflow_mm_ray.stages.multimodal import audio_vad_pipeline, image_pipeline
+    from dataflow_mm_ray.stages.rewards import reward_eval
+    from dataflow_mm_ray.stages.text_analysis import rule_filter_flags, rule_filter_kept, text_stats
+    from dataflow_mm_ray.stages.udf import functional_refine, mcts_tree_refine
+
+    entries = [
+        ("rule_base_filter", rule_filter_kept, "15-rule heuristic text filter (destructive)", "filter", ("text",), ("text",), False),
+        ("rule_base_filter_flags", rule_filter_flags, "15-rule filter, per-rule flags", "map", ("text",), ("keep",), False),
+        ("score_filter", filters.score_filter, "inclusive score-range select mark", "filter", (), ("select",), False),
+        ("text_stats", text_stats, "normalize/tokens/quality/lang/fingerprint", "map", ("text",), (), False),
+        ("tumbling_window", windows.tumbling_window_agg, "per-conv tumbling window agg", "window", ("conv_id", "ts"), (), False),
+        ("sliding_window", windows.sliding_window_agg, "per-conv sliding window agg", "window", ("conv_id", "ts"), (), False),
+        ("session_window", windows.session_window_agg, "gap-based session windows", "window", ("conv_id", "ts"), (), False),
+        ("tool_response_join", join.tool_response_join, "invocation->response stateful join", "join", ("conv_id", "turn_idx", "role", "tool"), (), False),
+        ("dedup_first_wins", dedup_first_wins, "exact first-wins dedup by key", "dedup", (), (), False),
+        ("conversation_to_message", conversation_to_message_stage, "explode->nested message format", "map", ("conv_id", "turn_idx", "role", "text"), ("message",), False),
+        ("chunk_rows", chunk_rows, "split/merge segment chunking", "map", ("conv_id",), ("sequence_num",), False),
+        ("functional_refine", functional_refine, "generic column-mapped row UDF", "map", (), (), False),
+        ("mcts_tree_refine", mcts_tree_refine, "MCTS tree -> reasoning chains", "map", ("tree",), ("chains",), False),
+        ("reward_eval", reward_eval, "answer-reward evaluation (5 branches)", "map", ("model_output", "solution", "problem_type"), ("reward",), False),
+        ("prompted_qa", prompted_qa, "prompt -> answer via serving pool", "generator", ("prompt",), ("answer",), True),
+        ("templated_qa", templated_qa, "template fill -> answer via serving pool", "generator", (), ("answer",), True),
+        ("image_pipeline", image_pipeline, "binary image decode + aesthetic stats", "map", ("image",), ("quality",), True),
+        ("audio_vad", audio_vad_pipeline, "VAD speech segments (Silero params)", "map", ("audio",), ("n_segments",), True),
+    ]
+    for name, fn, desc, kind, inp, out, stateful in entries:
+        _OPERATORS[name] = OpSpec(name, fn, desc, kind, tuple(inp), tuple(out), stateful)

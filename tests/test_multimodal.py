@@ -1,0 +1,113 @@
+"""Multimodal plumbing: binary columns through actor-pool stages,
+deterministic stub decode, real stats/VAD/sampling logic, registry."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataflow_mm_ray.stages.multimodal import (
+    AudioVAD,
+    ImageDecoder,
+    VideoFrameSampler,
+    fake_image_bytes,
+    image_aesthetic_stats,
+    sample_frame_indices,
+    vad_segments,
+)
+
+
+def _img_df(n=6):
+    return pd.DataFrame(
+        {"doc_id": range(n), "image": [fake_image_bytes(f"img{i}") for i in range(n)]}
+    )
+
+
+def test_image_decode_deterministic_and_quarantine():
+    dec = ImageDecoder()
+    df = _img_df(3)
+    df.loc[1, "image"] = b""  # broken payload
+    out = dec(df.copy())
+    assert list(out["decode_ok"]) == [True, False, True]
+    out2 = ImageDecoder()(df.copy())
+    assert np.array_equal(out["pixels"].iloc[0], out2["pixels"].iloc[0])
+    assert len(out["pixels"].iloc[0]) == 64 * 64
+
+
+def test_image_aesthetic_stats_thresholds():
+    dec = ImageDecoder()
+    out = dec(_img_df(4))
+    stats = image_aesthetic_stats(out)
+    assert {"sharpness", "brightness", "contrast", "extreme_ratio", "quality"} <= set(stats.columns)
+    assert stats["quality"].any()  # structured stub images pass
+    # an all-black image must fail brightness/sharpness
+    flat = out.copy()
+    flat["pixels"] = pd.Series([np.zeros(64 * 64, dtype=np.uint8)] * len(flat), index=flat.index)
+    s2 = image_aesthetic_stats(flat)
+    assert not s2["quality"].any()
+
+
+def test_image_pipeline_through_ray(ray_session):
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.multimodal import image_pipeline
+
+    out = image_pipeline(rd.from_pandas(_img_df(8))).to_pandas()
+    assert len(out) == 8
+    assert "pixels" not in out.columns  # payload dropped from output layout
+    out2 = image_pipeline(rd.from_pandas(_img_df(8))).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_vad_segment_rules():
+    frame = 0.1
+    # speech 0-0.5s, short gap (1 frame < min_silence 0.25), speech to 1.0
+    probs = np.array([1, 1, 1, 1, 1, 0, 1, 1, 1, 1], dtype=float)
+    segs = vad_segments(probs, frame, threshold=0.5, min_silence_duration_s=0.25,
+                        min_speech_duration_s=0.2, pad_s=0.0)
+    assert segs == [(0.0, 1.0)]  # gap too short to close
+    # long gap closes; second segment too short -> dropped
+    probs = np.array([1, 1, 1, 0, 0, 0, 1, 0, 0, 0], dtype=float)
+    segs = vad_segments(probs, frame, threshold=0.5, min_silence_duration_s=0.2,
+                        min_speech_duration_s=0.2, pad_s=0.0)
+    assert len(segs) == 1
+    assert segs[0][0] == 0.0 and abs(segs[0][1] - 0.3) < 1e-6
+    # max duration splits
+    probs = np.ones(20)
+    segs = vad_segments(probs, frame, max_speech_duration_s=0.5, pad_s=0.0)
+    assert len(segs) == 4 and segs[0] == (0.0, 0.5)
+
+
+def test_audio_vad_stage(ray_session):
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.multimodal import audio_vad_pipeline
+
+    df = pd.DataFrame({"doc_id": [0, 1], "audio": [fake_image_bytes("a0"), fake_image_bytes("a1")]})
+    out = audio_vad_pipeline(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert (out["n_segments"] > 0).all()
+    assert all(len(s) == n for s, n in zip(out["seg_starts"], out["n_segments"]))
+
+
+def test_frame_sampling():
+    assert list(sample_frame_indices(5, 8)) == [0, 1, 2, 3, 4]
+    idx = sample_frame_indices(100, 8)
+    assert len(idx) == 8 and idx[0] == 0 and idx[-1] == 99
+    s = VideoFrameSampler()
+    out = s(pd.DataFrame({"video": [fake_image_bytes("v0")]}))
+    assert out["n_frames"].iloc[0] > 0 and len(out["frame_digests"].iloc[0]) <= 8
+
+
+def test_registry_lookup_and_fuzzy():
+    from dataflow_mm_ray.registry import get_operator, list_operators
+
+    ops = list_operators()
+    assert len(ops) >= 15
+    assert get_operator("rule_base_filter").kind == "filter"
+    assert get_operator("RULE_BASE_FILTER").name == "rule_base_filter"
+    assert get_operator("mcts").name == "mcts_tree_refine"  # unique substring
+    with pytest.raises(KeyError):
+        get_operator("nonexistent_op")
+    # stateful ops are marked (actor pools)
+    assert get_operator("prompted_qa").stateful
