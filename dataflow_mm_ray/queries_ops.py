@@ -327,3 +327,44 @@ def q_audio_vad(sf_dir: str):
 
     docs = _documents(sf_dir).map_batches(attach, batch_format="pandas")
     return audio_vad_pipeline(docs, concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# sequential diversity filter (ImageDiversityFilter scan)
+# ---------------------------------------------------------------------------
+
+@register("diversity_filter", None)  # order-dependent sequential scan
+def q_diversity_filter(sf_dir: str):
+    """ImageDiversityFilter TF-cosine first-wins scan
+    (image_diversity_filter.py:100-119); distributed vectorization +
+    driver-side sequential decision in stable doc_id order."""
+    from dataflow_mm_ray.stages.diversity import diversity_filter
+
+    return diversity_filter(_documents(sf_dir), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# WikiQA structure parser (WikiQARefiner)
+# ---------------------------------------------------------------------------
+
+@register("wiki_qa_parse", None)  # nested parse output: pytest-oracled
+def q_wiki_qa_parse(sf_dir: str):
+    """WikiQARefiner (wiki_qa_refiner.py:8-78) over a deterministic
+    article+QA fixture synthesized from document texts."""
+    from dataflow_mm_ray.functions.wiki_qa import parse_wiki_qa
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for i, t in zip(b["doc_id"], b["text"]):
+            words = str(t).split()[:12]
+            fixture = (
+                "Wikipedia Article: " + " ".join(words) + "\n---\n"
+                "Question Answer Pairs:\n"
+                f"Question: what is word {int(i) % 7}?\nAnswer: {words[int(i) % len(words)] if words else 'n/a'}\n"
+                f"Q: how many words?\nA: {len(words)}\n"
+            )
+            parsed = parse_wiki_qa(fixture)
+            out_rows.append((i, parsed["context"], len(parsed["qas"]), json.dumps(parsed["qas"])))
+        return pd.DataFrame(out_rows, columns=["doc_id", "context", "n_qas", "qas_json"])
+
+    return _documents(sf_dir).map_batches(fn, batch_format="pandas")

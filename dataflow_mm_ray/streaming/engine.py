@@ -244,13 +244,45 @@ class StreamingEngine:
                 list(frames[0].columns[:2])
             ).reset_index(drop=True)
 
-        self.sink.stage_and_commit("windows", epoch, gather("windows"), self.watermark_us)
-        self.sink.stage_and_commit("sessions", epoch, gather("sessions"), self.watermark_us)
-        self.sink.stage_and_commit("joins", epoch, gather("joins"), self.watermark_us)
+        win_df, sess_df, join_df = gather("windows"), gather("sessions"), gather("joins")
+        self.sink.stage_and_commit("windows", epoch, win_df, self.watermark_us)
+        self.sink.stage_and_commit("sessions", epoch, sess_df, self.watermark_us)
+        self.sink.stage_and_commit("joins", epoch, join_df, self.watermark_us)
         late_out = late.drop(columns=["late", "shard", "window_start_us", "text_len"])
         self.sink.stage_and_commit("late", epoch, late_out.reset_index(drop=True), self.watermark_us)
+        self._record_metrics(epoch, {
+            "epoch": epoch,
+            "input_rows": int(len(rows)),
+            "late_rows": int(len(late)),
+            "applied_rows": int(len(cur)),
+            "emitted": {"windows": int(len(win_df)), "sessions": int(len(sess_df)),
+                        "joins": int(len(join_df))},
+            "watermark_us": int(self.watermark_us),
+            "shard_state": ray.get([sh.stats.remote() for sh in self.shards]),
+        })
         self._checkpoint(epoch)
         self.next_epoch = epoch + 1
+
+    def _record_metrics(self, epoch: int, metrics: dict) -> None:
+        """Per-epoch lineage/metrics manifest (north rule: checkpoints
+        record per-partition lineage + metrics). Atomic like the sink."""
+        d = os.path.join(self.out_dir, "metrics")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"epoch-{epoch}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(metrics, f)
+        os.replace(tmp, os.path.join(d, f"epoch-{epoch}.json"))
+
+    def metrics(self) -> list[dict]:
+        d = os.path.join(self.out_dir, "metrics")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["epoch"])
 
     def run(self, stop_after: int | None = None) -> None:
         """Process epochs until done (or stop_after, simulating a kill)."""

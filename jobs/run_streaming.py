@@ -1,0 +1,73 @@
+"""Cluster entry point for the streaming engine.
+
+Local run (this sandbox):
+    python jobs/run_streaming.py --sf-dir /root/testdata/sf0.01 \
+        --out /tmp/stream-out --epochs 6 --lateness-s 86400
+
+Cluster run (the north-rule deployment shape):
+    ray job submit --working-dir . -- \
+        python jobs/run_streaming.py --sf-dir s3://bucket/transcripts \
+        --out s3://bucket/stream-out --epochs 96 --shards 256
+
+The job owns its Ray session (guarded init); the engine itself never
+calls ray.init. Resumability: re-running with the same --out continues
+from the latest checkpoint; completed epochs are no-ops.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--width-s", type=int, default=3600)
+    ap.add_argument("--gap-s", type=int, default=1800)
+    ap.add_argument("--lateness-s", type=int, default=86400)
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+    from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
+
+    tpath = prepare_transcripts(args.sf_dir, os.path.join(args.out, "transcripts"))
+    eng = StreamingEngine(
+        tpath,
+        args.out,
+        n_epochs=args.epochs,
+        n_shards=args.shards,
+        width_s=args.width_s,
+        gap_s=args.gap_s,
+        lateness_s=args.lateness_s,
+    )
+    eng.run()
+    res = eng.results()
+    summary = {
+        "committed_rows": {k: int(len(v)) for k, v in res.items()},
+        "epochs": eng.n_epochs,
+        "watermark_us": int(eng.watermark_us),
+        "metrics_tail": eng.metrics()[-1] if eng.metrics() else None,
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

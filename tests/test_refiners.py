@@ -1,0 +1,94 @@
+"""WikiQA parser (differential vs the reference implementation),
+diversity filter, io sources."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataflow_mm_ray.functions.wiki_qa import parse_wiki_qa
+
+REFERENCE_WIKI = "/root/reference/dataflow/operators/core_vision/refine/wiki_qa_refiner.py"
+
+
+def _reference_parse():
+    """Load the reference's standalone parse helpers (no dataflow deps
+    needed for the top-of-file functions)."""
+    src = open(REFERENCE_WIKI).read()
+    cut = src.index("@OPERATOR_REGISTRY.register()")
+    header = src[:cut]
+    header = "\n".join(
+        ln for ln in header.splitlines() if not ln.startswith("from dataflow")
+    )
+    ns: dict = {}
+    exec(header, ns)
+    return ns["parse_wiki_qa"]
+
+
+WIKI_FIXTURES = [
+    "### Wikipedia Article: The quick brown fox.\n---\nQuestion Answer Pairs:\n"
+    "Question: what animal?\nAnswer: a fox\nQuestion: colour?\n- A: brown\n",
+    "Some context only, no markers at all.",
+    "ctx here\nQuestion: q1?\nAnswer: a1",
+    "c\nQ&A:\nQuestion: orphan no answer?",
+    "**Article**: x\nQA:\n1.Question: numbered?\nAnswer: yes\n",
+    "Q: immediate?\nAnswer: yep",
+    "",
+    "   ",
+    "Article: ctx --- \nQuestions:\nQuestion: **bold** q?\nAnswer: *starred* a\n",
+]
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_WIKI), reason="reference tree absent")
+def test_wiki_qa_matches_reference_implementation():
+    ref = _reference_parse()
+    for text in WIKI_FIXTURES:
+        assert parse_wiki_qa(text) == ref(text), f"diverges on: {text!r}"
+    assert parse_wiki_qa(None) == ref(None)
+
+
+def test_parse_wiki_qa_basics():
+    out = parse_wiki_qa("ctx here\nQuestion: q1?\nAnswer: a1")
+    assert out["context"] == "ctx here"
+    assert out["qas"] == [{"question": "q1?", "answer": "a1"}]
+    assert parse_wiki_qa("no markers") == {"context": "no markers", "qas": []}
+    assert parse_wiki_qa(None) == {"context": "", "qas": []}
+
+
+def test_diversity_filter_first_wins(ray_session):
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.diversity import diversity_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha beta gamma delta",
+                "alpha beta gamma delta",  # exact dup of 0 -> dropped
+                "alpha beta gamma epsilon",  # cosine 0.75 < 0.8 -> kept
+                "totally different words here",
+            ],
+        }
+    )
+    out = diversity_filter(rd.from_pandas(df), threshold=0.8)
+    assert list(out["keep"]) == [True, False, True, True]
+
+
+def test_io_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dataflow_mm_ray.sources.io import read_any, read_jsonl_tolerant, write_any
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    pq_dir = str(tmp_path / "pq")
+    write_any(rd.from_pandas(df), pq_dir, "parquet")
+    back = read_any(pq_dir, "parquet").to_pandas().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+
+    # tolerant jsonl: bad line counted, good lines survive
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"a": 1}\nnot json\n{"a": 2}\n')
+    ds, bad = read_jsonl_tolerant(str(p))
+    assert bad == 1
+    assert sorted(ds.to_pandas()["a"]) == [1, 2]
