@@ -368,3 +368,73 @@ def q_wiki_qa_parse(sf_dir: str):
         return pd.DataFrame(out_rows, columns=["doc_id", "context", "n_qas", "qas_json"])
 
     return _documents(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text normalization (TextNormalizer, basic mode with punct strip)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_normalize",
+    """
+SELECT doc_id,
+       regexp_replace(trim(lower(regexp_replace(text, '[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]', '', 'g')),
+                      ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                      '\\s+', ' ', 'g') AS norm_text
+FROM documents
+""",
+)
+def q_text_normalize(sf_dir: str):
+    """TextNormalizer basic mode + punctuation strip
+    (audio_text_normalizer.py:145-160)."""
+    from dataflow_mm_ray.stages.normalize import text_normalize
+
+    out = text_normalize(_documents(sf_dir), mode="basic", remove_punct=True)
+    return out.map_batches(lambda b: b[["doc_id", "norm_text"]], batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# forced-alignment quality filter (CTCForcedAlignmentFilter)
+# ---------------------------------------------------------------------------
+
+ALIGN_THRESHOLD = 0.35
+
+
+@register(
+    "alignment_filter",
+    f"""
+WITH _w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')[1:8] AS words
+  FROM documents WHERE doc_id % 17 <> 0
+), _s AS (
+  SELECT doc_id,
+         list_transform(range(length(words)),
+                        i -> CAST((length(words[i+1]) * 37 + i * 11) % 100 AS DOUBLE) / 100.0) AS scores
+  FROM _w WHERE length(words) > 0
+)
+SELECT doc_id, round(list_aggregate(scores, 'avg'), 6) AS align_score
+FROM _s
+WHERE list_aggregate(scores, 'avg') >= {ALIGN_THRESHOLD}
+""",
+)
+def q_alignment_filter(sf_dir: str):
+    """CTCForcedAlignmentFilter (threshold_mode=mean): drop error rows
+    and rows below the aggregate-score threshold
+    (audio_ctc_forced_alignment_transcription_quality_filter.py:12-44)."""
+    from dataflow_mm_ray.stages.alignment import alignment_quality_filter, synthesize_alignment
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        al, err = [], []
+        for i, t in zip(b["doc_id"], b["text"]):
+            a, e = synthesize_alignment(int(i), t)
+            al.append(a)
+            err.append(e)
+        out = b[["doc_id"]].copy(deep=False)
+        out["alignment"] = al
+        out["align_error"] = err
+        return out
+
+    fixture = _documents(sf_dir).map_batches(attach, batch_format="pandas")
+    filtered = alignment_quality_filter(fixture, threshold=ALIGN_THRESHOLD, threshold_mode="mean")
+    return filtered.map_batches(lambda b: b[["doc_id", "align_score"]], batch_format="pandas")
