@@ -30,14 +30,15 @@ Per epoch (one tick):
    committed atomically via os.replace. Resume = restore latest
    checkpoint, continue from the next epoch.
 
-Scale notes: extraction and late-splitting are fully distributed and
-vectorized; window partials shrink per-epoch data to one row per
-(conv, window, batch). The driver funnels pre-aggregated partials to
-shard actors — on a cluster the same routing runs inside
-``map_batches`` tasks calling shard handles directly (documented
-trade-off; semantics identical). Skewed conversations are pre-combined
-by the partial aggregation, so a hot conv_id contributes one row per
-window per batch regardless of its turn count.
+Scale notes: extraction, late-splitting, partial aggregation AND state
+routing are fully distributed — each map task pre-aggregates its rows
+and pushes them to the shard actors directly (actor applies within an
+epoch are commutative: window sums, session point-inserts and join
+insorts are order-free; the only ordered step, finalize, runs after
+the epoch barrier). The driver only ever sees late rows, counters and
+finalize emissions. Skewed conversations are pre-combined by the
+partial aggregation, so a hot conv_id contributes one row per window
+per batch regardless of its turn count.
 """
 from __future__ import annotations
 
@@ -178,58 +179,81 @@ class StreamingEngine:
             return out
 
         ds = rd.read_parquet(self.transcripts_path)
-        return ds.map_batches(fn, batch_format="pandas").to_pandas()
+        return ds.map_batches(fn, batch_format="pandas")
 
     def run_epoch(self, epoch: int) -> None:
         wm_prev = self.watermark_us
-        rows = self._extract(epoch, wm_prev)
+        extracted = self._extract(epoch, wm_prev)
 
-        late = rows[rows["late"]]
-        cur = rows[~rows["late"]]
+        # Distributed apply: each map task routes ITS rows to the right
+        # shard actors (state applies are commutative within an epoch —
+        # window sums, session point-inserts and join insorts are
+        # order-free; finalize is the only ordered step and runs after
+        # the barrier). Only late rows + counters return to the driver.
+        shards = self.shards
 
-        # per-shard routing of (pre-aggregated) state inputs
-        apply_refs = []
-        for s in range(self.n_shards):
-            g = cur[cur["shard"] == s]
-            if not len(g):
-                continue
-            partials = (
-                g.assign(
-                    n_turns=1,
-                    n_user_turns=(g["role"] == "user").astype(np.int64),
-                    n_tool_calls=((g["role"] == "assistant") & g["tool"].notna()).astype(np.int64),
+        def apply_and_collect(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in _APPLY_OUT_SCHEMA.items()})
+            late_b = b[b["late"]]
+            cur_b = b[~b["late"]]
+            refs = []
+            for s, g in cur_b.groupby("shard", sort=False):
+                partials = (
+                    g.assign(
+                        n_turns=1,
+                        n_user_turns=(g["role"] == "user").astype(np.int64),
+                        n_tool_calls=((g["role"] == "assistant") & g["tool"].notna()).astype(np.int64),
+                    )
+                    .groupby(["conv_id", "window_start_us"], as_index=False, sort=False)
+                    .agg(
+                        n_turns=("n_turns", "sum"),
+                        n_user_turns=("n_user_turns", "sum"),
+                        n_tool_calls=("n_tool_calls", "sum"),
+                        sum_chars=("text_len", "sum"),
+                    )
                 )
-                .groupby(["conv_id", "window_start_us"], as_index=False, sort=False)
-                .agg(
-                    n_turns=("n_turns", "sum"),
-                    n_user_turns=("n_user_turns", "sum"),
-                    n_tool_calls=("n_tool_calls", "sum"),
-                    sum_chars=("text_len", "sum"),
+                turns = g[["conv_id", "ts_us"]]
+                inv = g[(g["role"] == "assistant") & g["tool"].notna()]
+                tool = g[g["role"] == "tool"]
+                join_events = pd.concat(
+                    [
+                        pd.DataFrame(
+                            {"conv_id": inv["conv_id"], "kind": "inv", "turn_idx": inv["turn_idx"],
+                             "tool": inv["tool"], "ts_us": inv["ts_us"]}
+                        ),
+                        pd.DataFrame(
+                            {"conv_id": tool["conv_id"], "kind": "tool", "turn_idx": tool["turn_idx"],
+                             "tool": None, "ts_us": tool["ts_us"]}
+                        ),
+                    ],
+                    ignore_index=True,
                 )
+                refs.append(shards[int(s)].apply.remote(partials, turns, join_events))
+            ray.get(refs)  # barrier within the task: applies land before it reports
+            out = late_b.drop(columns=["late", "shard", "window_start_us", "text_len"]).copy()
+            out["__applied"] = np.int64(0)
+            out["__max_ts"] = np.int64(0)
+            head = pd.DataFrame(
+                {
+                    "conv_id": ["__counter__"], "turn_idx": [np.int32(-1)], "role": [""],
+                    "tool": [None],
+                    "ts_us": [np.int64(0)],
+                    "__applied": [np.int64(len(cur_b))],
+                    "__max_ts": [np.int64(cur_b["ts_us"].max()) if len(cur_b) else np.int64(-(1 << 62))],
+                }
             )
-            turns = g[["conv_id", "ts_us"]]
-            inv = g[(g["role"] == "assistant") & g["tool"].notna()]
-            tool = g[g["role"] == "tool"]
-            join_events = pd.concat(
-                [
-                    pd.DataFrame(
-                        {"conv_id": inv["conv_id"], "kind": "inv", "turn_idx": inv["turn_idx"],
-                         "tool": inv["tool"], "ts_us": inv["ts_us"]}
-                    ),
-                    pd.DataFrame(
-                        {"conv_id": tool["conv_id"], "kind": "tool", "turn_idx": tool["turn_idx"],
-                         "tool": None, "ts_us": tool["ts_us"]}
-                    ),
-                ],
-                ignore_index=True,
-            )
-            apply_refs.append(self.shards[s].apply.remote(partials, turns, join_events))
-        ray.get(apply_refs)
+            return pd.concat([head, out], ignore_index=True)
+
+        collected = extracted.map_batches(apply_and_collect, batch_format="pandas").to_pandas()
+        counters = collected[collected["conv_id"] == "__counter__"]
+        late = collected[collected["conv_id"] != "__counter__"].drop(columns=["__applied", "__max_ts"])
+        n_applied = int(counters["__applied"].sum())
 
         # advance watermark (pure function of data seen)
-        if len(cur):
+        if n_applied:
             self.watermark_us = max(
-                self.watermark_us, int(cur["ts_us"].max()) - self.lateness_us
+                self.watermark_us, int(counters["__max_ts"].max()) - self.lateness_us
             )
         flush = epoch == self.n_epochs - 1
         emissions = ray.get(
@@ -248,13 +272,12 @@ class StreamingEngine:
         self.sink.stage_and_commit("windows", epoch, win_df, self.watermark_us)
         self.sink.stage_and_commit("sessions", epoch, sess_df, self.watermark_us)
         self.sink.stage_and_commit("joins", epoch, join_df, self.watermark_us)
-        late_out = late.drop(columns=["late", "shard", "window_start_us", "text_len"])
-        self.sink.stage_and_commit("late", epoch, late_out.reset_index(drop=True), self.watermark_us)
+        self.sink.stage_and_commit("late", epoch, late.reset_index(drop=True), self.watermark_us)
         self._record_metrics(epoch, {
             "epoch": epoch,
-            "input_rows": int(len(rows)),
+            "input_rows": int(n_applied + len(late)),
             "late_rows": int(len(late)),
-            "applied_rows": int(len(cur)),
+            "applied_rows": n_applied,
             "emitted": {"windows": int(len(win_df)), "sessions": int(len(sess_df)),
                         "joins": int(len(join_df))},
             "watermark_us": int(self.watermark_us),
@@ -310,4 +333,14 @@ _EXTRACT_SCHEMA = {
     "late": bool,
     "shard": np.int32,
     "window_start_us": np.int64,
+}
+
+_APPLY_OUT_SCHEMA = {
+    "conv_id": object,
+    "turn_idx": np.int32,
+    "role": object,
+    "tool": object,
+    "ts_us": np.int64,
+    "__applied": np.int64,
+    "__max_ts": np.int64,
 }
