@@ -114,3 +114,13 @@ def q_simhash_dedup(sf_dir: str):
     reference's ImageDiversityFilter order dependence
     (image_diversity_filter.py:100-119)."""
     return neardup.simhash_dedup(sf_dir)
+
+
+@register("ivf_topk", None)  # approximate: recall/exactness pytest-pinned
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN top-k (the scale path for similarity search);
+    with nprobe == n_clusters it is pinned equal to the brute-force
+    baseline in tests/test_similarity.py."""
+    from dataflow_mm_ray.stages import similarity
+
+    return similarity.ivf_topk(sf_dir, k=10, n_queries=5, n_clusters=16, nprobe=4)

@@ -180,3 +180,79 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(mark, batch_format="pandas", batch_size=SIM_BATCH)
+
+
+# ---------------------------------------------------------------------------
+# IVF — the ANN scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(mat: np.ndarray, n_clusters: int = 16, iters: int = 5, seed: int = 11) -> np.ndarray:
+    """Seeded spherical k-means over unit vectors (cosine == dot).
+    Deterministic: fixed init sample, fixed iteration count. At 10^12
+    scale this runs on a driver-side sample / minibatch; the centroid
+    table is the broadcast side."""
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+             n_clusters: int = 16, nprobe: int = 4):
+    """IVF-bucketed cosine top-k: vectors are assigned to their nearest
+    centroid in map_batches; each query only scores vectors whose
+    cluster is among its ``nprobe`` closest centroids. With
+    nprobe == n_clusters this is exactly brute_force_topk
+    (pytest-pinned); smaller nprobe trades recall for a 1/nprobe scan.
+
+    Scale shape: the shuffle-free filter happens per batch against the
+    broadcast centroid table — the full-matrix matmul shrinks to the
+    probed fraction; a keyed variant (groupby cluster) co-locates
+    buckets when the probe sets are dense."""
+    ids_all, mat_all = _normalized_matrix(sf_dir)
+    cent = ivf_centroids(mat_all, n_clusters=n_clusters)
+    qmask = ids_all < n_queries
+    q_ids, q_mat = ids_all[qmask], mat_all[qmask]
+    # probe set per query: top-nprobe centroids
+    probes = np.argsort(-(q_mat @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, cent, probes))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, qm, ct, pr = ray.get(ref)
+        ids, m = _batch_matrix(batch)
+        assign = np.argmax(m @ ct.T, axis=1)  # vector -> cluster
+        sims = _round9(m @ qm.T)
+        out_q, out_v, out_s = [], [], []
+        for c in range(len(qi)):
+            in_probe = np.isin(assign, pr[c])
+            col = np.where(in_probe, sims[:, c], -np.inf)
+            col[ids == qi[c]] = -np.inf
+            take = min(k, len(col))
+            idx = np.lexsort((ids, -col))[:take]
+            idx = idx[np.isfinite(col[idx])]
+            out_q.append(np.full(len(idx), qi[c], dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(col[idx])
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q), "vec_id": np.concatenate(out_v),
+             "sim": np.concatenate(out_s)}
+        )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=SIM_BATCH)
+
+    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+        return part.groupby("query_id", sort=False, group_keys=False).head(k)
+
+    from dataflow_mm_ray.partition import partition_map
+
+    return partition_map(partials, "query_id", final_topk, num_partitions=8)
