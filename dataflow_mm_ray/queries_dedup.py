@@ -43,16 +43,17 @@ def q_topk_cosine(sf_dir: str):
     _EMB_CTE
     + f"""
 , pair AS (
-  SELECT a.vec_id, c.vec_id AS other, round(list_cosine_similarity(a.e, c.e), 9) AS sim
+  SELECT a.vec_id, c.vec_id AS other,
+         CAST(round(list_cosine_similarity(a.e, c.e) * 1e9) AS BIGINT) AS sim_e9
   FROM b a, b c WHERE a.vec_id <> c.vec_id
 ), topk AS (
-  SELECT vec_id, sim FROM pair
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, other) <= {KNN_K}
+  SELECT vec_id, sim_e9 FROM pair
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim_e9 DESC, other) <= {KNN_K}
 ), s AS (
-  SELECT vec_id, round(avg(sim), 9) AS avg_knn_sim FROM topk GROUP BY 1
+  SELECT vec_id, sum(sim_e9) AS sum_knn_sim_e9 FROM topk GROUP BY 1
 )
-SELECT vec_id, avg_knn_sim FROM s
-WHERE avg_knn_sim < (SELECT quantile_cont(avg_knn_sim, {KNN_KEEP_RATIO}) FROM s)
+SELECT vec_id, sum_knn_sim_e9 FROM s
+WHERE sum_knn_sim_e9 < (SELECT quantile_cont(sum_knn_sim_e9, {KNN_KEEP_RATIO}) FROM s)
 """,
 )
 def q_knn_percentile(sf_dir: str):

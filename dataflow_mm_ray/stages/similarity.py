@@ -124,33 +124,39 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
 
 
 def knn_percentile_filter(sf_dir: str, k: int = 10, keep_ratio: float = 0.6):
-    """KNNSimilarityFilter semantics: keep vectors whose mean top-k
-    cosine similarity is strictly below the keep_ratio percentile.
-    Returns vec_id, avg_knn_sim for kept rows."""
+    """KNNSimilarityFilter semantics: keep vectors whose top-k
+    similarity mass is strictly below the keep_ratio percentile.
+
+    The score is the SUM of the top-k nano-similarities as an exact
+    int64 (``sum_knn_sim_e9``): sims are rounded to 9 dp on both
+    engines, converted to integers exactly, and summed exactly — no
+    float rounding-mode hazard can flip the oracle hash (a mean of
+    9dp-rounded values lands on half-ulp boundaries ~1/10 of the time,
+    where numpy's half-even and DuckDB's half-away disagree).
+    Returns vec_id, sum_knn_sim_e9 for kept rows."""
     all_ids, all_mat = _normalized_matrix(sf_dir)
     ref = ray.put((all_ids, all_mat))
 
-    def avg_knn(batch: pd.DataFrame) -> pd.DataFrame:
+    def knn_sum(batch: pd.DataFrame) -> pd.DataFrame:
         ai, am = ray.get(ref)
         ids, m = _batch_matrix(batch)
         sims = m @ am.T
         sims[ids[:, None] == ai[None, :]] = -np.inf  # exclude self
         take = min(k, sims.shape[1] - 1)
-        # top-k on raw sims, round only the selected values: a rounding
-        # tie at the boundary swaps equal rounded values, so the mean is
-        # unchanged — oracle-parity preserved without a full-matrix round
-        part = _round9(-np.partition(-sims, take - 1, axis=1)[:, :take])
-        avg = _round9(part.mean(axis=1))
-        return pd.DataFrame({"vec_id": ids, "avg_knn_sim": avg})
+        # top-k on raw sims; a rounded tie at the boundary swaps equal
+        # values, so the integer sum is unchanged either way
+        part = -np.partition(-sims, take - 1, axis=1)[:, :take]
+        nano = np.rint(part * 1e9).astype(np.int64)
+        return pd.DataFrame({"vec_id": ids, "sum_knn_sim_e9": nano.sum(axis=1)})
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(avg_knn, batch_format="pandas", batch_size=SIM_BATCH)
+    scored = ds.map_batches(knn_sum, batch_format="pandas", batch_size=SIM_BATCH)
     # global percentile: two-pass — collect the 1-column score vector.
     # (At 10^12 rows this becomes a t-digest/sampled quantile; exact here
     # for oracle parity.)
     sdf = scored.to_pandas()
-    thr = np.percentile(sdf["avg_knn_sim"].to_numpy(), keep_ratio * 100)
-    kept = sdf[sdf["avg_knn_sim"] < thr].reset_index(drop=True)
+    thr = np.percentile(sdf["sum_knn_sim_e9"].to_numpy(), keep_ratio * 100)
+    kept = sdf[sdf["sum_knn_sim_e9"] < thr].reset_index(drop=True)
     return kept
 
 
