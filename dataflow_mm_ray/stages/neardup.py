@@ -170,12 +170,16 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
     pairs = _candidate_pairs(docs, id_col, text_col)
 
     # broadcast shingle sets for verification (scale path: partitioned
-    # hash join pair-list x docs — same semantics)
-    docs_pd = docs.to_pandas()
-    shingles = {
-        int(i): shingle_set(t if isinstance(t, str) else "")
-        for i, t in zip(docs_pd[id_col], docs_pd[text_col])
-    }
+    # hash join pair-list x docs — same semantics). Shingling runs
+    # DISTRIBUTED; the driver only assembles (id -> array) refs.
+    def shingle_batch(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col]].copy(deep=False)
+        out["__sh"] = [shingle_set(t if isinstance(t, str) else "") for t in b[text_col]]
+        return out
+
+    sh_pd = docs.map_batches(shingle_batch, batch_format="pandas", batch_size=512).to_pandas()
+    docs_pd = sh_pd[[id_col]]
+    shingles = {int(i): s for i, s in zip(sh_pd[id_col], sh_pd["__sh"])}
     sh_ref = ray.put(shingles)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:

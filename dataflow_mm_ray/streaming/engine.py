@@ -59,13 +59,15 @@ US = 1_000_000
 STREAMS = ("windows", "sessions", "joins", "late")
 
 
-def prepare_transcripts(sf_dir: str, path: str) -> str:
-    """Materialize the canonical transcript table once (stream setup)."""
+def prepare_transcripts(sf_dir: str, path: str, num_partitions: int = 16) -> str:
+    """Materialize the canonical transcript table once (stream setup).
+    Moderate partition count: each epoch re-scans this table, so many
+    tiny files tax every tick."""
     from dataflow_mm_ray.sources.transcripts import transcripts_from_events
 
     if not os.path.exists(path):
         os.makedirs(path, exist_ok=True)
-        transcripts_from_events(sf_dir).write_parquet(path)
+        transcripts_from_events(sf_dir, num_partitions=num_partitions).write_parquet(path)
     return path
 
 
