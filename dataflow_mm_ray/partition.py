@@ -141,6 +141,54 @@ def partition_map_parquet(
     return _assemble(pieces, fn, sort_by, num_partitions)
 
 
+def _join_reduce(key, how, suffixes, n_left, *pieces: pd.DataFrame) -> pd.DataFrame:
+    lf = [p for p in pieces[:n_left] if len(p)]
+    rf = [p for p in pieces[n_left:] if len(p)]
+    left = pd.concat(lf, ignore_index=True) if lf else None
+    right = pd.concat(rf, ignore_index=True) if rf else None
+    if left is None and right is None:
+        return pd.DataFrame()
+    if left is None:
+        left = pd.DataFrame(columns=[key])
+    if right is None:
+        right = pd.DataFrame(columns=[key])
+    return left.merge(right, on=key, how=how, suffixes=suffixes, sort=False)
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    key: str,
+    how: str = "inner",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Generic large-large equi-join: both sides are hash-partitioned by
+    ``key`` with the SAME stable partitioning, then matching partitions
+    are joined pairwise with a vectorized pandas merge — the explicit
+    partitioned hash join the Ray guide prescribes when neither side
+    fits a broadcast. (Small sides should use ``ray.put`` + per-batch
+    lookup instead; see stages/similarity.py.)"""
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    l_refs = left_ds.to_arrow_refs()
+    r_refs = right_ds.to_arrow_refs()
+    l_pieces = [split.remote(b, key, num_partitions) for b in l_refs]
+    r_pieces = [split.remote(b, key, num_partitions) for b in r_refs]
+    if num_partitions == 1:
+        l_pieces = [[p] for p in l_pieces]
+        r_pieces = [[p] for p in r_pieces]
+    reduce = ray.remote(_join_reduce)
+    out = [
+        reduce.remote(
+            key, how, suffixes, len(l_pieces),
+            *[l_pieces[b][p] for b in range(len(l_pieces))],
+            *[r_pieces[b][p] for b in range(len(r_pieces))],
+        )
+        for p in range(num_partitions)
+    ]
+    return rd.from_pandas_refs(out)
+
+
 def partition_map_pandas(
     df: pd.DataFrame,
     key: str,

@@ -438,3 +438,40 @@ def q_alignment_filter(sf_dir: str):
     fixture = _documents(sf_dir).map_batches(attach, batch_format="pandas")
     filtered = alignment_quality_filter(fixture, threshold=ALIGN_THRESHOLD, threshold_mode="mean")
     return filtered.map_batches(lambda b: b[["doc_id", "align_score"]], batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# generic partitioned hash join (large x large)
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_embeddings_join",
+    """
+SELECT d.doc_id, d.n_chars, e.label,
+       length(e.embedding) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def q_docs_embeddings_join(sf_dir: str):
+    """Partitioned hash join (both sides hash-split by the key, paired
+    merges per partition) — the large x large join shape the reference
+    lacks (SURVEY.md §2.7)."""
+    from dataflow_mm_ray.partition import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["vec_id"].to_numpy(),
+                "label": b["label"].to_numpy(),
+                "dim": np.asarray([len(v) for v in b["embedding"]], dtype=np.int64),
+            }
+        )
+
+    emb2 = emb.map_batches(prep, batch_format="pandas")
+    joined = hash_join(docs, emb2, "doc_id", how="inner")
+    return joined.map_batches(
+        lambda b: b[["doc_id", "n_chars", "label", "dim"]], batch_format="pandas"
+    )
