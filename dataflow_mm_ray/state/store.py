@@ -45,11 +45,14 @@ class _ShardState:
     """Plain-python state container (separable from the actor for
     unit tests and snapshot round-trips)."""
 
-    def __init__(self, width_s: int, gap_s: int):
+    def __init__(self, width_s: int, gap_s: int, slide_width_s: int = 0):
         self.width_us = width_s * US
         self.gap_us = gap_s * US
+        self.slide_width_us = slide_width_s * US  # 0 -> sliding disabled
         # (conv_id, window_start_us) -> [n_turns, n_user, n_tool, sum_chars]
         self.windows: dict[tuple[str, int], list[int]] = {}
+        # sliding replicas: (conv_id, window_start_us) -> [n_turns, sum_chars]
+        self.swindows: dict[tuple[str, int], list[int]] = {}
         # conv_id -> sorted list of open sessions [start_us, end_us, n_turns]
         self.sessions: dict[str, list[list[int]]] = {}
         # conv_id -> number of sessions already finalized (session_id base)
@@ -60,9 +63,9 @@ class _ShardState:
 
 @ray.remote
 class StateShard:
-    def __init__(self, shard_id: int, width_s: int, gap_s: int):
+    def __init__(self, shard_id: int, width_s: int, gap_s: int, slide_width_s: int = 0):
         self.shard_id = shard_id
-        self.s = _ShardState(width_s, gap_s)
+        self.s = _ShardState(width_s, gap_s, slide_width_s)
 
     # ------------------------------------------------------------------
     def apply(
@@ -70,6 +73,7 @@ class StateShard:
         window_partials: pd.DataFrame | None,
         turns: pd.DataFrame | None,
         join_events: pd.DataFrame | None,
+        sliding_partials: pd.DataFrame | None = None,
     ) -> int:
         """Apply one epoch's (pre-aggregated, non-late) rows.
         Returns rows applied (for engine metrics)."""
@@ -89,6 +93,17 @@ class StateShard:
                     acc[1] += int(row.n_user_turns)
                     acc[2] += int(row.n_tool_calls)
                     acc[3] += int(row.sum_chars)
+
+        if sliding_partials is not None and len(sliding_partials):
+            n += len(sliding_partials)
+            for row in sliding_partials.itertuples(index=False):
+                key = (row.conv_id, int(row.window_start_us))
+                acc = st.swindows.get(key)
+                if acc is None:
+                    st.swindows[key] = [int(row.n_turns), int(row.sum_chars)]
+                else:
+                    acc[0] += int(row.n_turns)
+                    acc[1] += int(row.sum_chars)
 
         if turns is not None and len(turns):
             n += len(turns)
@@ -150,6 +165,14 @@ class StateShard:
                 a = st.windows.pop(key)
                 win_rows.append((conv, ws, a[0], a[1], a[2], a[3]))
 
+        # --- finalize sliding windows ---
+        swin_rows = []
+        for key in sorted(st.swindows):
+            conv, ws = key
+            if flush or ws + st.slide_width_us <= wm_us:
+                a = st.swindows.pop(key)
+                swin_rows.append((conv, ws, a[0], a[1]))
+
         # --- join matches ---
         join_rows = []
         for conv in sorted(st.join):
@@ -190,6 +213,10 @@ class StateShard:
                 join_rows,
                 columns=["conv_id", "invoke_idx", "tool", "response_idx", "latency_us"],
             ),
+            "sliding": pd.DataFrame(
+                swin_rows,
+                columns=["conv_id", "window_start_us", "n_turns", "sum_chars"],
+            ),
         }
 
     # ------------------------------------------------------------------
@@ -204,6 +231,7 @@ class StateShard:
     def stats(self) -> dict:
         return {
             "open_windows": len(self.s.windows),
+            "open_sliding": len(self.s.swindows),
             "open_sessions": sum(len(v) for v in self.s.sessions.values()),
             "pending_inv": sum(len(v["inv"]) for v in self.s.join.values()),
             "pending_tool": sum(len(v["tool"]) for v in self.s.join.values()),

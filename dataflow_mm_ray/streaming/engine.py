@@ -56,7 +56,7 @@ from dataflow_mm_ray.state.store import StateShard
 from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
-STREAMS = ("windows", "sessions", "joins", "late")
+STREAMS = ("windows", "sliding", "sessions", "joins", "late")
 
 
 def prepare_transcripts(sf_dir: str, path: str, num_partitions: int = 16) -> str:
@@ -81,6 +81,8 @@ class StreamingEngine:
         width_s: int = 3600,
         gap_s: int = 1800,
         lateness_s: int = 0,
+        slide_width_s: int = 7200,
+        slide_s: int = 3600,
     ):
         self.transcripts_path = transcripts_path
         self.out_dir = out_dir
@@ -91,9 +93,13 @@ class StreamingEngine:
         self.width_s = width_s
         self.gap_s = gap_s
         self.lateness_us = lateness_s * US
+        if slide_width_s % slide_s != 0:
+            raise ValueError("slide_width_s must be a multiple of slide_s")
+        self.slide_width_s = slide_width_s
+        self.slide_s = slide_s
         self.sink = EpochSink(out_dir, STREAMS)
         self.shards = [
-            StateShard.remote(i, width_s, gap_s) for i in range(n_shards)
+            StateShard.remote(i, width_s, gap_s, slide_width_s) for i in range(n_shards)
         ]
         self.watermark_us = -(1 << 62)
         self.next_epoch = 0
@@ -187,6 +193,8 @@ class StreamingEngine:
         wm_prev = self.watermark_us
         extracted = self._extract(epoch, wm_prev)
 
+        slide_s_cfg = self.slide_s
+        k_slide = self.slide_width_s // self.slide_s
         # Distributed apply: each map task routes ITS rows to the right
         # shard actors (state applies are commutative within an epoch —
         # window sums, session point-inserts and join insorts are
@@ -231,7 +239,27 @@ class StreamingEngine:
                     ],
                     ignore_index=True,
                 )
-                refs.append(shards[int(s)].apply.remote(partials, turns, join_events))
+                # sliding replicas: one partial row per (conv, sliding
+                # window) per batch, k = width/slide replicas per turn
+                slide_us = slide_s_cfg * US
+                bucket = (g["ts_us"].to_numpy() // slide_us) * slide_us
+                rep_frames = [
+                    pd.DataFrame(
+                        {
+                            "conv_id": g["conv_id"].to_numpy(),
+                            "window_start_us": bucket - i * slide_us,
+                            "n_turns": np.int64(1),
+                            "sum_chars": g["text_len"].to_numpy(),
+                        }
+                    )
+                    for i in range(k_slide)
+                ]
+                sliding = (
+                    pd.concat(rep_frames, ignore_index=True)
+                    .groupby(["conv_id", "window_start_us"], as_index=False, sort=False)
+                    .sum()
+                )
+                refs.append(shards[int(s)].apply.remote(partials, turns, join_events, sliding))
             ray.get(refs)  # barrier within the task: applies land before it reports
             out = late_b.drop(columns=["late", "shard", "window_start_us", "text_len"]).copy()
             out["__applied"] = np.int64(0)
@@ -271,7 +299,9 @@ class StreamingEngine:
             ).reset_index(drop=True)
 
         win_df, sess_df, join_df = gather("windows"), gather("sessions"), gather("joins")
+        slide_df = gather("sliding")
         self.sink.stage_and_commit("windows", epoch, win_df, self.watermark_us)
+        self.sink.stage_and_commit("sliding", epoch, slide_df, self.watermark_us)
         self.sink.stage_and_commit("sessions", epoch, sess_df, self.watermark_us)
         self.sink.stage_and_commit("joins", epoch, join_df, self.watermark_us)
         self.sink.stage_and_commit("late", epoch, late.reset_index(drop=True), self.watermark_us)
@@ -280,8 +310,8 @@ class StreamingEngine:
             "input_rows": int(n_applied + len(late)),
             "late_rows": int(len(late)),
             "applied_rows": n_applied,
-            "emitted": {"windows": int(len(win_df)), "sessions": int(len(sess_df)),
-                        "joins": int(len(join_df))},
+            "emitted": {"windows": int(len(win_df)), "sliding": int(len(slide_df)),
+                        "sessions": int(len(sess_df)), "joins": int(len(join_df))},
             "watermark_us": int(self.watermark_us),
             "shard_state": ray.get([sh.stats.remote() for sh in self.shards]),
         })

@@ -74,6 +74,18 @@ def test_stream_matches_batch_when_nothing_late(ray_session, transcripts_path, t
         _canon(got_sess[batch_sess.columns.tolist()]), _canon(batch_sess), check_dtype=False
     )
 
+    from dataflow_mm_ray.stages.windows import sliding_window_agg
+
+    t_s = transcripts_from_events(SF_TINY)
+    batch_slide = sliding_window_agg(t_s, width_s=7200, slide_s=3600).to_pandas()
+    batch_slide["window_start_us"] = (
+        batch_slide.pop("window_start").astype("datetime64[us]").astype(np.int64)
+    )
+    got_slide = res["sliding"]
+    pd.testing.assert_frame_equal(
+        _canon(got_slide[batch_slide.columns.tolist()]), _canon(batch_slide), check_dtype=False
+    )
+
     t3 = transcripts_from_events(SF_TINY)
     batch_join = tool_response_join(t3).to_pandas()
     got_join = res["joins"].copy()
