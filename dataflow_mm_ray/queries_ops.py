@@ -475,3 +475,57 @@ def q_docs_embeddings_join(sf_dir: str):
     return joined.map_batches(
         lambda b: b[["doc_id", "n_chars", "label", "dim"]], batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# rollout -> verifier -> fail-rate filter (FailRateFilter)
+# ---------------------------------------------------------------------------
+
+N_ROLLOUTS = 4
+
+
+def _digest_verify(answer: str, gold: str) -> bool:
+    """Deterministic verifier for the stub serving: the first digest
+    hex char must be in the gold set (stands in for answer==gold with a
+    real model)."""
+    return answer[len("ans-")] in gold
+
+
+@register(
+    "failrate_filter",
+    f"""
+WITH _r AS (
+  SELECT doc_id, text, unnest(range({N_ROLLOUTS})) AS i FROM documents
+), _v AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text || chr(31) || CAST(i AS VARCHAR)), 1, 1) IN ('0', '1')
+              THEN 1 ELSE 0 END AS ok
+  FROM _r
+), _s AS (SELECT doc_id, sum(ok) AS n_correct FROM _v GROUP BY 1)
+SELECT doc_id, CAST(n_correct AS BIGINT) AS n_correct,
+       CAST({N_ROLLOUTS} - n_correct AS DOUBLE) / {N_ROLLOUTS} AS fail_rate
+FROM _s
+WHERE CAST({N_ROLLOUTS} - n_correct AS DOUBLE) / {N_ROLLOUTS} <= 0.75
+""",
+)
+def q_failrate_filter(sf_dir: str):
+    """FailRateFilter / VisionDependentFilter composition
+    (failrate_filter.py:12-139): N stub rollouts per doc in the serving
+    actor pool, digest-verify each, keep fail_rate <= 0.75."""
+    from dataflow_mm_ray.serving import DeterministicStubServing
+    from dataflow_mm_ray.stages.failrate import failrate_filter
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy(deep=False)
+        out["prompt"] = b["text"]
+        out["gold"] = "01"
+        return out
+
+    docs = _documents(sf_dir).map_batches(prep, batch_format="pandas")
+    kept = failrate_filter(
+        docs, DeterministicStubServing, _digest_verify,
+        n_rollouts=N_ROLLOUTS, min_rate=0.0, max_rate=0.75, concurrency=(1, 2),
+    )
+    return kept.map_batches(
+        lambda b: b[["doc_id", "n_correct", "fail_rate"]], batch_format="pandas"
+    )
