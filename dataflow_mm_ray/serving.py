@@ -65,9 +65,31 @@ class PromptedGenerator:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         prompts = [str(p) if pd.notna(p) else "" for p in batch[self.input_key]]
+        answers, errors = self._generate_safe(prompts)
         batch = batch.copy(deep=False)
-        batch[self.output_key] = np.array(self.serving.generate(prompts), dtype=object)
+        batch[self.output_key] = answers
+        if errors is not None:
+            batch[self.output_key + "_error"] = errors
         return batch
+
+    def _generate_safe(self, prompts):
+        """Batch-first generation with per-row error quarantine: if the
+        batch call raises, retry row-by-row and record per-row errors
+        (the reference's None-on-error rows,
+        api_llm_serving_request.py:71-75, made explicit)."""
+        try:
+            return np.array(self.serving.generate(prompts), dtype=object), None
+        except Exception:
+            answers = np.empty(len(prompts), dtype=object)
+            errors = np.empty(len(prompts), dtype=object)
+            for i, p in enumerate(prompts):
+                try:
+                    answers[i] = self.serving.generate([p])[0]
+                    errors[i] = None
+                except Exception as e:  # noqa: BLE001 - quarantining
+                    answers[i] = None
+                    errors[i] = f"{type(e).__name__}: {e}"
+            return answers, errors
 
 
 def build_prompt(template: str, need_fields, join_list_with: str = "\n", **kwargs) -> str:
@@ -103,8 +125,11 @@ class TemplatedGenerator(PromptedGenerator):
         for _, row in batch[list(self.field_map.values())].iterrows():
             kwargs = {ph: row[col] for ph, col in self.field_map.items()}
             prompts.append(build_prompt(self.template, need, self.join_list_with, **kwargs))
+        answers, errors = self._generate_safe(prompts)
         batch = batch.copy(deep=False)
-        batch[self.output_key] = np.array(self.serving.generate(prompts), dtype=object)
+        batch[self.output_key] = answers
+        if errors is not None:
+            batch[self.output_key + "_error"] = errors
         return batch
 
 

@@ -1,0 +1,91 @@
+"""F1 synthetic transcript generator properties, serving error
+quarantine, checkpoint shard-count guard."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataflow_mm_ray.sources.synthetic import generate_transcripts
+
+
+def test_generator_deterministic_and_schema():
+    a = generate_transcripts(n_convs=30, seed=7)
+    b = generate_transcripts(n_convs=30, seed=7)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert str(a["ts"].dtype) == "datetime64[us]"
+    assert set(a["role"]) <= {"user", "assistant", "tool", "system"}
+    # turn_idx contiguous per conv
+    g = a.groupby("conv_id")["turn_idx"]
+    assert (g.max() + 1 == g.size()).all()
+
+
+def test_generator_stress_properties():
+    df = generate_transcripts(n_convs=200, seed=11)
+    sizes = df.groupby("conv_id").size()
+    assert sizes.max() > 5 * sizes.median()  # zipf skew -> hot conversations
+    # rule-tripping rows present: run the real filter
+    from dataflow_mm_ray.functions.text_rules import rule_flags_batch
+
+    flags = rule_flags_batch(df["text"].tolist())
+    assert 0 < (~flags["keep"]).sum() < len(df)
+    # tool invocations with matching later responses exist
+    inv = df[(df["role"] == "assistant") & df["tool"].notna()]
+    assert len(inv) > 0
+    # late event-times: ts not monotone within some conversation
+    mono = df.groupby("conv_id")["ts"].apply(lambda s: s.is_monotonic_increasing)
+    assert not mono.all()
+
+
+def test_synthetic_through_cep_kernels():
+    from dataflow_mm_ray.partition import partition_map_pandas
+    from dataflow_mm_ray.stages.join import _join_partition
+    from dataflow_mm_ray.stages.windows import session_window_kernel
+
+    df = generate_transcripts(n_convs=50, seed=3)
+    sessions = partition_map_pandas(
+        df, "conv_id", lambda p: session_window_kernel(p, 1800), 8,
+        sort_by=("conv_id", "turn_idx"),
+    )
+    assert sessions["n_turns"].sum() == len(df)
+    joins = partition_map_pandas(
+        df, "conv_id", _join_partition, 8, sort_by=("conv_id", "turn_idx")
+    )
+    inv_count = ((df["role"] == "assistant") & df["tool"].notna()).sum()
+    assert len(joins) == inv_count
+
+
+def test_serving_error_quarantine():
+    # exercised directly on the pool callable (a test-local backend
+    # class can't be imported by ray workers); the actor-pool wiring is
+    # covered by the prompted_qa oracle query
+    from dataflow_mm_ray.serving import PromptedGenerator
+
+    class FlakyBackend:
+        def __init__(self, **kwargs):
+            pass
+
+        def generate(self, prompts):
+            out = []
+            for p in prompts:
+                if "boom" in p:
+                    raise RuntimeError("backend exploded")
+                out.append("ok:" + p)
+            return out
+
+    gen = PromptedGenerator(backend_cls=FlakyBackend)
+    out = gen(pd.DataFrame({"prompt": ["a", "boom1", "b", "boom2"]}))
+    assert list(out["answer"].isna()) == [False, True, False, True]
+    assert out["answer_error"].str.contains("backend exploded").fillna(False).tolist() == [
+        False, True, False, True,
+    ]
+    assert out["answer"].iloc[0] == "ok:a"  # good rows survive the flaky batch
+
+
+def test_resume_shard_count_guard(ray_session, tmp_path):
+    from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
+
+    tp = prepare_transcripts("/root/testdata/sf0.001", str(tmp_path / "t"))
+    eng = StreamingEngine(tp, str(tmp_path / "o"), n_epochs=2, n_shards=2, lateness_s=10**9)
+    eng.run(stop_after=0)
+    with pytest.raises(AssertionError, match="shard count"):
+        StreamingEngine(tp, str(tmp_path / "o"), n_epochs=2, n_shards=3, lateness_s=10**9)
