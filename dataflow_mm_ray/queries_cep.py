@@ -203,3 +203,29 @@ FROM transcripts GROUP BY 1
 )
 def q_conversation_digest(sf_dir: str):
     return transcripts_partitioned(sf_dir, stats.digest_kernel)
+
+
+@register(
+    "top_turns_per_conv",
+    TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, turn_idx, length(text) AS n_chars
+FROM transcripts
+QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY length(text) DESC, turn_idx) <= 3
+""",
+)
+def q_top_turns_per_conv(sf_dir: str):
+    """Per-key windowed rank (top-3 longest turns per conversation) —
+    the grouped-rank primitive behind per-source sequence numbering
+    (SURVEY.md §2.8), one fused shuffle."""
+    import numpy as np
+
+    def kernel(t):
+        out = t[["conv_id", "turn_idx"]].copy(deep=False)
+        out["n_chars"] = t["text"].str.len().astype(np.int64)
+        out = out.sort_values(
+            ["conv_id", "n_chars", "turn_idx"], ascending=[True, False, True], kind="mergesort"
+        )
+        return out.groupby("conv_id", sort=False, group_keys=False).head(3)
+
+    return transcripts_partitioned(sf_dir, kernel)
