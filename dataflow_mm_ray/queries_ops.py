@@ -529,3 +529,39 @@ def q_failrate_filter(sf_dir: str):
     return kept.map_batches(
         lambda b: b[["doc_id", "n_correct", "fail_rate"]], batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-judge scorer (EvalImageGenerationGenerator)
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_judge_score",
+    """
+SELECT doc_id,
+       (CAST(('0x' || substr(md5('judge: ' || text), 1, 2)) AS INTEGER) % 5) + 1 AS score
+FROM documents
+""",
+)
+def q_llm_judge_score(sf_dir: str):
+    """LLM-judge scoring (image_evaluator.py:11-75 shape): prompt
+    builder -> serving -> numeric score parse. The stub judge's answer
+    digest is parsed into a 1-5 score identically in SQL."""
+    import hashlib
+
+    from dataflow_mm_ray.serving import prompted_qa
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy(deep=False)
+        out["prompt"] = "judge: " + b["text"]
+        return out
+
+    docs = _documents(sf_dir).map_batches(prep, batch_format="pandas")
+    judged = prompted_qa(docs, concurrency=(1, 2), batch_size=2048)
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        # answer = 'ans-' + md5 hex; score = first byte mod 5 + 1
+        scores = [int(a[len("ans-"):len("ans-") + 2], 16) % 5 + 1 for a in b["answer"]]
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "score": np.asarray(scores, dtype=np.int32)})
+
+    return judged.map_batches(parse, batch_format="pandas")
