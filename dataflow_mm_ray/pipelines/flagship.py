@@ -18,7 +18,7 @@ def flagship_pipeline(sf_dir: str, n_epochs: int = 4, lateness_s: int = 7200) ->
     committed tool-join correlations enriched with their conversation's
     committed window volume."""
     work = tempfile.mkdtemp(prefix="dmr-flagship-", dir="/tmp")
-    tpath = prepare_transcripts(sf_dir, os.path.join(work, "transcripts"))
+    tpath = prepare_transcripts(sf_dir, os.path.join(work, "transcripts"), n_epochs=n_epochs)
     eng = StreamingEngine(
         tpath,
         os.path.join(work, "out"),

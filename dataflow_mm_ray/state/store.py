@@ -1,38 +1,50 @@
 """Keyed state-store actors for the streaming engine.
 
 One ``StateShard`` actor owns all per-conversation state for the
-conversations hashing to its shard: tumbling-window partials, open
-session intervals, and pending tool-join state. This is the engine's
+conversations hashing to its shard: window partials, open session
+intervals, and pending tool-join state. This is the engine's
 equivalent of the reference's per-worker persistent state (model pools
 initialized once per process — ``audio_ctc...evaluator.py:46-53``; the
 in-operator dedup caches of ``image_diversity_filter.py:17-26``) made
 explicit, bounded, and snapshot-able.
 
+State layout (the north-star "sorted runs"): every construct is held
+as pandas frames — an *open* base frame plus append-only chunks from
+``apply`` calls. ``apply`` is O(1) per call (list append); all merging
+is vectorized at ``finalize`` (one consolidation per shard per epoch):
+
+- windows/sliding: concat + groupby-sum, mask-split closable vs open;
+- sessions: interval merge via grouped running-max-end + gap cumsum
+  (the same vectorized kernel as the batch path);
+- joins: the batch backward-fill kernel over (pending + new) events.
+
 Watermark discipline (the determinism contract):
 
 - lateness is decided *before* rows reach a shard (uniformly,
-  ``ts < watermark`` at arrival — the engine quarantines late rows
-  vectorized in map_batches); every row a shard applies has
+  ``ts < watermark`` at arrival); every row a shard applies has
   ``ts >= wm_prev``;
 - ``finalize(wm)`` emits exactly the constructs no non-late row can
   still extend: windows with ``window_end <= wm``, sessions with
   ``session_end + gap < wm``, join matches whose response ``ts <= wm``;
 - every emission is a pure function of (applied rows, wm), so replays
-  after restore produce identical emissions.
+  after restore produce identical emissions. Applies within an epoch
+  are commutative (sums / point inserts / event appends), so tasks may
+  push to shards concurrently.
 
-State is bounded: finalized windows/sessions are deleted, matched
-invocations are deleted, and tool-response turns with ``ts <= wm`` are
-garbage-collected after finalize (no future invocation can precede
-them — turn_idx order equals ts order within a conversation).
+State is bounded: closed constructs are dropped, matched invocations
+deleted, tool turns with ``ts <= wm`` garbage-collected (turn order ==
+ts order within a conversation, so they can never serve a future
+invocation).
 
 Snapshots are pickle files written by ``snapshot(path)`` and restored
-with ``restore(path)``; the engine commits them together with its
-checkpoint manifest.
+with ``restore(path)``; the engine commits them with its checkpoint
+manifest. With ``stage_root`` set, ``finalize`` writes this shard's
+emission parquet files itself (distributed 2PC staging) and returns
+only file names + counts.
 """
 from __future__ import annotations
 
 import pickle
-from bisect import insort
 
 import numpy as np
 import pandas as pd
@@ -40,25 +52,63 @@ import ray
 
 US = 1_000_000
 
+_WIN_COLS = ["conv_id", "window_start_us", "n_turns", "n_user_turns", "n_tool_calls", "sum_chars"]
+_SLIDE_COLS = ["conv_id", "window_start_us", "n_turns", "sum_chars"]
+_SESS_STATE_COLS = ["conv_id", "start_us", "end_us", "n_turns"]
+_INV_COLS = ["conv_id", "turn_idx", "tool", "ts_us"]
+_TOOL_COLS = ["conv_id", "turn_idx", "ts_us"]
+
+
+def _empty(cols) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=object if c in ("conv_id", "tool") else np.int64) for c in cols})
+
 
 class _ShardState:
-    """Plain-python state container (separable from the actor for
-    unit tests and snapshot round-trips)."""
-
     def __init__(self, width_s: int, gap_s: int, slide_width_s: int = 0):
         self.width_us = width_s * US
         self.gap_us = gap_s * US
-        self.slide_width_us = slide_width_s * US  # 0 -> sliding disabled
-        # (conv_id, window_start_us) -> [n_turns, n_user, n_tool, sum_chars]
-        self.windows: dict[tuple[str, int], list[int]] = {}
-        # sliding replicas: (conv_id, window_start_us) -> [n_turns, sum_chars]
-        self.swindows: dict[tuple[str, int], list[int]] = {}
-        # conv_id -> sorted list of open sessions [start_us, end_us, n_turns]
-        self.sessions: dict[str, list[list[int]]] = {}
-        # conv_id -> number of sessions already finalized (session_id base)
+        self.slide_width_us = slide_width_s * US
+        self.windows = _empty(_WIN_COLS)
+        self.win_chunks: list[pd.DataFrame] = []
+        self.swindows = _empty(_SLIDE_COLS)
+        self.slide_chunks: list[pd.DataFrame] = []
+        self.sessions = _empty(_SESS_STATE_COLS)
+        self.sess_chunks: list[pd.DataFrame] = []
         self.session_seq: dict[str, int] = {}
-        # conv_id -> {"inv": [[turn_idx, tool, ts_us]], "tool": [[turn_idx, ts_us]]}
-        self.join: dict[str, dict[str, list]] = {}
+        self.inv = _empty(_INV_COLS)
+        self.inv_chunks: list[pd.DataFrame] = []
+        self.tool = _empty(_TOOL_COLS)
+        self.tool_chunks: list[pd.DataFrame] = []
+
+
+def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Vectorized gap-rule interval merge. df: (conv_id, start_us,
+    end_us, n_turns) sorted by (conv_id, start_us, end_us)."""
+    if not len(df):
+        return df
+    conv = df["conv_id"].to_numpy()
+    s = df["start_us"].to_numpy(dtype=np.int64)
+    new_conv = np.ones(len(df), dtype=bool)
+    new_conv[1:] = conv[1:] != conv[:-1]
+    conv_grp = np.cumsum(new_conv)
+    run_end = (
+        pd.Series(df["end_us"].to_numpy(dtype=np.int64))
+        .groupby(conv_grp).cummax().groupby(conv_grp).shift(1)
+    )
+    new_session = new_conv | ((s - run_end.to_numpy()) > gap_us)
+    sid = np.cumsum(new_session)
+    out = (
+        df.assign(__sid=sid)
+        .groupby("__sid", sort=False, as_index=False)
+        .agg(
+            conv_id=("conv_id", "first"),
+            start_us=("start_us", "min"),
+            end_us=("end_us", "max"),
+            n_turns=("n_turns", "sum"),
+        )
+        .drop(columns=["__sid"], errors="ignore")
+    )
+    return out[_SESS_STATE_COLS]
 
 
 @ray.remote
@@ -75,149 +125,196 @@ class StateShard:
         join_events: pd.DataFrame | None,
         sliding_partials: pd.DataFrame | None = None,
     ) -> int:
-        """Apply one epoch's (pre-aggregated, non-late) rows.
-        Returns rows applied (for engine metrics)."""
+        """Append one epoch's (pre-aggregated, non-late) rows — O(1);
+        all consolidation happens at finalize."""
         st = self.s
         n = 0
-
         if window_partials is not None and len(window_partials):
             n += len(window_partials)
-            for row in window_partials.itertuples(index=False):
-                key = (row.conv_id, int(row.window_start_us))
-                acc = st.windows.get(key)
-                if acc is None:
-                    st.windows[key] = [int(row.n_turns), int(row.n_user_turns),
-                                       int(row.n_tool_calls), int(row.sum_chars)]
-                else:
-                    acc[0] += int(row.n_turns)
-                    acc[1] += int(row.n_user_turns)
-                    acc[2] += int(row.n_tool_calls)
-                    acc[3] += int(row.sum_chars)
-
+            st.win_chunks.append(window_partials[_WIN_COLS])
         if sliding_partials is not None and len(sliding_partials):
             n += len(sliding_partials)
-            for row in sliding_partials.itertuples(index=False):
-                key = (row.conv_id, int(row.window_start_us))
-                acc = st.swindows.get(key)
-                if acc is None:
-                    st.swindows[key] = [int(row.n_turns), int(row.sum_chars)]
-                else:
-                    acc[0] += int(row.n_turns)
-                    acc[1] += int(row.sum_chars)
-
+            st.slide_chunks.append(sliding_partials[_SLIDE_COLS])
         if turns is not None and len(turns):
             n += len(turns)
-            for conv, g in turns.groupby("conv_id", sort=False):
-                sess = st.sessions.setdefault(conv, [])
-                for t in np.sort(g["ts_us"].to_numpy()):
-                    self._insert_session(sess, int(t))
-
+            ts = turns["ts_us"].to_numpy(dtype=np.int64)
+            st.sess_chunks.append(
+                pd.DataFrame(
+                    {"conv_id": turns["conv_id"].to_numpy(), "start_us": ts,
+                     "end_us": ts, "n_turns": np.int64(1)}
+                )
+            )
         if join_events is not None and len(join_events):
             n += len(join_events)
-            for row in join_events.itertuples(index=False):
-                j = st.join.setdefault(row.conv_id, {"inv": [], "tool": []})
-                if row.kind == "inv":
-                    insort(j["inv"], [int(row.turn_idx), row.tool, int(row.ts_us)])
-                else:
-                    insort(j["tool"], [int(row.turn_idx), int(row.ts_us)])
+            inv = join_events[join_events["kind"] == "inv"]
+            tool = join_events[join_events["kind"] == "tool"]
+            if len(inv):
+                st.inv_chunks.append(
+                    pd.DataFrame(
+                        {"conv_id": inv["conv_id"].to_numpy(),
+                         "turn_idx": inv["turn_idx"].to_numpy(dtype=np.int64),
+                         "tool": inv["tool"].to_numpy(),
+                         "ts_us": inv["ts_us"].to_numpy(dtype=np.int64)}
+                    )
+                )
+            if len(tool):
+                st.tool_chunks.append(
+                    pd.DataFrame(
+                        {"conv_id": tool["conv_id"].to_numpy(),
+                         "turn_idx": tool["turn_idx"].to_numpy(dtype=np.int64),
+                         "ts_us": tool["ts_us"].to_numpy(dtype=np.int64)}
+                    )
+                )
         return n
 
-    @staticmethod
-    def _insert_session(sess: list[list[int]], t: int) -> None:
-        """Insert a turn as a unit interval; intervals are merged lazily
-        (gap rule) at the start of every finalize, so the per-epoch cost
-        is one sort + one linear merge per conversation."""
-        insort(sess, [t, t, 1])
-
     # ------------------------------------------------------------------
-    def finalize(self, wm_us: int, flush: bool = False) -> dict:
+    @staticmethod
+    def _consolidate(base: pd.DataFrame, chunks: list, cols, width_us: int,
+                     wm_us: int, flush: bool):
+        """Window consolidation: concat + groupby-sum, split closable."""
+        frames = ([base] if len(base) else []) + chunks
+        if not frames:
+            return base, base  # both empty
+        allw = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        agg = allw.groupby(["conv_id", "window_start_us"], sort=False, as_index=False).sum()
+        if flush:
+            closed = agg.sort_values(["conv_id", "window_start_us"], kind="mergesort")
+            return closed.reset_index(drop=True)[cols], _empty(cols)
+        m = (agg["window_start_us"].to_numpy(dtype=np.int64) + width_us) <= wm_us
+        closed = agg[m].sort_values(["conv_id", "window_start_us"], kind="mergesort")
+        return closed.reset_index(drop=True)[cols], agg[~m].reset_index(drop=True)[cols]
+
+    def finalize(self, wm_us: int, flush: bool = False,
+                 stage_root: str | None = None, epoch: int | None = None) -> dict:
+        """Emit closed constructs (vectorized). With ``stage_root``, the
+        shard writes its own emission parquet files and returns file
+        names + row counts (distributed 2PC staging)."""
         st = self.s
-        gap = st.gap_us
 
-        # --- merge session intervals (gap rule), emit closed ones ---
-        closed_rows = []
-        for conv in sorted(st.sessions):
-            merged: list[list[int]] = []
-            for iv in st.sessions[conv]:
-                if merged and iv[0] - merged[-1][1] <= gap:
-                    merged[-1][1] = max(merged[-1][1], iv[1])
-                    merged[-1][2] += iv[2]
-                else:
-                    merged.append(list(iv))
-            keep = []
-            for iv in merged:
-                if flush or iv[1] + gap < wm_us:
-                    sid = st.session_seq.get(conv, 0)
-                    st.session_seq[conv] = sid + 1
-                    closed_rows.append((conv, sid, iv[2], iv[0], iv[1], iv[1] - iv[0]))
-                else:
-                    keep.append(iv)
-            if keep:
-                st.sessions[conv] = keep
-            else:
-                st.sessions.pop(conv, None)
+        win_closed, st.windows = self._consolidate(
+            st.windows, st.win_chunks, _WIN_COLS, st.width_us, wm_us, flush
+        )
+        st.win_chunks = []
+        slide_closed, st.swindows = self._consolidate(
+            st.swindows, st.slide_chunks, _SLIDE_COLS, st.slide_width_us, wm_us, flush
+        )
+        st.slide_chunks = []
 
-        # --- finalize windows ---
-        win_rows = []
-        for key in sorted(st.windows):
-            conv, ws = key
-            if flush or ws + st.width_us <= wm_us:
-                a = st.windows.pop(key)
-                win_rows.append((conv, ws, a[0], a[1], a[2], a[3]))
+        # --- sessions: vectorized interval merge, closed = prefix ---
+        frames = ([st.sessions] if len(st.sessions) else []) + st.sess_chunks
+        st.sess_chunks = []
+        if frames:
+            pts = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            pts = pts.sort_values(["conv_id", "start_us", "end_us"], kind="mergesort")
+            merged = merge_intervals(pts, st.gap_us)
+        else:
+            merged = _empty(_SESS_STATE_COLS)
+        if flush:
+            closed_m = np.ones(len(merged), dtype=bool)
+        else:
+            closed_m = (merged["end_us"].to_numpy(dtype=np.int64) + st.gap_us) < wm_us
+        closed_sess = merged[closed_m].sort_values(["conv_id", "start_us"], kind="mergesort").reset_index(drop=True)
+        st.sessions = merged[~closed_m].reset_index(drop=True)
+        # ordinal session ids continue per conversation
+        if len(closed_sess):
+            base = closed_sess["conv_id"].map(lambda c: st.session_seq.get(c, 0)).to_numpy()
+            ordinal = closed_sess.groupby("conv_id", sort=False).cumcount().to_numpy()
+            sids = (base + ordinal).astype(np.int32)
+            for c, k in closed_sess.groupby("conv_id", sort=False).size().items():
+                st.session_seq[c] = st.session_seq.get(c, 0) + int(k)
+        else:
+            sids = np.empty(0, dtype=np.int32)
+        sessions_out = pd.DataFrame(
+            {
+                "conv_id": closed_sess["conv_id"].to_numpy(),
+                "session_id": sids,
+                "n_turns": closed_sess["n_turns"].to_numpy(dtype=np.int64),
+                "start_us": closed_sess["start_us"].to_numpy(dtype=np.int64),
+                "end_us": closed_sess["end_us"].to_numpy(dtype=np.int64),
+                "duration_us": (
+                    closed_sess["end_us"].to_numpy(dtype=np.int64)
+                    - closed_sess["start_us"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
 
-        # --- finalize sliding windows ---
-        swin_rows = []
-        for key in sorted(st.swindows):
-            conv, ws = key
-            if flush or ws + st.slide_width_us <= wm_us:
-                a = st.swindows.pop(key)
-                swin_rows.append((conv, ws, a[0], a[1]))
+        # --- joins: batch backward-fill kernel over pending + new ---
+        inv_frames = ([st.inv] if len(st.inv) else []) + st.inv_chunks
+        st.inv_chunks = []
+        tool_frames = ([st.tool] if len(st.tool) else []) + st.tool_chunks
+        st.tool_chunks = []
+        inv = (pd.concat(inv_frames, ignore_index=True) if len(inv_frames) > 1
+               else (inv_frames[0] if inv_frames else _empty(_INV_COLS)))
+        tools = (pd.concat(tool_frames, ignore_index=True) if len(tool_frames) > 1
+                 else (tool_frames[0] if tool_frames else _empty(_TOOL_COLS)))
+        if len(inv):
+            ev = pd.concat(
+                [
+                    inv.assign(__is_tool=False),
+                    tools.assign(tool=None, __is_tool=True),
+                ],
+                ignore_index=True,
+            ).sort_values(["conv_id", "turn_idx", "__is_tool"], kind="mergesort")
+            is_tool = ev["__is_tool"].to_numpy()
+            ng = ev.groupby("conv_id", sort=False).ngroup()
+            t_idx = pd.Series(np.where(is_tool, ev["turn_idx"].to_numpy(dtype=np.float64), np.nan))
+            t_ts = pd.Series(np.where(is_tool, ev["ts_us"].to_numpy(dtype=np.float64), np.nan))
+            nxt_idx = t_idx.groupby(ng.values).shift(-1).groupby(ng.values).bfill().to_numpy()
+            nxt_ts = t_ts.groupby(ng.values).shift(-1).groupby(ng.values).bfill().to_numpy()
+            inv_m = ~is_tool
+            inv_rows = ev[inv_m]
+            n_idx, n_ts = nxt_idx[inv_m], nxt_ts[inv_m]
+            matched = ~np.isnan(n_ts) & (flush | (n_ts <= wm_us))
+            emit = matched | flush
+            join_out = pd.DataFrame(
+                {
+                    "conv_id": inv_rows["conv_id"].to_numpy()[emit],
+                    "invoke_idx": inv_rows["turn_idx"].to_numpy(dtype=np.int64)[emit].astype(np.int32),
+                    "tool": inv_rows["tool"].to_numpy()[emit],
+                    "response_idx": pd.array(np.where(matched, n_idx, np.nan)[emit], dtype="Float64").astype("Int32"),
+                    "latency_us": pd.array(
+                        np.where(matched, n_ts - inv_rows["ts_us"].to_numpy(dtype=np.float64), np.nan)[emit],
+                        dtype="Float64",
+                    ).astype("Int64"),
+                }
+            ).sort_values(["conv_id", "invoke_idx"], kind="mergesort").reset_index(drop=True)
+            st.inv = inv_rows[~emit][_INV_COLS].reset_index(drop=True)
+        else:
+            join_out = pd.DataFrame(
+                {"conv_id": pd.Series([], dtype=object), "invoke_idx": pd.Series([], dtype=np.int32),
+                 "tool": pd.Series([], dtype=object), "response_idx": pd.Series([], dtype="Int32"),
+                 "latency_us": pd.Series([], dtype="Int64")}
+            )
+            st.inv = inv
+        # GC tool turns the watermark has passed (order == ts order)
+        st.tool = tools[tools["ts_us"].to_numpy(dtype=np.int64) > wm_us][_TOOL_COLS].reset_index(drop=True)
 
-        # --- join matches ---
-        join_rows = []
-        for conv in sorted(st.join):
-            j = st.join[conv]
-            tools = j["tool"]
-            remaining_inv = []
-            for inv in j["inv"]:
-                idx, tool, ts = inv
-                match = None
-                for t in tools:
-                    if t[0] > idx:
-                        match = t
-                        break
-                if match is not None and (flush or match[1] <= wm_us):
-                    join_rows.append((conv, idx, tool, match[0], match[1] - ts))
-                elif flush:
-                    join_rows.append((conv, idx, tool, None, None))
-                else:
-                    remaining_inv.append(inv)
-            j["inv"] = remaining_inv
-            # GC: tool turns at/below the watermark can't serve any
-            # future invocation (ts order == turn_idx order)
-            j["tool"] = [t for t in tools if t[1] > wm_us]
-            if not j["inv"] and not j["tool"]:
-                st.join.pop(conv, None)
-
-        return {
-            "windows": pd.DataFrame(
-                win_rows,
-                columns=["conv_id", "window_start_us", "n_turns", "n_user_turns",
-                         "n_tool_calls", "sum_chars"],
-            ),
-            "sessions": pd.DataFrame(
-                closed_rows,
-                columns=["conv_id", "session_id", "n_turns", "start_us", "end_us", "duration_us"],
-            ),
-            "joins": pd.DataFrame(
-                join_rows,
-                columns=["conv_id", "invoke_idx", "tool", "response_idx", "latency_us"],
-            ),
-            "sliding": pd.DataFrame(
-                swin_rows,
-                columns=["conv_id", "window_start_us", "n_turns", "sum_chars"],
-            ),
+        frames_out = {
+            "windows": win_closed,
+            "sessions": sessions_out,
+            "joins": join_out,
+            "sliding": slide_closed,
         }
+        if stage_root is None:
+            return frames_out
+
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {"files": {}, "rows": {}}
+        for stream, df in frames_out.items():
+            out["rows"][stream] = int(len(df))
+            if not len(df):
+                out["files"][stream] = []
+                continue
+            d = os.path.join(stage_root, "staging", stream, f"epoch={epoch}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-shard{self.shard_id:05d}.parquet")
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+            out["files"][stream] = [os.path.relpath(path, stage_root)]
+        return out
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:
@@ -229,10 +326,11 @@ class StateShard:
             self.s = pickle.load(f)
 
     def stats(self) -> dict:
+        st = self.s
         return {
-            "open_windows": len(self.s.windows),
-            "open_sliding": len(self.s.swindows),
-            "open_sessions": sum(len(v) for v in self.s.sessions.values()),
-            "pending_inv": sum(len(v["inv"]) for v in self.s.join.values()),
-            "pending_tool": sum(len(v["tool"]) for v in self.s.join.values()),
+            "open_windows": int(len(st.windows)) + sum(len(c) for c in st.win_chunks),
+            "open_sliding": int(len(st.swindows)) + sum(len(c) for c in st.slide_chunks),
+            "open_sessions": int(len(st.sessions)) + sum(len(c) for c in st.sess_chunks),
+            "pending_inv": int(len(st.inv)) + sum(len(c) for c in st.inv_chunks),
+            "pending_tool": int(len(st.tool)) + sum(len(c) for c in st.tool_chunks),
         }

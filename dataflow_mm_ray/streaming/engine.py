@@ -59,15 +59,55 @@ US = 1_000_000
 STREAMS = ("windows", "sliding", "sessions", "joins", "late")
 
 
-def prepare_transcripts(sf_dir: str, path: str, num_partitions: int = 16) -> str:
-    """Materialize the canonical transcript table once (stream setup).
-    Moderate partition count: each epoch re-scans this table, so many
-    tiny files tax every tick."""
+def prepare_transcripts(sf_dir: str, path: str, n_epochs: int = 5,
+                        num_partitions: int = 16) -> str:
+    """Materialize the canonical transcript table once, PARTITIONED BY
+    ARRIVAL EPOCH (``path/epoch=N/part-*.parquet``): each engine tick
+    then reads only its own slice — the faithful analog of "files that
+    arrived since the last tick", and O(N) total scan work instead of
+    O(epochs x N)."""
+    from dataflow_mm_ray.partition import partition_map
     from dataflow_mm_ray.sources.transcripts import transcripts_from_events
 
-    if not os.path.exists(path):
-        os.makedirs(path, exist_ok=True)
-        transcripts_from_events(sf_dir, num_partitions=num_partitions).write_parquet(path)
+    meta_path = os.path.join(path, "_meta.json")
+    if os.path.exists(meta_path):
+        return path
+    os.makedirs(path, exist_ok=True)
+    ds = transcripts_from_events(sf_dir, num_partitions=num_partitions)
+
+    def add_epoch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["__epoch"] = partition_ids(
+            (b["conv_id"].astype(str) + "#" + b["turn_idx"].astype(str)).to_numpy(),
+            n_epochs,
+        )
+        return b
+
+    with_epoch = ds.map_batches(add_epoch, batch_format="pandas")
+
+    def write_epoch_files(part: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dataflow_mm_ray.hashing import stable_hash_array
+
+        counts = []
+        for e, g in part.groupby("__epoch", sort=False):
+            d = os.path.join(path, f"epoch={int(e)}")
+            os.makedirs(d, exist_ok=True)
+            token = int(stable_hash_array(np.asarray([g["conv_id"].iloc[0]], dtype=object))[0]) % (1 << 31)
+            f = os.path.join(d, f"part-{token:08x}-{len(g)}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(g.drop(columns="__epoch"), preserve_index=False), f
+            )
+            counts.append((int(e), len(g)))
+        return pd.DataFrame(counts, columns=["epoch", "rows"])
+
+    partition_map(with_epoch, "conv_id", write_epoch_files, num_partitions=num_partitions).to_pandas()
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_epochs": n_epochs}, f)
+    os.replace(tmp, meta_path)
     return path
 
 
@@ -88,6 +128,16 @@ class StreamingEngine:
         self.out_dir = out_dir
         self.checkpoint_dir = os.path.join(out_dir, "checkpoints")
         os.makedirs(self.checkpoint_dir, exist_ok=True)
+        meta_path = os.path.join(transcripts_path, "_meta.json")
+        self.epoch_partitioned = os.path.exists(meta_path)
+        if self.epoch_partitioned:
+            with open(meta_path) as f:
+                prep_epochs = json.load(f)["n_epochs"]
+            if prep_epochs != n_epochs:
+                raise ValueError(
+                    f"input is partitioned into {prep_epochs} arrival epochs; "
+                    f"engine configured for {n_epochs}"
+                )
         self.n_epochs = n_epochs
         self.n_shards = n_shards
         self.width_s = width_s
@@ -160,12 +210,16 @@ class StreamingEngine:
         n_epochs, n_shards = self.n_epochs, self.n_shards
         width_us = self.width_s * US
 
+        epoch_partitioned = self.epoch_partitioned
+
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            h = partition_ids(
-                (b["conv_id"].astype(str) + "#" + b["turn_idx"].astype(str)).to_numpy(),
-                n_epochs,
-            )
-            b = b[h == epoch]
+            if not epoch_partitioned:
+                # unpartitioned input: filter this tick's arrivals
+                h = partition_ids(
+                    (b["conv_id"].astype(str) + "#" + b["turn_idx"].astype(str)).to_numpy(),
+                    n_epochs,
+                )
+                b = b[h == epoch]
             if not len(b):
                 return pd.DataFrame(
                     {c: pd.Series([], dtype=d) for c, d in _EXTRACT_SCHEMA.items()}
@@ -186,7 +240,11 @@ class StreamingEngine:
             out["window_start_us"] = (out["ts_us"] // width_us) * width_us
             return out
 
-        ds = rd.read_parquet(self.transcripts_path)
+        if self.epoch_partitioned:
+            # a tick reads only its own arrival slice
+            ds = rd.read_parquet(os.path.join(self.transcripts_path, f"epoch={epoch}"))
+        else:
+            ds = rd.read_parquet(self.transcripts_path)
         return ds.map_batches(fn, batch_format="pandas")
 
     def run_epoch(self, epoch: int) -> None:
@@ -286,32 +344,28 @@ class StreamingEngine:
                 self.watermark_us, int(counters["__max_ts"].max()) - self.lateness_us
             )
         flush = epoch == self.n_epochs - 1
+        # distributed staging: each shard writes its own emission files;
+        # the driver only commits manifests over them
         emissions = ray.get(
-            [sh.finalize.remote(self.watermark_us, flush) for sh in self.shards]
+            [
+                sh.finalize.remote(self.watermark_us, flush,
+                                   stage_root=self.out_dir, epoch=epoch)
+                for sh in self.shards
+            ]
         )
-
-        def gather(key: str) -> pd.DataFrame:
-            frames = [e[key] for e in emissions if len(e[key])]
-            if not frames:
-                return pd.DataFrame()
-            return pd.concat(frames, ignore_index=True).sort_values(
-                list(frames[0].columns[:2])
-            ).reset_index(drop=True)
-
-        win_df, sess_df, join_df = gather("windows"), gather("sessions"), gather("joins")
-        slide_df = gather("sliding")
-        self.sink.stage_and_commit("windows", epoch, win_df, self.watermark_us)
-        self.sink.stage_and_commit("sliding", epoch, slide_df, self.watermark_us)
-        self.sink.stage_and_commit("sessions", epoch, sess_df, self.watermark_us)
-        self.sink.stage_and_commit("joins", epoch, join_df, self.watermark_us)
+        emitted_counts = {}
+        for stream in ("windows", "sliding", "sessions", "joins"):
+            files = [f for e in emissions for f in e["files"][stream]]
+            rows = sum(e["rows"][stream] for e in emissions)
+            emitted_counts[stream] = rows
+            self.sink.commit_files(stream, epoch, files, rows, self.watermark_us)
         self.sink.stage_and_commit("late", epoch, late.reset_index(drop=True), self.watermark_us)
         self._record_metrics(epoch, {
             "epoch": epoch,
             "input_rows": int(n_applied + len(late)),
             "late_rows": int(len(late)),
             "applied_rows": n_applied,
-            "emitted": {"windows": int(len(win_df)), "sliding": int(len(slide_df)),
-                        "sessions": int(len(sess_df)), "joins": int(len(join_df))},
+            "emitted": emitted_counts,
             "watermark_us": int(self.watermark_us),
             "shard_state": ray.get([sh.stats.remote() for sh in self.shards]),
         })

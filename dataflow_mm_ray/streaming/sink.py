@@ -72,6 +72,27 @@ class EpochSink:
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path(stream, epoch))
 
+    def commit_files(self, stream: str, epoch: int, files: list[str], rows: int,
+                     watermark_us: int):
+        """Commit a manifest over files ALREADY staged by workers/shards
+        (distributed staging — the driver never touches the rows).
+        No-op if the epoch is committed."""
+        if self.is_committed(stream, epoch):
+            return
+        manifest = {
+            "stream": stream,
+            "epoch": epoch,
+            "files": list(files),
+            "rows": int(rows),
+            "watermark_us": int(watermark_us),
+        }
+        tmp = self._manifest_path(stream, epoch) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path(stream, epoch))
+
     # -- readers -----------------------------------------------------------
     def committed_epochs(self, stream: str) -> list[int]:
         d = os.path.join(self.out_dir, "manifests", stream)

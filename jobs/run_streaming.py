@@ -47,7 +47,7 @@ def main() -> None:
 
     from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
 
-    tpath = prepare_transcripts(args.sf_dir, os.path.join(args.out, "transcripts"))
+    tpath = prepare_transcripts(args.sf_dir, os.path.join(args.out, "transcripts"), n_epochs=args.epochs)
     eng = StreamingEngine(
         tpath,
         args.out,

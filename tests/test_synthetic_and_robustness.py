@@ -84,7 +84,7 @@ def test_serving_error_quarantine():
 def test_resume_shard_count_guard(ray_session, tmp_path):
     from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
 
-    tp = prepare_transcripts("/root/testdata/sf0.001", str(tmp_path / "t"))
+    tp = prepare_transcripts("/root/testdata/sf0.001", str(tmp_path / "t"), n_epochs=2)
     eng = StreamingEngine(tp, str(tmp_path / "o"), n_epochs=2, n_shards=2, lateness_s=10**9)
     eng.run(stop_after=0)
     with pytest.raises(AssertionError, match="shard count"):
