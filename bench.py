@@ -241,7 +241,8 @@ def run_cep_scale() -> dict:
 
 def run_scaling() -> dict:
     base_sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    scale_dir = scaling_input(base_sf)
+    factor = int(os.environ.get("GRAFT_SCALE_FACTOR", str(SCALE_FACTOR)))
+    scale_dir = scaling_input(base_sf, factor=factor)
 
     def one(ncpu: int) -> dict:
         env = dict(
