@@ -565,3 +565,84 @@ def q_llm_judge_score(sf_dir: str):
         return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "score": np.asarray(scores, dtype=np.int32)})
 
     return judged.map_batches(parse, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# broadcast semi / anti join + distinct
+# ---------------------------------------------------------------------------
+
+from dataflow_mm_ray.sources.transcripts import TRANSCRIPTS_CTE as _CTE  # noqa: E402
+
+_HOT_CTE = """
+, hot AS (
+  SELECT conv_id FROM transcripts GROUP BY 1 ORDER BY count(*) DESC, conv_id LIMIT 10
+)
+"""
+
+
+def _hot_conv_set(sf_dir: str):
+    """Small side: the top-10 hot conversations, broadcast as a set."""
+    from dataflow_mm_ray.stages import stats
+
+    counts = transcripts_partitioned(sf_dir, stats.conv_count_kernel)
+    return frozenset(stats.topk_counts(counts.to_pandas(), 10)["conv_id"])
+
+
+@register(
+    "semi_join_hot",
+    _CTE + _HOT_CTE
+    + "SELECT conv_id, turn_idx, role FROM transcripts WHERE conv_id IN (SELECT conv_id FROM hot)",
+)
+def q_semi_join_hot(sf_dir: str):
+    """Broadcast semi join (guide pattern: small key set via ray.put +
+    filter inside the partition kernel — no extra shuffle): turns of
+    the hot conversations."""
+    import ray
+
+    hot_ref = ray.put(_hot_conv_set(sf_dir))
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(hot_ref)
+        return b.loc[b["conv_id"].isin(hot), ["conv_id", "turn_idx", "role"]]
+
+    return transcripts_partitioned(sf_dir, filt)
+
+
+@register(
+    "anti_join_hot",
+    _CTE + _HOT_CTE
+    + "SELECT conv_id, count(*) AS n_turns FROM transcripts "
+      "WHERE conv_id NOT IN (SELECT conv_id FROM hot) GROUP BY 1",
+)
+def q_anti_join_hot(sf_dir: str):
+    """Broadcast anti join: per-conv turn counts excluding the hot set."""
+    import ray
+
+    hot_ref = ray.put(_hot_conv_set(sf_dir))
+
+    def kernel(t: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(hot_ref)
+        kept = t[~t["conv_id"].isin(hot)]
+        return (
+            kept.groupby("conv_id", as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n_turns"})
+        )
+
+    return transcripts_partitioned(sf_dir, kernel)
+
+
+@register(
+    "distinct_tools",
+    _CTE + "SELECT DISTINCT tool FROM transcripts WHERE tool IS NOT NULL",
+)
+def q_distinct_tools(sf_dir: str):
+    """Distinct values (dedup_and_sort helper, utils.py:292-295):
+    per-partition uniques, then a tiny global dedup."""
+
+    def kernel(t: pd.DataFrame) -> pd.DataFrame:
+        u = t.loc[t["tool"].notna(), "tool"].unique()
+        return pd.DataFrame({"tool": u})
+
+    partials = transcripts_partitioned(sf_dir, kernel)
+    return partials.to_pandas().drop_duplicates().reset_index(drop=True)
