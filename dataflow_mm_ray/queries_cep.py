@@ -37,7 +37,7 @@ SELECT conv_id,
        count(*) AS n_turns,
        count(*) FILTER (WHERE role = 'user') AS n_user_turns,
        count(*) FILTER (WHERE role = 'assistant' AND tool IS NOT NULL) AS n_tool_calls,
-       sum(length(text)) AS sum_chars
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
 FROM transcripts
 GROUP BY 1, 2
 """,
@@ -59,7 +59,7 @@ def q_tumbling(sf_dir: str):
                         - off.i * CAST({SLIDING_SLIDE_S} AS BIGINT) * 1000000) AS window_start
   FROM transcripts CROSS JOIN (SELECT unnest(range({SLIDING_WIDTH_S // SLIDING_SLIDE_S})) AS i) off
 )
-SELECT conv_id, window_start, count(*) AS n_turns, sum(length(text)) AS sum_chars
+SELECT conv_id, window_start, count(*) AS n_turns, CAST(sum(length(text)) AS BIGINT) AS sum_chars
 FROM slid GROUP BY 1, 2
 """,
 )
@@ -108,8 +108,8 @@ def q_session(sf_dir: str):
   SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'tool'
 )
 SELECT i.conv_id, i.turn_idx AS invoke_idx, i.tool,
-       CAST(r.turn_idx AS INTEGER) AS response_idx,
-       epoch_us(r.ts) - epoch_us(i.ts) AS latency_us
+       CAST(r.turn_idx AS DOUBLE) AS response_idx,
+       CAST(epoch_us(r.ts) - epoch_us(i.ts) AS DOUBLE) AS latency_us
 FROM inv i LEFT JOIN resp r
   ON r.conv_id = i.conv_id AND r.turn_idx > i.turn_idx
 QUALIFY row_number() OVER (PARTITION BY i.conv_id, i.turn_idx ORDER BY r.turn_idx NULLS LAST) = 1

@@ -50,7 +50,7 @@ def q_topk_cosine(sf_dir: str):
   SELECT vec_id, sim_e9 FROM pair
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim_e9 DESC, other) <= {KNN_K}
 ), s AS (
-  SELECT vec_id, sum(sim_e9) AS sum_knn_sim_e9 FROM topk GROUP BY 1
+  SELECT vec_id, CAST(sum(sim_e9) AS BIGINT) AS sum_knn_sim_e9 FROM topk GROUP BY 1
 )
 SELECT vec_id, sum_knn_sim_e9 FROM s
 WHERE sum_knn_sim_e9 < (SELECT quantile_cont(sum_knn_sim_e9, {KNN_KEEP_RATIO}) FROM s)

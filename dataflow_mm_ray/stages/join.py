@@ -27,8 +27,8 @@ _EMPTY = pd.DataFrame(
         "conv_id": pd.Series([], dtype=object),
         "invoke_idx": pd.Series([], dtype=np.int32),
         "tool": pd.Series([], dtype=object),
-        "response_idx": pd.Series([], dtype="Int32"),
-        "latency_us": pd.Series([], dtype="Int64"),
+        "response_idx": pd.Series([], dtype=np.float64),
+        "latency_us": pd.Series([], dtype=np.float64),
     }
 )
 
@@ -56,12 +56,14 @@ def _join_partition(part: pd.DataFrame) -> pd.DataFrame:
             "conv_id": part.loc[inv_mask, "conv_id"].to_numpy(),
             "invoke_idx": turn[inv_mask].astype(np.int32),
             "tool": part.loc[inv_mask, "tool"].to_numpy(),
-            "response_idx": pd.array(
-                next_tool_turn.to_numpy()[inv_mask], dtype="Float64"
-            ).astype("Int32"),
-            "latency_us": pd.array(
-                next_tool_ts.to_numpy()[inv_mask] - ts_us[inv_mask], dtype="Float64"
-            ).astype("Int64"),
+            # canonical dtype for the nullable join columns is float64
+            # (NaN for unmatched) on BOTH engine and oracle sides: DuckDB's
+            # .df() converts NULL-able ints to float64, and the driver's
+            # value hash is representation-sensitive (VERDICT r1 #2).
+            "response_idx": next_tool_turn.to_numpy()[inv_mask].astype(np.float64),
+            "latency_us": (next_tool_ts.to_numpy()[inv_mask] - ts_us[inv_mask]).astype(
+                np.float64
+            ),
         }
     )
     return out
@@ -75,8 +77,8 @@ def join_kernel(turns: pd.DataFrame) -> pd.DataFrame:
 def tool_response_join(transcripts, num_partitions: int = DEFAULT_NUM_PARTITIONS):
     """Correlate tool invocations with their responses.
 
-    Returns: conv_id, invoke_idx (int32), tool, response_idx (nullable
-    int32), latency_us (nullable int64, response ts - invoke ts).
+    Returns: conv_id, invoke_idx (int32), tool, response_idx (float64,
+    NaN if unmatched), latency_us (float64 µs, response ts - invoke ts).
     """
     return partition_map(
         transcripts,

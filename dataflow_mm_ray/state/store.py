@@ -271,19 +271,20 @@ class StateShard:
                     "conv_id": inv_rows["conv_id"].to_numpy()[emit],
                     "invoke_idx": inv_rows["turn_idx"].to_numpy(dtype=np.int64)[emit].astype(np.int32),
                     "tool": inv_rows["tool"].to_numpy()[emit],
-                    "response_idx": pd.array(np.where(matched, n_idx, np.nan)[emit], dtype="Float64").astype("Int32"),
-                    "latency_us": pd.array(
-                        np.where(matched, n_ts - inv_rows["ts_us"].to_numpy(dtype=np.float64), np.nan)[emit],
-                        dtype="Float64",
-                    ).astype("Int64"),
+                    # float64/NaN — the canonical nullable representation,
+                    # matching the batch join kernel (stages/join.py).
+                    "response_idx": np.where(matched, n_idx, np.nan)[emit].astype(np.float64),
+                    "latency_us": np.where(
+                        matched, n_ts - inv_rows["ts_us"].to_numpy(dtype=np.float64), np.nan
+                    )[emit].astype(np.float64),
                 }
             ).sort_values(["conv_id", "invoke_idx"], kind="mergesort").reset_index(drop=True)
             st.inv = inv_rows[~emit][_INV_COLS].reset_index(drop=True)
         else:
             join_out = pd.DataFrame(
                 {"conv_id": pd.Series([], dtype=object), "invoke_idx": pd.Series([], dtype=np.int32),
-                 "tool": pd.Series([], dtype=object), "response_idx": pd.Series([], dtype="Int32"),
-                 "latency_us": pd.Series([], dtype="Int64")}
+                 "tool": pd.Series([], dtype=object), "response_idx": pd.Series([], dtype=np.float64),
+                 "latency_us": pd.Series([], dtype=np.float64)}
             )
             st.inv = inv
         # GC tool turns the watermark has passed (order == ts order)
