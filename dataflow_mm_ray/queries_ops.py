@@ -247,10 +247,18 @@ WHERE value > (SELECT quantile_cont(value, 1 - {KEEP_RATIO}) FROM events)
 def q_value_percentile(sf_dir: str):
     """CLIPScoreFilter-style global keep_ratio cut (clipscore_filter.py
     keep_ratio; knn_similarity_filter.py:194-196 percentile pattern):
-    keep the top KEEP_RATIO fraction by score."""
-    ev = read_table(sf_dir, "events", columns=["event_id", "value"]).to_pandas()
-    thr = np.percentile(ev["value"].to_numpy(), (1 - KEEP_RATIO) * 100)
-    return ev[ev["value"] > thr].reset_index(drop=True)
+    keep the top KEEP_RATIO fraction by score. The threshold comes from
+    the distributed exact-quantile pass (stages/percentile.py) over a
+    column-pruned read; the filter itself is a streamed map_batches —
+    the events table never lands on the driver."""
+    from dataflow_mm_ray.stages.percentile import exact_quantile
+
+    vals = read_table(sf_dir, "events", columns=["value"])
+    thr = exact_quantile(vals, "value", 1 - KEEP_RATIO)
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    return ev.map_batches(
+        lambda b, thr=thr: b[b["value"] > thr], batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

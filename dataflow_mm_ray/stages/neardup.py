@@ -3,36 +3,41 @@
 The reference's only near-dup machinery is an O(n^2) pairwise cosine
 matrix (``image_deduplication_filter.py:138``) and a stubbed
 ``min_hashes`` column hook (``dataflow/utils/storage.py:289-291``).
-Here the scalable shapes are built instead:
+Here the scalable shapes are built instead — every stage distributed,
+nothing doc-scale ever lands on the driver:
 
-- **MinHash-LSH**: shingle -> 64 minhashes -> 8 bands x 8 rows ->
-  ``groupby(band_id, band_key)`` (ONE shuffle; no all-pairs) ->
-  within-bucket candidate pairs -> exact Jaccard verification ->
-  first-wins keep decision (duplicate iff a verified pair exists with
-  an earlier doc_id — the order rule of image_deduplication_filter.py:143-157).
+- **MinHash-LSH**: shingle -> 64 minhashes -> 16 bands x 4 rows ->
+  ``partition_map(band_key)`` (ONE shuffle; no all-pairs) ->
+  within-bucket candidate pairs -> exact Jaccard verification via a
+  partitioned hash join of the pair list against the shingled doc
+  table (two keyed exchanges; the shingle dictionary is never
+  collected or broadcast) -> distributed first-wins keep decision
+  (keyed merge of per-pair partials against the doc-id spine — the
+  order rule of image_deduplication_filter.py:143-157).
 - **SimHash**: 64-bit sign-aggregated word-hash signature; banding into
   4 x 16-bit blocks for candidate generation (any near pair within
-  Hamming distance 3 shares >= 1 exact block); verify Hamming <= k.
+  Hamming distance 3 shares >= 1 exact block — pigeonhole, so the
+  banded candidate set is EXACT for max_hamming <= 3); per-bucket
+  Hamming verification emits, for every doc, the minimum doc_id within
+  distance k seen in that bucket; a second keyed merge takes the
+  global min => keep iff no earlier doc is within distance k. This is
+  bit-identical to a sequential first-wins scan in doc_id order.
 - **n-gram Jaccard** is the verification kernel of the MinHash path and
   is exposed standalone for pair scoring.
 
 Hashing is SipHash-based (process-stable, see hashing.py); all
 pipelines are deterministic, so re-runs and resumes agree bit-for-bit.
 
-Scale notes: candidate-pair verification here broadcasts the
-shingle-set / signature dictionary (fine to ~10^6 docs); the 10^12-doc
-path replaces the broadcast with a partitioned hash join of the pair
-list against the doc table on doc_id — same downstream semantics.
-Bucket sizes are capped (``max_bucket``) so a degenerate band (e.g.
-empty-text docs) cannot produce a quadratic pair blow-up; capped
-buckets are dropped and logged in the output metrics, never silently
-mis-deduped.
+Scale notes: bucket sizes are capped (``max_bucket``) so a degenerate
+band (e.g. empty-text docs) cannot produce a quadratic pair blow-up;
+capped buckets are dropped, never silently mis-deduped. The shingled
+doc table is materialized once (distributed blocks in the object
+store, spilling as needed) because two join passes consume it.
 """
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import ray
 
 from dataflow_mm_ray.functions.textstats import normalize_basic
 from dataflow_mm_ray.hashing import stable_hash_array
@@ -48,8 +53,12 @@ SHINGLE_W = 3
 
 
 def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    # a < 2^31 and the shingle hash folded to 32 bits, so a*h + b fits
+    # uint64 exactly (a*h < 2^63, b < 2^61) and the mod-(2^61-1)
+    # identity holds — a true universal family over 32-bit inputs
+    # (the previous 64-bit multiply wrapped mod 2^64 first).
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, 1 << 31, size=N_PERM).astype(np.uint64)
     b = rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
     return a, b
 
@@ -74,8 +83,9 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     """64 minhash values (uint64) via universal hashing mod 2^61-1."""
     if len(shingles) == 0:
         return np.full(N_PERM, _MERSENNE, dtype=np.uint64)
-    # (a * h + b) mod p, vectorized over (perm, shingle)
-    hs = (shingles % _MERSENNE).astype(np.uint64)
+    # fold the 64-bit shingle hash to 32 bits so the (a*h+b) product is
+    # exact in uint64 (see _perm_params)
+    hs = ((shingles >> np.uint64(32)) ^ shingles) & np.uint64(0xFFFFFFFF)
     prod = (_PERM_A[:, None] * hs[None, :] + _PERM_B[:, None]) % np.uint64(_MERSENNE)
     return prod.min(axis=1)
 
@@ -102,6 +112,19 @@ def simhash64(text: str) -> np.uint64:
         if votes[i] > 0:
             sig |= np.uint64(1) << np.uint64(i)
     return sig
+
+
+# 16-bit popcount table for vectorized Hamming distance (numpy < 2.0
+# has no bitwise_count)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    out = _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        out += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
 
 
 def hamming64(a: np.uint64, b: np.uint64) -> int:
@@ -154,66 +177,134 @@ def _candidate_pairs(ds_docs, id_col: str, text_col: str, max_bucket: int = 1000
         return pd.DataFrame({"lo": np.concatenate(out_lo), "hi": np.concatenate(out_hi)}).drop_duplicates()
 
     # one shuffle: group band rows by band bucket. A pair found by
-    # several bands may appear in several partitions; the duplicate
-    # candidates are deduplicated after (cheap) verification rather
-    # than paying an extra shuffle here.
+    # several bands may appear in several partitions; pairs are
+    # globally deduplicated by the next keyed exchange (on ``lo``).
     from dataflow_mm_ray.partition import partition_map
 
     return partition_map(bands, "band_key", bucket_pairs, num_partitions=16)
 
 
+def _keep_from_pairs(docs_ids_ds, verified_pairs_ds, id_col: str, num_partitions: int = 16):
+    """Distributed first-wins keep decision: merge per-pair partials
+    (partner counts; dup marks on the later member ``hi``) against the
+    doc-id spine with ONE keyed exchange. Returns a Dataset of
+    (id_col, keep, n_dup_partners) sorted by id within partitions."""
+    from dataflow_mm_ray.partition import partition_map
+
+    def pair_partials(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([b["lo"].to_numpy(), b["hi"].to_numpy()])
+        part = pd.DataFrame({"doc_id": ids}).groupby("doc_id", as_index=False, sort=False).size()
+        dup = pd.DataFrame({"doc_id": b["hi"].unique()})
+        out = part.rename(columns={"size": "n_partners"})
+        out["n_dup"] = out["doc_id"].isin(dup["doc_id"]).astype(np.int64)
+        out["n_partners"] = out["n_partners"].astype(np.int64)
+        out["is_doc"] = np.int64(0)
+        return out[["doc_id", "n_partners", "n_dup", "is_doc"]]
+
+    def doc_spine(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+                "n_partners": np.int64(0),
+                "n_dup": np.int64(0),
+                "is_doc": np.int64(1),
+            }
+        )
+
+    partials = verified_pairs_ds.map_batches(pair_partials, batch_format="pandas")
+    spine = docs_ids_ds.map_batches(doc_spine, batch_format="pandas")
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby("doc_id", as_index=False, sort=False).sum()
+        agg = agg[agg["is_doc"] > 0].sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                id_col: agg["doc_id"].to_numpy(),
+                "keep": (agg["n_dup"].to_numpy() == 0),
+                "n_dup_partners": agg["n_partners"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return partition_map(spine.union(partials), "doc_id", merge, num_partitions=num_partitions)
+
+
 def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "documents",
-                      id_col: str = "doc_id", text_col: str = "text", ds=None):
-    """Full MinHash-LSH near-dup pipeline. Returns (doc_id, keep,
-    n_dup_partners) for every document; keep follows first-wins order."""
+                      id_col: str = "doc_id", text_col: str = "text", ds=None,
+                      num_partitions: int = 16):
+    """Full MinHash-LSH near-dup pipeline, fully distributed. Returns a
+    Dataset of (doc_id, keep, n_dup_partners) for every document; keep
+    follows first-wins order (duplicate = later member of a verified
+    pair)."""
+    from dataflow_mm_ray.partition import hash_join, partition_map
+
     docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
-    pairs = _candidate_pairs(docs, id_col, text_col)
-
-    # broadcast shingle sets for verification (scale path: partitioned
-    # hash join pair-list x docs — same semantics). Shingling runs
-    # DISTRIBUTED; the driver only assembles (id -> array) refs.
+    # the shingled table is consumed by BOTH join passes — materialize
+    # once so shingling doesn't run twice; blocks stay distributed in
+    # the object store (spill-backed), never on the driver.
     def shingle_batch(b: pd.DataFrame) -> pd.DataFrame:
-        out = b[[id_col]].copy(deep=False)
-        out["__sh"] = [shingle_set(t if isinstance(t, str) else "") for t in b[text_col]]
-        return out
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy().astype(np.int64),
+                "__sh": [shingle_set(t if isinstance(t, str) else "") for t in b[text_col]],
+            }
+        )
 
-    sh_pd = docs.map_batches(shingle_batch, batch_format="pandas", batch_size=512).to_pandas()
-    docs_pd = sh_pd[[id_col]]
-    shingles = {int(i): s for i, s in zip(sh_pd[id_col], sh_pd["__sh"])}
-    sh_ref = ray.put(shingles)
+    sh = docs.map_batches(shingle_batch, batch_format="pandas", batch_size=512).materialize()
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = ray.get(sh_ref)
-        lo = batch["lo"].to_numpy()
-        hi = batch["hi"].to_numpy()
+    pairs = _candidate_pairs(docs, id_col, text_col)
+    # global candidate dedup (a pair can surface from several bands and
+    # band partitions): one keyed exchange on lo co-locates all copies
+    pairs = partition_map(pairs, "lo", lambda p: p.drop_duplicates(), num_partitions=num_partitions)
+
+    # Jaccard verification as two partitioned hash joins of the pair
+    # list against the shingled doc table (the docstring's promised
+    # scale path — no driver collect, no whole-corpus broadcast).
+    def as_lo_key(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"lo": "doc_id"})
+
+    j1 = hash_join(
+        pairs.map_batches(as_lo_key, batch_format="pandas"), sh, "doc_id",
+        num_partitions=num_partitions,
+    )
+
+    def rekey_hi(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["hi"].to_numpy(), "lo": b["doc_id"].to_numpy(), "__sh_lo": b["__sh"]}
+        )
+
+    j2 = hash_join(
+        j1.map_batches(rekey_hi, batch_format="pandas"), sh, "doc_id",
+        num_partitions=num_partitions,
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.int64), "hi": pd.Series([], dtype=np.int64)})
+        lo = b["lo"].to_numpy().astype(np.int64)
+        hi = b["doc_id"].to_numpy().astype(np.int64)
         jac = np.fromiter(
-            (jaccard(sh[int(a)], sh[int(b)]) for a, b in zip(lo, hi)),
+            (jaccard(a, c) for a, c in zip(b["__sh_lo"], b["__sh"])),
             dtype=np.float64,
-            count=len(lo),
+            count=len(b),
         )
         m = jac >= threshold
         return pd.DataFrame({"lo": lo[m], "hi": hi[m]})
 
-    dup_pairs = pairs.map_batches(verify, batch_format="pandas").to_pandas().drop_duplicates()
-    dup_ids = set(dup_pairs["hi"].tolist())  # duplicate = later member of a pair
-    partners = pd.concat(
-        [dup_pairs["lo"], dup_pairs["hi"]], ignore_index=True
-    ).value_counts() if len(dup_pairs) else pd.Series(dtype=np.int64)
-
-    out = pd.DataFrame(
-        {
-            id_col: docs_pd[id_col].to_numpy(),
-            "keep": [int(i) not in dup_ids for i in docs_pd[id_col]],
-            "n_dup_partners": [int(partners.get(i, 0)) for i in docs_pd[id_col]],
-        }
-    ).sort_values(id_col).reset_index(drop=True)
-    return out
+    verified = j2.map_batches(verify, batch_format="pandas")
+    docs_ids = sh  # (doc_id, __sh) — only doc_id is read by the spine
+    return _keep_from_pairs(docs_ids, verified, id_col, num_partitions=num_partitions)
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
-                  id_col: str = "doc_id", text_col: str = "text", ds=None):
-    """SimHash near-dup with 4x16-bit banding. Returns (doc_id, simhash,
-    keep) under first-wins order."""
+                  id_col: str = "doc_id", text_col: str = "text", ds=None,
+                  max_bucket: int = 4096, num_partitions: int = 16):
+    """SimHash near-dup with 4x16-bit banding, fully distributed.
+    Returns a Dataset of (doc_id, simhash, keep): keep is False iff some
+    earlier doc (lower doc_id) is within ``max_hamming`` — identical to
+    a sequential first-wins scan (the candidate set is exact for
+    max_hamming <= 3 by pigeonhole over the 4 blocks)."""
+    from dataflow_mm_ray.partition import partition_map
+
     docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
 
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -221,29 +312,83 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
             [simhash64(t if isinstance(t, str) else "") for t in batch[text_col]],
             dtype=np.uint64,
         )
-        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "simhash": sigs.astype(np.int64)})
+        return pd.DataFrame(
+            {"doc_id": batch[id_col].to_numpy().astype(np.int64), "simhash": sigs.astype(np.int64)}
+        )
 
-    signed = docs.map_batches(sign, batch_format="pandas", batch_size=512)
-    sig_pd = signed.to_pandas().sort_values(id_col).reset_index(drop=True)
+    signed = docs.map_batches(sign, batch_format="pandas", batch_size=512).materialize()
 
-    # banding: 4 x 16-bit exact-match blocks (pigeonhole: hamming<=3 =>
-    # at least one of 4 blocks identical)
-    ids = sig_pd[id_col].to_numpy()
-    sigs = sig_pd["simhash"].to_numpy().astype(np.uint64)
-    dup = np.zeros(len(ids), dtype=bool)
-    seen: dict[tuple[int, int], list[int]] = {}
-    for pos in range(len(ids)):
-        sig = int(sigs[pos])
-        partners: set[int] = set()
+    def band(b: pd.DataFrame) -> pd.DataFrame:
+        sig = b["simhash"].to_numpy().astype(np.uint64)
+        ids = b["doc_id"].to_numpy()
+        frames = []
         for blk in range(4):
-            key = (blk, (sig >> (16 * blk)) & 0xFFFF)
-            partners.update(seen.get(key, ()))
-        for p in partners:
-            if hamming64(np.uint64(sigs[p]), np.uint64(sig)) <= max_hamming:
-                dup[pos] = True
-                break
-        for blk in range(4):
-            key = (blk, (sig >> (16 * blk)) & 0xFFFF)
-            seen.setdefault(key, []).append(pos)
-    sig_pd["keep"] = ~dup
-    return sig_pd
+            key16 = ((sig >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "bk": (np.int64(blk) << np.int64(16)) | key16,
+                        "doc_id": ids,
+                        "simhash": b["simhash"].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    bands = signed.map_batches(band, batch_format="pandas")
+
+    def bucket_min(part: pd.DataFrame) -> pd.DataFrame:
+        """Per bucket: for each doc, the min doc_id within max_hamming
+        among bucket members (including itself)."""
+        out_id, out_dmin = [], []
+        for _, grp in part.groupby("bk", sort=False):
+            sigs = grp["simhash"].to_numpy().astype(np.uint64)
+            ids = grp["doc_id"].to_numpy()
+            u, inv = np.unique(sigs, return_inverse=True)
+            if len(u) > max_bucket:
+                continue  # degenerate bucket: dropped, never mis-deduped
+            # min doc_id per unique signature
+            m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(m, inv, ids)
+            # pairwise Hamming between unique sigs, then per-sig min of
+            # m over sigs within distance k
+            ham = _popcount64(u[:, None] ^ u[None, :])
+            within = ham <= max_hamming
+            dm = np.where(within, m[None, :], np.iinfo(np.int64).max).min(axis=1)
+            out_id.append(ids)
+            out_dmin.append(dm[inv])
+        if not out_id:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64), "dmin": pd.Series([], dtype=np.int64),
+                 "simhash": pd.Series([], dtype=np.int64), "is_doc": pd.Series([], dtype=np.int64)}
+            )
+        ids = np.concatenate(out_id)
+        return pd.DataFrame(
+            {"doc_id": ids, "dmin": np.concatenate(out_dmin),
+             "simhash": np.zeros(len(ids), dtype=np.int64), "is_doc": np.zeros(len(ids), dtype=np.int64)}
+        )
+
+    bucket_out = partition_map(bands, "bk", bucket_min, num_partitions=num_partitions)
+
+    def spine(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(), "dmin": b["doc_id"].to_numpy(),
+             "simhash": b["simhash"].to_numpy(), "is_doc": np.ones(len(b), dtype=np.int64)}
+        )
+
+    base = signed.map_batches(spine, batch_format="pandas")
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby("doc_id", as_index=False, sort=False).agg(
+            dmin=("dmin", "min"), simhash=("simhash", "sum"), is_doc=("is_doc", "sum")
+        )
+        agg = agg[agg["is_doc"] > 0].sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].to_numpy(),
+                "simhash": agg["simhash"].to_numpy(),  # only the spine row carries it
+                "keep": agg["dmin"].to_numpy() >= agg["doc_id"].to_numpy(),
+            }
+        )
+
+    return partition_map(base.union(bucket_out), "doc_id", merge, num_partitions=num_partitions)

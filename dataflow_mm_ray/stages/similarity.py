@@ -50,15 +50,19 @@ def _round9(x):
     return np.rint(x * 1e9) / 1e9
 
 
-def _normalized_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _normalized_matrix(sf_dir: str, filters=None) -> tuple[np.ndarray, np.ndarray]:
     """Load embeddings as a (vec_ids, unit-norm float64 matrix) pair.
 
     Driver-side materialization of the broadcast side only — at scale
-    this is the small reference set / centroid table, not the stream.
+    this is the small reference set / centroid table, not the stream;
+    pass ``filters`` (pyarrow row filters) to prune to the broadcast
+    rows at the read.
     """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], filters=filters
+    )
     ids = t["vec_id"].to_numpy()
     order = np.argsort(ids)
     col = t["embedding"].combine_chunks()
@@ -83,9 +87,9 @@ def _batch_matrix(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
 def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
     """For each query vector (vec_id < n_queries): top-k most similar
     other vectors by cosine. Returns query_id, vec_id, sim."""
-    q_ids_all, q_mat_all = _normalized_matrix(sf_dir)
-    mask = q_ids_all < n_queries
-    q_ids, q_mat = q_ids_all[mask], q_mat_all[mask]
+    # only the (small) query rows are read driver-side — row-filtered
+    # at the parquet read, never the full table
+    q_ids, q_mat = _normalized_matrix(sf_dir, filters=[("vec_id", "<", n_queries)])
     q_ref = ray.put((q_ids, q_mat))
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -150,14 +154,17 @@ def knn_percentile_filter(sf_dir: str, k: int = 10, keep_ratio: float = 0.6):
         return pd.DataFrame({"vec_id": ids, "sum_knn_sim_e9": nano.sum(axis=1)})
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(knn_sum, batch_format="pandas", batch_size=SIM_BATCH)
-    # global percentile: two-pass — collect the 1-column score vector.
-    # (At 10^12 rows this becomes a t-digest/sampled quantile; exact here
-    # for oracle parity.)
-    sdf = scored.to_pandas()
-    thr = np.percentile(sdf["sum_knn_sim_e9"].to_numpy(), keep_ratio * 100)
-    kept = sdf[sdf["sum_knn_sim_e9"] < thr].reset_index(drop=True)
-    return kept
+    # materialize the (vec_id, score) table once — the quantile passes
+    # re-consume it, and recomputing the matmul per pass would be worse;
+    # blocks stay distributed in the object store.
+    scored = ds.map_batches(knn_sum, batch_format="pandas", batch_size=SIM_BATCH).materialize()
+    from dataflow_mm_ray.stages.percentile import exact_quantile
+
+    thr = exact_quantile(scored, "sum_knn_sim_e9", keep_ratio)
+    # distributed filter; output stays a Dataset (never driver pandas)
+    return scored.map_batches(
+        lambda b, thr=thr: b[b["sum_knn_sim_e9"] < thr], batch_format="pandas"
+    )
 
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.4):
@@ -192,11 +199,33 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4):
 # IVF — the ANN scale path
 # ---------------------------------------------------------------------------
 
+def training_sample(sf_dir: str, max_train: int = 100_000) -> np.ndarray:
+    """Deterministic bounded sample of the embedding table for centroid
+    training: rows whose stable vec_id hash lands in a 1/m stratum
+    (m = ceil(n / max_train)), filtered DISTRIBUTED in map_batches and
+    collected only after the bound is known. Never the full matrix."""
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.hashing import stable_hash_array
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    m = max(1, -(-n // max_train))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        h = stable_hash_array(b["vec_id"].to_numpy().astype(np.int64))
+        return b[(h % np.uint64(m)) == 0]
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sampled = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    _, mat = _batch_matrix(sampled)
+    return mat
+
+
 def ivf_centroids(mat: np.ndarray, n_clusters: int = 16, iters: int = 5, seed: int = 11) -> np.ndarray:
     """Seeded spherical k-means over unit vectors (cosine == dot).
-    Deterministic: fixed init sample, fixed iteration count. At 10^12
-    scale this runs on a driver-side sample / minibatch; the centroid
-    table is the broadcast side."""
+    Deterministic: fixed init sample, fixed iteration count. Trained on
+    the bounded ``training_sample``; the centroid table is the
+    broadcast side."""
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)].copy()
     for _ in range(iters):
@@ -223,10 +252,8 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     broadcast centroid table — the full-matrix matmul shrinks to the
     probed fraction; a keyed variant (groupby cluster) co-locates
     buckets when the probe sets are dense."""
-    ids_all, mat_all = _normalized_matrix(sf_dir)
-    cent = ivf_centroids(mat_all, n_clusters=n_clusters)
-    qmask = ids_all < n_queries
-    q_ids, q_mat = ids_all[qmask], mat_all[qmask]
+    cent = ivf_centroids(training_sample(sf_dir), n_clusters=n_clusters)
+    q_ids, q_mat = _normalized_matrix(sf_dir, filters=[("vec_id", "<", n_queries)])
     # probe set per query: top-nprobe centroids
     probes = np.argsort(-(q_mat @ cent.T), axis=1, kind="stable")[:, :nprobe]
     ref = ray.put((q_ids, q_mat, cent, probes))

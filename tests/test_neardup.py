@@ -56,7 +56,7 @@ def test_minhash_lsh_dedup_recall_and_first_wins(ray_session, corpus, tmp_path):
 
     from dataflow_mm_ray.stages.neardup import minhash_lsh_dedup
 
-    out = minhash_lsh_dedup("", threshold=0.5, ds=rd.from_pandas(corpus))
+    out = minhash_lsh_dedup("", threshold=0.5, ds=rd.from_pandas(corpus)).to_pandas()
     keep = dict(zip(out["doc_id"], out["keep"]))
     assert keep[60]  # first occurrence survives
     assert not keep[63]  # exact dup of 60 dropped
@@ -80,7 +80,49 @@ def test_simhash_dedup_first_wins(ray_session, corpus):
 
     from dataflow_mm_ray.stages.neardup import simhash_dedup
 
-    out = simhash_dedup("", max_hamming=3, ds=rd.from_pandas(corpus))
+    out = simhash_dedup("", max_hamming=3, ds=rd.from_pandas(corpus)).to_pandas()
     keep = dict(zip(out["doc_id"], out["keep"]))
     assert keep[60]
     assert not keep[63]  # identical text -> hamming 0 -> dropped
+
+
+def test_simhash_distributed_equals_sequential_scan(ray_session, corpus):
+    """The distributed banded pipeline must be bit-identical to the
+    naïve sequential first-wins scan (dup iff an earlier doc is within
+    max_hamming)."""
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.neardup import hamming64, simhash64, simhash_dedup
+
+    out = (
+        simhash_dedup("", max_hamming=3, ds=rd.from_pandas(corpus))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sigs = [simhash64(t) for t in corpus["text"]]
+    seq_keep = []
+    for j in range(len(sigs)):
+        dup = any(hamming64(sigs[i], sigs[j]) <= 3 for i in range(j))
+        seq_keep.append(not dup)
+    assert list(out["doc_id"]) == list(corpus["doc_id"])
+    assert list(out["keep"]) == seq_keep
+    assert [int(s) for s in out["simhash"].to_numpy().astype("uint64")] == [int(s) for s in sigs]
+
+
+def test_minhash_dedup_partition_independence(ray_session, corpus):
+    """Same rows at any partition count (determinism / shuffle-order
+    independence is a core engine claim)."""
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.neardup import minhash_lsh_dedup
+
+    a = (
+        minhash_lsh_dedup("", threshold=0.5, ds=rd.from_pandas(corpus), num_partitions=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        minhash_lsh_dedup("", threshold=0.5, ds=rd.from_pandas(corpus), num_partitions=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
