@@ -34,15 +34,24 @@ _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 def add_salt(batch: pd.DataFrame, key: str, hot_keys: frozenset, salt_from: str,
              n_salts: int) -> pd.DataFrame:
-    """Append ``__salted = key [+ '#' + salt]``; salt is stable-hashed
-    from ``salt_from`` so any replay salts identically."""
+    """Append an integer ``__salt`` (0 for cold keys; stable-hashed from
+    ``salt_from`` for hot keys, so any replay salts identically) and a
+    ``__salted`` partitioning column mixing key and salt hashes. The
+    original ``key`` column is carried untouched — no delimited string
+    round-trip, so keys containing any character (or non-string keys)
+    group correctly and keep their dtype."""
     batch = batch.copy(deep=False)
     keys = batch[key].astype(str)
     is_hot = keys.isin(hot_keys).to_numpy()
     salts = (stable_hash_array(batch[salt_from].to_numpy()) % np.uint64(n_salts)).astype(np.int64)
-    salted = keys.to_numpy(dtype=object).copy()
-    salted[is_hot] = keys.to_numpy(dtype=object)[is_hot] + "#" + salts[is_hot].astype(str)
-    batch["__salted"] = salted
+    salts[~is_hot] = 0
+    batch["__salt"] = salts
+    # partition key: key-hash mixed with salt (numeric, collision-safe
+    # for partitioning — the reduce groups by the real columns)
+    batch["__salted"] = (
+        stable_hash_array(keys.to_numpy(dtype=object))
+        ^ (salts.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    ).view(np.int64)
     return batch
 
 
@@ -67,15 +76,16 @@ def salted_aggregate(
     )
 
     def partial(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby("__salted", sort=False)
-        out = pd.DataFrame({"__salted": list(g.groups)})
+        # group by the REAL (key, salt) columns — never recovered from a
+        # string round-trip, so the key keeps its dtype and content
+        g = part.groupby([key, "__salt"], sort=False)
+        out = g.size().reset_index().drop(columns=0)
         for out_col, (in_col, fn) in aggs.items():
             if fn == "count":
                 out[out_col] = g.size().to_numpy()
             else:
                 out[out_col] = g[in_col].agg(fn).to_numpy()
-        out[key] = out["__salted"].str.split("#", n=1).str[0]
-        return out.drop(columns="__salted")
+        return out.drop(columns="__salt")
 
     partials = partition_map(salted, "__salted", partial, num_partitions=num_partitions)
 

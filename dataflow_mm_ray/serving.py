@@ -121,10 +121,32 @@ class TemplatedGenerator(PromptedGenerator):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         need = list(self.field_map)
-        prompts = []
-        for _, row in batch[list(self.field_map.values())].iterrows():
-            kwargs = {ph: row[col] for ph, col in self.field_map.items()}
-            prompts.append(build_prompt(self.template, need, self.join_list_with, **kwargs))
+        cols = [batch[col].to_numpy() for col in self.field_map.values()]
+        has_lists = any(
+            len(c) and isinstance(c[0], (list, tuple, np.ndarray)) for c in cols
+        )
+        import string
+
+        parts = list(string.Formatter().parse(self.template))
+        fields = {f for _, f, _, _ in parts if f is not None}
+        if not has_lists and fields <= set(need):
+            # vectorized prompt assembly: split the template once, then
+            # one string-Series concatenation per placeholder — no
+            # per-row iteration in the hot path
+            out = pd.Series(np.full(len(batch), "", dtype=object))
+            vals = dict(zip(need, cols))
+            for literal, field, _spec, _conv in parts:
+                out = out + literal
+                if field is not None:
+                    out = out + pd.Series(vals[field]).astype(str).to_numpy()
+            prompts = out.tolist()
+        else:
+            # list-valued fields: per-row join semantics (rare path)
+            prompts = [
+                build_prompt(self.template, need, self.join_list_with,
+                             **dict(zip(need, vs)))
+                for vs in zip(*cols)
+            ]
         answers, errors = self._generate_safe(prompts)
         batch = batch.copy(deep=False)
         batch[self.output_key] = answers

@@ -116,6 +116,14 @@ class StateShard:
     def __init__(self, shard_id: int, width_s: int, gap_s: int, slide_width_s: int = 0):
         self.shard_id = shard_id
         self.s = _ShardState(width_s, gap_s, slide_width_s)
+        # within-epoch apply dedup: a Ray Data map task retried after a
+        # worker crash re-issues its apply calls; the deterministic
+        # content-derived apply_id lets the shard drop the replay, so
+        # state applies are idempotent, not just commutative (exactly-
+        # once holds under intra-epoch task retry). Cleared at finalize
+        # (the epoch barrier) and on restore (epoch replay after a
+        # crash re-applies against the restored snapshot by design).
+        self._seen_applies: set = set()
 
     # ------------------------------------------------------------------
     def apply(
@@ -124,9 +132,14 @@ class StateShard:
         turns: pd.DataFrame | None,
         join_events: pd.DataFrame | None,
         sliding_partials: pd.DataFrame | None = None,
+        apply_id=None,
     ) -> int:
         """Append one epoch's (pre-aggregated, non-late) rows — O(1);
         all consolidation happens at finalize."""
+        if apply_id is not None:
+            if apply_id in self._seen_applies:
+                return 0
+            self._seen_applies.add(apply_id)
         st = self.s
         n = 0
         if window_partials is not None and len(window_partials):
@@ -189,6 +202,8 @@ class StateShard:
         """Emit closed constructs (vectorized). With ``stage_root``, the
         shard writes its own emission parquet files and returns file
         names + row counts (distributed 2PC staging)."""
+        # epoch barrier: retries of this epoch's apply tasks are done
+        self._seen_applies.clear()
         st = self.s
 
         win_closed, st.windows = self._consolidate(
@@ -325,6 +340,8 @@ class StateShard:
     def restore(self, path: str) -> None:
         with open(path, "rb") as f:
             self.s = pickle.load(f)
+        # epoch replay re-applies against the restored snapshot
+        self._seen_applies.clear()
 
     def stats(self) -> dict:
         st = self.s

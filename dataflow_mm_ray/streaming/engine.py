@@ -258,9 +258,14 @@ class StreamingEngine:
         # window sums, session point-inserts and join insorts are
         # order-free; finalize is the only ordered step and runs after
         # the barrier). Only late rows + counters return to the driver.
+        # Each apply carries a deterministic content-derived id so a
+        # RETRIED map task's re-issued applies are dropped by the shard
+        # (idempotence under intra-epoch task retry, not just
+        # commutativity).
         shards = self.shards
 
         def apply_and_collect(b: pd.DataFrame) -> pd.DataFrame:
+            from dataflow_mm_ray.hashing import stable_hash_array
             if not len(b):
                 return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in _APPLY_OUT_SCHEMA.items()})
             late_b = b[b["late"]]
@@ -317,7 +322,19 @@ class StreamingEngine:
                     .groupby(["conv_id", "window_start_us"], as_index=False, sort=False)
                     .sum()
                 )
-                refs.append(shards[int(s)].apply.remote(partials, turns, join_events, sliding))
+                # (conv_id, turn_idx) is unique in the stream, so an
+                # order-insensitive combine of the row-key hashes + the
+                # row count identifies this (epoch, shard, block slice)
+                # across retries
+                kh = stable_hash_array(
+                    (g["conv_id"].astype(str) + "#" + g["turn_idx"].astype(str)).to_numpy()
+                )
+                apply_id = (epoch, int(s), int(np.bitwise_xor.reduce(kh)), len(g))
+                refs.append(
+                    shards[int(s)].apply.remote(
+                        partials, turns, join_events, sliding, apply_id=apply_id
+                    )
+                )
             ray.get(refs)  # barrier within the task: applies land before it reports
             out = late_b.drop(columns=["late", "shard", "window_start_us", "text_len"]).copy()
             out["__applied"] = np.int64(0)

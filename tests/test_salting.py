@@ -27,13 +27,46 @@ def test_salt_spreads_hot_key_and_is_stable():
     salted = add_salt(df, "conv_id", frozenset(["conv-hot"]), "turn_idx", 8)
     hot_parts = salted.loc[salted["conv_id"] == "conv-hot", "__salted"].unique()
     assert len(hot_parts) == 8  # spread across all salts
-    cold = salted.loc[salted["conv_id"] != "conv-hot", "__salted"]
-    assert not cold.str.contains("#").any()  # cold keys untouched
+    assert (salted.loc[salted["conv_id"] != "conv-hot", "__salt"] == 0).all()  # cold: no salt
+    # a cold key's rows all share one partition key (never split)
+    per_key = salted[salted["conv_id"] != "conv-hot"].groupby("conv_id")["__salted"].nunique()
+    assert (per_key == 1).all()
     again = add_salt(df, "conv_id", frozenset(["conv-hot"]), "turn_idx", 8)
     assert (salted["__salted"] == again["__salted"]).all()  # replay-stable
     # salted sub-keys land in different hash partitions
-    pids = set(partition_ids(np.asarray(hot_parts, dtype=object), 64))
+    pids = set(partition_ids(np.asarray(hot_parts), 64))
     assert len(pids) > 1
+
+
+def test_salted_aggregate_key_with_delimiter_chars(ray_session):
+    """Keys containing '#' (or any delimiter) must group correctly —
+    the salt is carried as a separate int column, never round-tripped
+    through a delimited string."""
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a#1", "a#1", "a#1#2", "plain"] * 50,
+            "turn_idx": np.arange(200),
+            "chars": np.ones(200, dtype=np.int64),
+        }
+    )
+    out = salted_aggregate(
+        rd.from_pandas(df),
+        "conv_id",
+        {"n": ("turn_idx", "count"), "s": ("chars", "sum")},
+        hot_keys=["a#1"],
+        salt_from="turn_idx",
+        n_salts=4,
+        num_partitions=8,
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    want = (
+        df.groupby("conv_id", as_index=False)
+        .agg(n=("turn_idx", "size"), s=("chars", "sum"))
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["conv_id", "n", "s"]], want, check_dtype=False)
 
 
 def test_salted_aggregate_matches_unsalted(ray_session):

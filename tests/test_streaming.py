@@ -136,3 +136,33 @@ def test_late_quarantine_accounting(ray_session, transcripts_path, tmp_path):
     res2 = eng2.results()
     for k in res:
         pd.testing.assert_frame_equal(_canon(res[k]), _canon(res2[k]), check_dtype=False)
+
+
+def test_state_shard_apply_idempotent(ray_session):
+    """A retried map task re-issues its applies with the same
+    content-derived apply_id — the shard must drop the replay so window
+    sums don't double-count (exactly-once under intra-epoch retry)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from dataflow_mm_ray.state.store import StateShard
+
+    sh = StateShard.remote(0, 3600, 1800, 7200)
+    partials = pd.DataFrame(
+        {"conv_id": ["c1"], "window_start_us": [np.int64(0)], "n_turns": [np.int64(2)],
+         "n_user_turns": [np.int64(1)], "n_tool_calls": [np.int64(0)],
+         "sum_chars": [np.int64(10)]}
+    )
+    aid = (0, 0, 12345, 1)
+    ray.get(sh.apply.remote(partials, None, None, None, apply_id=aid))
+    ray.get(sh.apply.remote(partials, None, None, None, apply_id=aid))  # retry replay
+    out = ray.get(sh.finalize.remote(wm_us=1 << 60, flush=True))
+    win = out["windows"]
+    assert len(win) == 1
+    assert int(win["n_turns"].iloc[0]) == 2  # not 4
+    # after finalize the epoch's ids are cleared: a NEW epoch may reuse
+    # content (it won't in practice, ids embed the epoch) and applies land
+    ray.get(sh.apply.remote(partials, None, None, None, apply_id=aid))
+    out2 = ray.get(sh.finalize.remote(wm_us=1 << 60, flush=True))
+    assert int(out2["windows"]["n_turns"].iloc[0]) == 2
