@@ -97,6 +97,70 @@ def q_session(sf_dir: str):
     )
 
 
+SCENE_SR_S, SCENE_ER_S = 60, 60
+SCENE_MIN_S, SCENE_MAX_S = 120, 1800
+_US = 1_000_000
+
+
+@register(
+    "scene_segments",
+    TRANSCRIPTS_CTE
+    + f"""
+, gaps AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), sess AS (
+  SELECT conv_id, ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS sid
+  FROM gaps
+), seg AS (
+  SELECT conv_id, CAST(sid AS INTEGER) AS session_id,
+         epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM sess GROUP BY 1, 2
+), t AS (
+  SELECT conv_id, session_id,
+         s + {SCENE_SR_S * _US} AS ns, e - {SCENE_ER_S * _US} AS ne
+  FROM seg
+  WHERE e > s AND (e - s) >= {(SCENE_SR_S + SCENE_ER_S) * _US}
+    AND (e - {SCENE_ER_S * _US}) > (s + {SCENE_SR_S * _US})
+), c AS (
+  SELECT conv_id, session_id, ns, ne, ne - ns AS nd,
+         CASE WHEN ne - ns > {SCENE_MAX_S * _US}
+              THEN (ne - ns) // {SCENE_MAX_S * _US} ELSE 0 END AS n_full
+  FROM t
+), n AS (
+  SELECT *,
+         CASE WHEN nd <= {SCENE_MAX_S * _US}
+              THEN CASE WHEN nd >= {SCENE_MIN_S * _US} THEN 1 ELSE 0 END
+              ELSE n_full + CASE WHEN ne - (ns + n_full * {SCENE_MAX_S * _US})
+                                      >= {SCENE_MIN_S * _US} THEN 1 ELSE 0 END
+         END AS n_chunks
+  FROM c
+)
+SELECT conv_id, session_id, CAST(i AS INTEGER) AS chunk_id,
+       ns + i * {SCENE_MAX_S * _US} AS chunk_start_us,
+       CASE WHEN nd <= {SCENE_MAX_S * _US} THEN ne
+            WHEN i < n_full THEN ns + (i + 1) * {SCENE_MAX_S * _US}
+            ELSE ne END AS chunk_end_us
+FROM n, unnest(range(n_chunks)) AS u(i)
+""",
+)
+def q_scene_segments(sf_dir: str):
+    """VideoSceneFilter trim/split segment math
+    (video_scene_filter.py:155-203) over sessions-as-scenes; see
+    stages/scenes.py."""
+    from dataflow_mm_ray.stages.scenes import scene_segments
+
+    return scene_segments(
+        sf_dir, gap_s=SESSION_GAP_S, start_remove_s=SCENE_SR_S, end_remove_s=SCENE_ER_S,
+        min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
+    )
+
+
 @register(
     "tool_join",
     TRANSCRIPTS_CTE

@@ -117,6 +117,16 @@ def q_simhash_dedup(sf_dir: str):
     return neardup.simhash_dedup(sf_dir)
 
 
+@register("datatailor_select", None)  # SVD entropy: pytest-oracled math
+def q_datatailor_select(sf_dir: str):
+    """DataTailor collaborative selection (datatailor_filter.py:169-373):
+    SVD-entropy informativeness, agglomerative-cluster uniqueness /
+    representativeness, rank-normalized top-keep_ratio selection."""
+    from dataflow_mm_ray.stages.datatailor import datatailor_select
+
+    return datatailor_select(sf_dir, keep_ratio=0.8)
+
+
 @register("ivf_topk", None)  # approximate: recall/exactness pytest-pinned
 def q_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN top-k (the scale path for similarity search);

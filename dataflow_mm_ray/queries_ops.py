@@ -73,6 +73,62 @@ def q_templated_qa(sf_dir: str):
     )
 
 
+_VQA_SYS = "You are a helpful assistant."
+_WS_STRIP = " " + "".join(chr(c) for c in (9, 10, 13, 11, 12))
+
+
+from dataflow_mm_ray.sources.transcripts import TRANSCRIPTS_CTE as _TCTE  # noqa: E402
+
+
+@register(
+    "prompted_vqa",
+    # mirror of the engine's deterministic prompt assembly: system line +
+    # role-mapped turns (human->user / gpt->assistant; tool turns are not
+    # conversation turns), empty turns dropped, then the md5-echo stub
+    _TCTE
+    + f"""
+, cl AS (
+  SELECT conv_id, turn_idx,
+         trim(regexp_replace(trim(text, '{_WS_STRIP}'), '\\n+', chr(10), 'g'), '{_WS_STRIP}') AS cleaned,
+         role
+  FROM transcripts WHERE role IN ('user', 'assistant')
+)
+SELECT conv_id, 'ans-' || md5(
+  'system: {_VQA_SYS}' || coalesce(chr(10) || string_agg(role || ': ' || cleaned, chr(10)
+     ORDER BY turn_idx) FILTER (WHERE length(cleaned) > 0), '')) AS answer
+FROM cl GROUP BY conv_id
+""",
+)
+def q_prompted_vqa(sf_dir: str):
+    """PromptedVQAGenerator composition (prompted_vqa_generator.py:39-130):
+    transcript turns -> conversation re-assembly -> message format with
+    human->user / gpt->assistant role mapping (the API-mode branch,
+    lines 106-130) -> deterministic prompt -> serving actor pool."""
+    from dataflow_mm_ray.serving import prompted_qa
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+    from dataflow_mm_ray.stages.conversations import conversation_to_message_stage
+
+    msgs = conversation_to_message_stage(transcripts_from_events(sf_dir), system_prompt=_VQA_SYS)
+
+    def build_prompts(b: pd.DataFrame) -> pd.DataFrame:
+        prompts = []
+        for m in b["message"]:
+            ms = json.loads(m)
+            lines = []
+            for msg in ms:
+                if isinstance(msg["content"], str):
+                    lines.append(f"{msg['role']}: {msg['content']}")
+                else:
+                    texts = [c["text"] for c in msg["content"] if c.get("type") == "text"]
+                    lines.append(f"{msg['role']}: " + "\n".join(texts))
+            prompts.append("\n".join(lines))
+        return pd.DataFrame({"conv_id": b["conv_id"].to_numpy(), "prompt": prompts})
+
+    prompted = msgs.map_batches(build_prompts, batch_format="pandas")
+    out = prompted_qa(prompted, concurrency=(1, 2), batch_size=2048)
+    return out.map_batches(lambda b: b[["conv_id", "answer"]], batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # reward evaluation
 # ---------------------------------------------------------------------------
@@ -398,6 +454,31 @@ def q_text_normalize(sf_dir: str):
     from dataflow_mm_ray.stages.normalize import text_normalize
 
     out = text_normalize(_documents(sf_dir), mode="basic", remove_punct=True)
+    return out.map_batches(lambda b: b[["doc_id", "norm_text"]], batch_format="pandas")
+
+
+@register("text_normalize_en", None)  # whisper-English algorithm: pytest-oracled
+def q_text_normalize_en(sf_dir: str):
+    """Whisper EnglishTextNormalizer mode (audio_text_normalizer.py:30-31;
+    functions/en_text_norm.py)."""
+    from dataflow_mm_ray.stages.normalize import text_normalize
+
+    out = text_normalize(_documents(sf_dir), mode="english")
+    return out.map_batches(lambda b: b[["doc_id", "norm_text"]], batch_format="pandas")
+
+
+@register("text_normalize_zh", None)  # cn_tn pipeline: differential-pinned
+def q_text_normalize_zh(sf_dir: str):
+    """Chinese cn_tn TextNorm mode (audio_text_normalizer.py:33-41;
+    functions/cn_text_norm.py, parity vs the reference module in
+    tests/test_cn_norm.py). Numbers in the synthetic docs get spoken
+    Chinese readings; ASCII text passes through the punct/space rules."""
+    from dataflow_mm_ray.stages.normalize import text_normalize
+
+    out = text_normalize(
+        _documents(sf_dir), mode="zh", to_banjiao=True, remove_fillers=True,
+        remove_erhua_flag=True,
+    )
     return out.map_batches(lambda b: b[["doc_id", "norm_text"]], batch_format="pandas")
 
 

@@ -1,0 +1,263 @@
+"""DataTailor collaborative data selection over the embeddings table.
+
+Reference: ``dataflow/operators/core_vision/filter/datatailor_filter.py``
+(lines cited per stage). Feature *extraction* there is Qwen2-VL-bound
+(GPU, absent in this sandbox); everything from line 169 on is pure
+math, reproduced here Ray-Data-first:
+
+- **informativeness** (``:169-215``, paper eq. 2): singular-value
+  entropy of the per-sample token-feature matrix. The Qwen2-VL token
+  extractor is replaced by a deterministic stand-in (sliding windows
+  over the stored embedding vector -> an (n_tokens, w) matrix); the
+  SVD-entropy math itself is exact: drop singular values <= 1e-8,
+  normalize, ``-sum(p * log(p + 1e-10))``. Runs fully distributed, one
+  small SVD per row inside ``map_batches``.
+- **clustering** (``:217-239``): the reference uses sklearn
+  AgglomerativeClustering(metric=cosine, linkage=average) with
+  ``n_clusters = clip(int(n*clustering_threshold), 2, n//2)``. Here a
+  deterministic numpy average-linkage agglomerative clustering runs on
+  a bounded hash-stratum sample (the IVF-centroid pattern); every row
+  is then assigned to its nearest cluster centroid in ``map_batches``
+  (for n <= the sample bound the sample IS the full set, so labels are
+  the exact agglomerative labels).
+- **uniqueness** (``:241-287``, eq. 4): within each cluster,
+  ``sum_j ||p_j - p_i|| * (inf_j / sum inf)`` — one keyed exchange on
+  the cluster label, vectorized pairwise distances per cluster. (Like
+  the reference, per-cluster work is O(c^2); a degenerate giant
+  cluster inherits the reference's cost — cluster count scales with n
+  so average c stays ~1/clustering_threshold.)
+- **representativeness** (``:289-345``, eqs. 5-6):
+  ``tau_c = mean_over_other_clusters(exp(sim(centroid_c, centroid_k)))``
+  from per-cluster centroid partial sums (tiny driver combine), times
+  the within-cluster informativeness weight.
+- **selection** (``:347-370``): each metric is rank-normalized
+  (``argsort(argsort(x)) / n`` — reproduced distributed by
+  ``percentile.add_global_rank`` with vec_id as the deterministic tie
+  rule; the reference's unstable quicksort leaves ties undefined),
+  collaborative score ``(1/3)*inf + (2/3)*(uni+rep)/2``, keep the top
+  ``max(1, int(n*keep_ratio))`` rows.
+
+Output: (vec_id, informativeness, uniqueness, representativeness,
+score, selected) for every row — the reference "only evaluates and
+adds metrics" plus the selection mask.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from dataflow_mm_ray.sources.tables import read_table
+
+TOKEN_W = 8
+TOKEN_STRIDE = 4
+
+
+def token_matrix(vec: np.ndarray, w: int = TOKEN_W, stride: int = TOKEN_STRIDE) -> np.ndarray:
+    """Deterministic stand-in for the Qwen2-VL per-sample token-feature
+    matrix (model-bound): overlapping windows of the embedding."""
+    v = np.asarray(vec, dtype=np.float32)
+    if len(v) < w:
+        return v[None, :]
+    starts = range(0, len(v) - w + 1, stride)
+    return np.stack([v[s : s + w] for s in starts])
+
+
+def sve_informativeness(tok: np.ndarray) -> float:
+    """Singular-value entropy (datatailor_filter.py:169-215, exact)."""
+    if tok.shape[0] < 2:
+        return 0.0
+    try:
+        sv = np.linalg.svd(tok.astype(np.float32), compute_uv=False)
+    except np.linalg.LinAlgError:
+        return 0.0
+    sv = sv[sv > 1e-8]
+    if len(sv) == 0:
+        return 0.0
+    p = sv / sv.sum()
+    return float(-np.sum(p * np.log(p + 1e-10)))
+
+
+def agglomerative_cosine(mat: np.ndarray, n_clusters: int) -> np.ndarray:
+    """Deterministic average-linkage agglomerative clustering on cosine
+    distance (the sklearn call at datatailor_filter.py:231-237,
+    re-implemented in numpy; merge ties break on the smallest cluster
+    pair, so labels are reproducible). Labels are renumbered 0..k-1 in
+    order of each cluster's smallest member index."""
+    n = len(mat)
+    if n <= 2 or n_clusters >= n:
+        return np.arange(max(n, 0), dtype=np.int64) if n_clusters >= n else np.zeros(n, dtype=np.int64)
+    norm = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+    dist = 1.0 - norm @ norm.T
+    np.fill_diagonal(dist, np.inf)
+    # average linkage over ORIGINAL point distances: d(A,B) =
+    # mean_{a in A, b in B} dist(a, b) — maintained via sum matrix
+    sums = dist.copy()
+    sizes = np.ones(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    members = [[i] for i in range(n)]
+    for _ in range(n - n_clusters):
+        avg = sums / (sizes[:, None] * sizes[None, :])
+        avg[~active] = np.inf
+        avg[:, ~active] = np.inf
+        np.fill_diagonal(avg, np.inf)  # a cluster never merges with itself
+        i, j = np.unravel_index(np.argmin(avg), avg.shape)
+        if i > j:
+            i, j = j, i
+        # merge j into i
+        sums[i, :] = sums[i, :] + sums[j, :]
+        sums[:, i] = sums[:, i] + sums[:, j]
+        sums[i, i] = 0.0
+        sizes[i] += sizes[j]
+        active[j] = False
+        members[i].extend(members[j])
+        members[j] = []
+    labels = np.empty(n, dtype=np.int64)
+    order = sorted((min(m), idx) for idx, m in enumerate(members) if m)
+    for new_id, (_, idx) in enumerate(order):
+        labels[members[idx]] = new_id
+    return labels
+
+
+def _batch_embed(b: pd.DataFrame) -> np.ndarray:
+    return np.stack(b["embedding"].to_numpy()).astype(np.float64)
+
+
+def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
+                      clustering_threshold: float = 0.1,
+                      max_train: int = 1024, num_partitions: int = 16, ds=None):
+    """The full DataTailor pipeline (see module docstring)."""
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.partition import hash_join, partition_map
+    from dataflow_mm_ray.stages.percentile import add_global_rank
+
+    emb = ds if ds is not None else read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # --- bounded sample -> agglomerative clustering -> centroids ---
+    if ds is None:
+        n_total = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    else:
+        n_total = ds.count()
+    m = max(1, -(-n_total // max_train))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        from dataflow_mm_ray.hashing import stable_hash_array
+
+        h = stable_hash_array(b["vec_id"].to_numpy().astype(np.int64))
+        return b[(h % np.uint64(m)) == 0]
+
+    sample = emb.map_batches(pick, batch_format="pandas").to_pandas().sort_values("vec_id")
+    smat = _batch_embed(sample)
+    # reference cluster-count rule (datatailor_filter.py:225-228) on n
+    n_clusters = max(2, int(n_total * clustering_threshold))
+    n_clusters = min(n_clusters, n_total // 2)
+    n_clusters = min(n_clusters, len(sample))
+    labels = agglomerative_cosine(smat, n_clusters)
+    cents = np.stack([smat[labels == c].mean(axis=0) for c in range(labels.max() + 1)])
+    cents_n = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-8)
+    cent_ref = ray.put(cents_n)
+
+    # --- distributed: informativeness + cluster assignment ---
+    def score_assign(b: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cent_ref)
+        mat = _batch_embed(b)
+        inf = np.fromiter(
+            (sve_informativeness(token_matrix(v)) for v in b["embedding"]),
+            dtype=np.float64, count=len(b),
+        )
+        mn = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+        cluster = np.argmax(mn @ cn.T, axis=1).astype(np.int64)
+        out = b[["vec_id", "embedding"]].copy(deep=False)
+        out["informativeness"] = inf
+        out["cluster"] = cluster
+        return out
+
+    scored = emb.map_batches(score_assign, batch_format="pandas").materialize()
+
+    # --- centroids of ASSIGNED members + tau_c (tiny driver combine) ---
+    def cent_partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = _batch_embed(b)
+        rows = []
+        for c, g in b.groupby("cluster", sort=False):
+            rows.append((int(c), mat[b["cluster"].to_numpy() == c].sum(axis=0), len(g)))
+        return pd.DataFrame(rows, columns=["cluster", "vsum", "cnt"])
+
+    cp = scored.map_batches(cent_partial, batch_format="pandas").to_pandas()
+    k = int(cp["cluster"].max()) + 1
+    csum = np.zeros((k, smat.shape[1]))
+    ccnt = np.zeros(k)
+    for _, r in cp.iterrows():
+        csum[int(r["cluster"])] += r["vsum"]
+        ccnt[int(r["cluster"])] += r["cnt"]
+    ccnt[ccnt == 0] = 1.0
+    mcent = csum / ccnt[:, None]
+    mcent = mcent / (np.linalg.norm(mcent, axis=1, keepdims=True) + 1e-8)
+    sims = mcent @ mcent.T
+    tau = np.ones(k)
+    if k > 1:
+        for c in range(k):
+            other = np.delete(sims[c], c)
+            tau[c] = np.exp(other).sum() / (k - 1)
+
+    # --- per-cluster uniqueness + representativeness (one exchange) ---
+    tau_ref = ray.put(tau)
+    single_cluster = k <= 1
+
+    def cluster_kernel(part: pd.DataFrame) -> pd.DataFrame:
+        tau_v = ray.get(tau_ref)
+        outs = []
+        for c, g in part.groupby("cluster", sort=False):
+            feats = _batch_embed(g)
+            inf = g["informativeness"].to_numpy()
+            if inf.sum() > 0:
+                w = inf / inf.sum()
+            else:
+                w = np.ones(len(inf)) / len(inf)
+            if len(g) <= 1:
+                uni = np.zeros(len(g))
+            else:
+                d = np.linalg.norm(feats[:, None, :] - feats[None, :, :], axis=2)
+                np.fill_diagonal(d, 0.0)
+                uni = d @ w
+            rep = np.ones(len(g)) if single_cluster else tau_v[int(c)] * w
+            outs.append(
+                pd.DataFrame(
+                    {"vec_id": g["vec_id"].to_numpy(), "informativeness": inf,
+                     "uniqueness": uni, "representativeness": rep}
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"vec_id": pd.Series([], dtype=np.int64)}
+        )
+
+    metrics = partition_map(scored, "cluster", cluster_kernel, num_partitions=num_partitions)
+
+    # --- distributed rank normalization + collaborative selection ---
+    r1 = add_global_rank(metrics, "informativeness", "vec_id", "__r_inf",
+                         num_partitions=num_partitions)
+    r2 = add_global_rank(r1, "uniqueness", "vec_id", "__r_uni", num_partitions=num_partitions)
+    r3 = add_global_rank(r2, "representativeness", "vec_id", "__r_rep",
+                         num_partitions=num_partitions)
+
+    n = n_total
+    n_select = max(1, int(n * keep_ratio))
+
+    def score_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        inf_n = b["__r_inf"].to_numpy(dtype=np.float64) / n
+        uni_n = b["__r_uni"].to_numpy(dtype=np.float64) / n
+        rep_n = b["__r_rep"].to_numpy(dtype=np.float64) / n
+        b["score"] = (1 / 3) * inf_n + (2 / 3) * (uni_n + rep_n) / 2
+        return b.drop(columns=["__r_inf", "__r_uni", "__r_rep"])
+
+    with_score = r3.map_batches(score_rows, batch_format="pandas")
+    ranked = add_global_rank(with_score, "score", "vec_id", "__r_score",
+                             num_partitions=num_partitions)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["selected"] = b["__r_score"].to_numpy() >= (n - n_select)
+        return b.drop(columns="__r_score").sort_values("vec_id")
+
+    return ranked.map_batches(finish, batch_format="pandas")

@@ -4,14 +4,18 @@ mode-dispatched normalizers (whisper English / Chinese cn_tn / basic)
 with an optional punctuation strip.
 
 Modes here:
-- ``basic``     — lowercase + whitespace collapse (BasicTextNormalizer
-  core), optional ASCII punctuation strip;
-- ``english``   — documented *lite* subset of whisper's
-  EnglishTextNormalizer: lowercase, bracketed asides removed, common
-  contractions expanded, punctuation stripped, whitespace collapsed.
-  (The full whisper normalizer's number/currency spelling is out of
-  scope — no model inputs exist here; the subset is deterministic and
-  SQL-mirrorable for the basic parts.)
+- ``basic``        — lowercase + whitespace collapse
+  (BasicTextNormalizer core), optional ASCII punctuation strip;
+- ``english-lite`` — the old small contraction subset (kept for
+  SQL-mirrorability);
+- ``english``      — whisper EnglishTextNormalizer algorithm
+  (functions/en_text_norm.py: fillers, bracketed asides, the full
+  replacer table, numeric-aware symbol stripping; number-words and the
+  spelling json are documented out of scope);
+- ``zh``           — the reference cn_tn TextNorm pipeline
+  (functions/cn_text_norm.py, differential-pinned against the
+  reference module in tests/test_cn_norm.py); kwargs forward the
+  TextNorm options (to_banjiao, remove_fillers, remove_erhua, ...).
 
 Stateless map_batches; normalizers are module-level compiled regexes.
 """
@@ -39,9 +43,17 @@ _CONTRACTIONS = [
 ]
 
 
-def normalize_text(text: str, mode: str = "basic", remove_punct: bool = True) -> str:
+def normalize_text(text: str, mode: str = "basic", remove_punct: bool = True, **kwargs) -> str:
     t = str(text)
     if mode == "english":
+        from dataflow_mm_ray.functions.en_text_norm import en_text_norm
+
+        return en_text_norm(t)
+    if mode == "zh":
+        from dataflow_mm_ray.functions.cn_text_norm import cn_text_norm
+
+        return cn_text_norm(t, **kwargs)
+    if mode == "english-lite":
         t = t.lower()
         t = _BRACKETS_RE.sub(" ", t)
         for pat, rep in _CONTRACTIONS:
@@ -57,10 +69,10 @@ def normalize_text(text: str, mode: str = "basic", remove_punct: bool = True) ->
 
 
 def text_normalize(ds, text_col: str = "text", out_col: str = "norm_text",
-                   mode: str = "basic", remove_punct: bool = True):
+                   mode: str = "basic", remove_punct: bool = True, **kwargs):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy(deep=False)
-        batch[out_col] = [normalize_text(t, mode, remove_punct) for t in batch[text_col]]
+        batch[out_col] = [normalize_text(t, mode, remove_punct, **kwargs) for t in batch[text_col]]
         return batch
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=DEFAULT_BATCH_SIZE)

@@ -121,8 +121,63 @@ def exact_quantile(ds, col: str, q: float,
     agg = ds.map_batches(nxt, batch_format="pandas").to_pandas()
     n_le = int(agg["n_le"].sum())
     v1 = v0 if n_le > k0 + 1 else float(agg["mn_above"].min())
+    return _lerp(v0, v1, frac)
+
+
+def _lerp(v0: float, v1: float, frac: float) -> float:
     # numpy's _lerp, reproduced bit-exactly: a + (b-a)*t, except
     # b - (b-a)*(1-t) when t >= 0.5 (numpy/lib/function_base.py)
     if frac >= 0.5:
         return v1 - (v1 - v0) * (1 - frac)
     return v0 + (v1 - v0) * frac
+
+
+def add_global_rank(ds, col: str, tie_col: str, out_col: str,
+                    n_buckets: int = 64, num_partitions: int = 16):
+    """Append the global 0-based ordinal rank of ``col`` (ascending,
+    ties broken by ``tie_col`` ascending — i.e. ``np.argsort(np.argsort)``
+    with a deterministic tie rule) as ``out_col``, fully distributed:
+
+    1. one stats+histogram pass picks equal-width value buckets and the
+       global row-count offset of each bucket;
+    2. one keyed exchange on the bucket id; each partition sorts its
+       buckets locally and assigns ``offset + local position``.
+
+    Returns a Dataset with the input columns plus ``out_col`` (int64).
+    """
+    from dataflow_mm_ray.partition import partition_map
+
+    n, mn, mx = _stats(ds, col)
+    if n == 0:
+        return ds
+    edges = np.linspace(mn, mx, n_buckets + 1)
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        idx = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, n_buckets - 1)
+        return pd.DataFrame({"j": np.arange(n_buckets), "c": np.bincount(idx, minlength=n_buckets)})
+
+    counts = (
+        ds.map_batches(hist, batch_format="pandas").to_pandas()
+        .groupby("j", sort=True)["c"].sum().to_numpy()
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        v = b[col].to_numpy(dtype=np.float64)
+        b["__bucket"] = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, n_buckets - 1)
+        return b
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def rank_part(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for j, g in part.groupby("__bucket", sort=False):
+            g = g.sort_values([col, tie_col], kind="mergesort")
+            g = g.drop(columns="__bucket")
+            g[out_col] = offsets[int(j)] + np.arange(len(g), dtype=np.int64)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True) if outs else part.drop(columns="__bucket")
+
+    return partition_map(tagged, "__bucket", rank_part, num_partitions=min(num_partitions, n_buckets))

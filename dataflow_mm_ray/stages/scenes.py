@@ -1,0 +1,102 @@
+"""Video scene trim/split segment math (VideoSceneFilter).
+
+Reference: ``dataflow/operators/core_vision/filter/video_scene_filter.py
+:155-203`` (``_trim_and_split_scenes``): head/tail trimming then
+splitting long scenes into ``[min_seconds, max_seconds]`` chunks.
+PySceneDetect (the raw scene detector) is codec-bound and absent; the
+scene *list* here comes from the engine's session windows (a
+conversation's sessions = its scene intervals), and the trim/split
+arithmetic is reproduced exactly, vectorized:
+
+- drop scenes with ``duration < start_remove + end_remove`` or where
+  trimming empties them (``ne <= ns``);
+- trimmed duration ``nd <= max``: keep iff ``nd >= min`` (one chunk);
+- ``nd > max``: emit ``floor(nd / max)`` full ``max``-length chunks
+  from ``ns`` plus the remainder iff ``remainder >= min`` (note the
+  reference's boundary rule: when ``nd`` is an exact multiple and
+  ``min == 0`` the zero-length remainder IS emitted — replicated).
+
+All times are integer microseconds (exact in float64 and BIGINT), so
+the vectorized chunk starts ``ns + i*max`` equal the reference loop's
+accumulated ``cur += max`` bit-for-bit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+US = 1_000_000
+
+
+def trim_split_kernel(seg: pd.DataFrame, start_remove_us: int, end_remove_us: int,
+                      min_us: int, max_us: int) -> pd.DataFrame:
+    """seg: (conv_id, session_id, start_us, end_us) -> chunk rows
+    (conv_id, session_id, chunk_id, chunk_start_us, chunk_end_us)."""
+    sr = max(0, int(start_remove_us))
+    er = max(0, int(end_remove_us))
+    total_remove = sr + er
+    min_us = max(0, int(min_us))
+    max_us = max(min_us, int(max_us))
+
+    s = seg["start_us"].to_numpy(dtype=np.int64)
+    e = seg["end_us"].to_numpy(dtype=np.int64)
+    dur = e - s
+    ns = s + sr
+    ne = e - er
+    nd = ne - ns
+    valid = (e > s) & (dur >= total_remove) & (ne > ns)
+
+    short = valid & (nd <= max_us)
+    keep_short = short & (nd >= min_us)
+    long = valid & (nd > max_us)
+
+    n_full = np.where(long, nd // max_us, 0).astype(np.int64)
+    rem = ne - (ns + n_full * max_us)
+    keep_rem = long & (rem >= min_us)
+    n_chunks = np.where(keep_short, 1, 0) + n_full + keep_rem.astype(np.int64)
+
+    row_idx = np.repeat(np.arange(len(seg)), n_chunks)
+    chunk_id = np.concatenate(
+        [np.arange(k, dtype=np.int64) for k in n_chunks]
+    ) if len(seg) else np.empty(0, dtype=np.int64)
+    ns_r = ns[row_idx]
+    ne_r = ne[row_idx]
+    nf_r = n_full[row_idx]
+    short_r = keep_short[row_idx]
+    cs = ns_r + chunk_id * max_us
+    ce = np.where(short_r, ne_r, np.where(chunk_id < nf_r, cs + max_us, ne_r))
+    return pd.DataFrame(
+        {
+            "conv_id": seg["conv_id"].to_numpy()[row_idx],
+            "session_id": seg["session_id"].to_numpy()[row_idx].astype(np.int32),
+            "chunk_id": chunk_id.astype(np.int32),
+            "chunk_start_us": cs,
+            "chunk_end_us": ce,
+        }
+    )
+
+
+def scene_segments(sf_dir: str, gap_s: int = 1800,
+                   start_remove_s: float = 60.0, end_remove_s: float = 60.0,
+                   min_s: float = 120.0, max_s: float = 1800.0):
+    """Sessions-as-scenes -> trim/split chunks, one fused conv-keyed
+    shuffle then a stateless vectorized flat map."""
+    from dataflow_mm_ray.sources.transcripts import transcripts_partitioned
+    from dataflow_mm_ray.stages.windows import session_window_kernel
+
+    sr, er = int(start_remove_s * US), int(end_remove_s * US)
+    mn, mx = int(min_s * US), int(max_s * US)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        sess = session_window_kernel(part, gap_s)
+        seg = pd.DataFrame(
+            {
+                "conv_id": sess["conv_id"],
+                "session_id": sess["session_id"],
+                "start_us": sess["session_start"].astype("datetime64[us]").astype(np.int64),
+                "end_us": sess["session_end"].astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        return trim_split_kernel(seg, sr, er, mn, mx)
+
+    return transcripts_partitioned(sf_dir, kernel)

@@ -92,3 +92,34 @@ def test_io_roundtrip(ray_session, tmp_path):
     ds, bad = read_jsonl_tolerant(str(p))
     assert bad == 1
     assert sorted(ds.to_pandas()["a"]) == [1, 2]
+
+
+def test_source_prefix_parsing(ray_session, tmp_path):
+    """hf:/ms: prefix rules (storage.py:174-201) + local-export dispatch."""
+    import pandas as pd
+
+    from dataflow_mm_ray.sources.io import parse_source_prefix, read_source
+
+    assert parse_source_prefix("hf:openai/gsm8k:main:train") == {
+        "kind": "hf", "dataset": "openai/gsm8k", "config": "main",
+        "split": "train", "path": None}
+    assert parse_source_prefix("hf:squad:validation")["split"] == "validation"
+    assert parse_source_prefix("hf:squad:a:b:c")["split"] == "train"  # >2 parts -> default
+    assert parse_source_prefix("ms:modelscope/gsm8k:train") == {
+        "kind": "ms", "dataset": "modelscope/gsm8k", "config": None,
+        "split": "train", "path": None}
+    assert parse_source_prefix("ms:d")["split"] == "train"
+    assert parse_source_prefix("/tmp/x.parquet")["kind"] == "local"
+
+    # local-export dispatch
+    exp = tmp_path / "hf" / "openai/gsm8k" / "main" / "train"
+    exp.mkdir(parents=True)
+    pd.DataFrame({"q": ["a", "b"]}).to_parquet(exp / "part-0.parquet")
+    ds = read_source("hf:openai/gsm8k:main:train", local_export_root=str(tmp_path))
+    assert ds.count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_source("hf:absent:train", local_export_root=str(tmp_path))
+    with _pytest.raises(NotImplementedError):
+        read_source("hf:absent:train")
