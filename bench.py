@@ -50,20 +50,23 @@ BENCH_QUERIES = [
     "conversation_digest",
     "hot_conversations",
     "late_events",
+    "scene_segments",
     # text analysis over documents
     "rule_filter",
     "text_stats",
-    # similarity / dedup over embeddings + documents
+    # similarity / dedup / selection over embeddings + documents
     "topk_cosine",
     "knn_percentile",
     "embedding_neardup",
     "minhash_dedup",
+    "simhash_dedup",
+    "datatailor_select",
 ]
 
 CEP_QUERIES = {
     "transcripts", "tumbling_window", "sliding_window", "session_window",
     "tool_join", "dedup_exact", "conversation_digest", "hot_conversations",
-    "late_events",
+    "late_events", "scene_segments",
 }
 
 

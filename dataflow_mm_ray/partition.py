@@ -48,7 +48,16 @@ def _split_block(block, key: str, num_partitions: int):
     # happens here, inside the (parallel) split task, never on the driver
     import numpy as np
 
-    df = block.to_pandas() if not isinstance(block, pd.DataFrame) else block
+    if isinstance(block, pd.DataFrame):
+        df = block
+    else:
+        # strip the pandas schema metadata: blocks that round-tripped
+        # through Ray's pandas->Arrow conversion can carry dtype strings
+        # (e.g. "numpy.ndarray(shape=..)" for object ndarray columns)
+        # that pyarrow's metadata-driven to_pandas cannot parse
+        if hasattr(block, "replace_schema_metadata"):
+            block = block.replace_schema_metadata(None)
+        df = block.to_pandas()
     if len(df) == 0:
         parts = [df] * num_partitions
     else:

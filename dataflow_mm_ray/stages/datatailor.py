@@ -91,27 +91,53 @@ def agglomerative_cosine(mat: np.ndarray, n_clusters: int) -> np.ndarray:
     dist = 1.0 - norm @ norm.T
     np.fill_diagonal(dist, np.inf)
     # average linkage over ORIGINAL point distances: d(A,B) =
-    # mean_{a in A, b in B} dist(a, b) — maintained via sum matrix
+    # mean_{a in A, b in B} dist(a, b) — maintained via sum matrix.
+    # Row-minimum caching makes each merge O(n) amortized (O(n^2)
+    # total), with the same deterministic row-major argmin tie-break
+    # as a full-matrix scan.
     sums = dist.copy()
+    avg = dist.copy()
     sizes = np.ones(n, dtype=np.int64)
     active = np.ones(n, dtype=bool)
     members = [[i] for i in range(n)]
+    rmin = avg.min(axis=1)
+    rarg = avg.argmin(axis=1)
     for _ in range(n - n_clusters):
-        avg = sums / (sizes[:, None] * sizes[None, :])
-        avg[~active] = np.inf
-        avg[:, ~active] = np.inf
-        np.fill_diagonal(avg, np.inf)  # a cluster never merges with itself
-        i, j = np.unravel_index(np.argmin(avg), avg.shape)
+        i = int(np.argmin(rmin))
+        j = int(rarg[i])
         if i > j:
             i, j = j, i
         # merge j into i
-        sums[i, :] = sums[i, :] + sums[j, :]
-        sums[:, i] = sums[:, i] + sums[:, j]
-        sums[i, i] = 0.0
+        sums[i, :] += sums[j, :]
+        sums[:, i] += sums[:, j]
         sizes[i] += sizes[j]
         active[j] = False
         members[i].extend(members[j])
         members[j] = []
+        newrow = sums[i, :] / (sizes[i] * sizes)
+        newrow[~active] = np.inf
+        newrow[i] = np.inf
+        avg[i, :] = newrow
+        avg[:, i] = newrow
+        avg[j, :] = np.inf
+        avg[:, j] = np.inf
+        rmin[j] = np.inf
+        rmin[i] = newrow.min()
+        rarg[i] = int(newrow.argmin())
+        # rows whose cached argmin pointed at i or j may have gone
+        # stale upward — recompute; rows improved by the new column i
+        # update in place (tie -> smaller column index, matching the
+        # full-scan order)
+        stale = active & ((rarg == i) | (rarg == j))
+        stale[i] = False
+        for m in np.where(stale)[0]:
+            rmin[m] = avg[m].min()
+            rarg[m] = int(avg[m].argmin())
+        better = active & ((newrow < rmin) | ((newrow == rmin) & (i < rarg)))
+        better[i] = False
+        idx = np.where(better)[0]
+        rmin[idx] = newrow[idx]
+        rarg[idx] = i
     labels = np.empty(n, dtype=np.int64)
     order = sorted((min(m), idx) for idx, m in enumerate(members) if m)
     for new_id, (_, idx) in enumerate(order):
@@ -129,8 +155,8 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
     """The full DataTailor pipeline (see module docstring)."""
     import pyarrow.parquet as pq
 
-    from dataflow_mm_ray.partition import hash_join, partition_map
-    from dataflow_mm_ray.stages.percentile import add_global_rank
+    from dataflow_mm_ray.partition import partition_map
+    from dataflow_mm_ray.stages.percentile import add_global_rank, add_global_ranks
 
     emb = ds if ds is not None else read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -234,11 +260,11 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
     metrics = partition_map(scored, "cluster", cluster_kernel, num_partitions=num_partitions)
 
     # --- distributed rank normalization + collaborative selection ---
-    r1 = add_global_rank(metrics, "informativeness", "vec_id", "__r_inf",
-                         num_partitions=num_partitions)
-    r2 = add_global_rank(r1, "uniqueness", "vec_id", "__r_uni", num_partitions=num_partitions)
-    r3 = add_global_rank(r2, "representativeness", "vec_id", "__r_rep",
-                         num_partitions=num_partitions)
+    # (fused stats/hist passes across the three metrics)
+    r3 = add_global_ranks(
+        metrics, ["informativeness", "uniqueness", "representativeness"],
+        "vec_id", ["__r_inf", "__r_uni", "__r_rep"], num_partitions=num_partitions,
+    )
 
     n = n_total
     n_select = max(1, int(n * keep_ratio))

@@ -135,13 +135,15 @@ def hamming64(a: np.uint64, b: np.uint64) -> int:
 # distributed pipelines
 # ---------------------------------------------------------------------------
 
-def _band_rows(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
-    """doc -> N_BANDS rows of (band_id, band_key, doc_id), with one
-    vectorized hash pass per batch for the band keys."""
+def _band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """shingled doc row -> N_BANDS rows of (band_id, band_key, doc_id),
+    with one vectorized hash pass per batch for the band keys. Consumes
+    the precomputed ``__sh`` column so the corpus is shingled exactly
+    once across the whole pipeline."""
     n = len(batch)
     sigs = np.empty((n, N_PERM), dtype=np.uint64)
-    for r, t in enumerate(batch[text_col].to_numpy()):
-        sigs[r] = minhash_signature(shingle_set(t if isinstance(t, str) else ""))
+    for r, sh in enumerate(batch["__sh"].to_numpy()):
+        sigs[r] = minhash_signature(sh)
     band_strs = np.empty(n * N_BANDS, dtype=object)
     ids = np.repeat(batch[id_col].to_numpy().astype(np.int64), N_BANDS)
     bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
@@ -155,12 +157,13 @@ def _band_rows(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": ids, "band_id": bands, "band_key": keys})
 
 
-def _candidate_pairs(ds_docs, id_col: str, text_col: str, max_bucket: int = 1000):
-    """LSH banding -> candidate (lo, hi) doc pairs, deduplicated."""
+def _candidate_pairs(ds_shingled, id_col: str, max_bucket: int = 1000):
+    """LSH banding -> candidate (lo, hi) doc pairs, deduplicated.
+    ``ds_shingled`` carries (doc_id, __sh)."""
     # small batches: signature computation is per-row CPU work, so
     # parallelism comes from concurrent tasks
-    bands = ds_docs.map_batches(
-        lambda b: _band_rows(b, id_col, text_col), batch_format="pandas", batch_size=512
+    bands = ds_shingled.map_batches(
+        lambda b: _band_rows(b, id_col), batch_format="pandas", batch_size=512
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -251,7 +254,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
 
     sh = docs.map_batches(shingle_batch, batch_format="pandas", batch_size=512).materialize()
 
-    pairs = _candidate_pairs(docs, id_col, text_col)
+    pairs = _candidate_pairs(sh, id_col)
     # global candidate dedup (a pair can surface from several bands and
     # band partitions): one keyed exchange on lo co-locates all copies
     pairs = partition_map(pairs, "lo", lambda p: p.drop_duplicates(), num_partitions=num_partitions)

@@ -132,36 +132,11 @@ def _lerp(v0: float, v1: float, frac: float) -> float:
     return v0 + (v1 - v0) * frac
 
 
-def add_global_rank(ds, col: str, tie_col: str, out_col: str,
-                    n_buckets: int = 64, num_partitions: int = 16):
-    """Append the global 0-based ordinal rank of ``col`` (ascending,
-    ties broken by ``tie_col`` ascending — i.e. ``np.argsort(np.argsort)``
-    with a deterministic tie rule) as ``out_col``, fully distributed:
-
-    1. one stats+histogram pass picks equal-width value buckets and the
-       global row-count offset of each bucket;
-    2. one keyed exchange on the bucket id; each partition sorts its
-       buckets locally and assigns ``offset + local position``.
-
-    Returns a Dataset with the input columns plus ``out_col`` (int64).
-    """
+def _rank_shuffle(ds, col: str, tie_col: str, out_col: str, edges: np.ndarray,
+                  offsets: np.ndarray, n_buckets: int, num_partitions: int):
+    """One keyed exchange on the value-bucket id; each partition sorts
+    its buckets locally and assigns ``offset + local position``."""
     from dataflow_mm_ray.partition import partition_map
-
-    n, mn, mx = _stats(ds, col)
-    if n == 0:
-        return ds
-    edges = np.linspace(mn, mx, n_buckets + 1)
-
-    def hist(b: pd.DataFrame) -> pd.DataFrame:
-        v = b[col].to_numpy(dtype=np.float64)
-        idx = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, n_buckets - 1)
-        return pd.DataFrame({"j": np.arange(n_buckets), "c": np.bincount(idx, minlength=n_buckets)})
-
-    counts = (
-        ds.map_batches(hist, batch_format="pandas").to_pandas()
-        .groupby("j", sort=True)["c"].sum().to_numpy()
-    )
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy(deep=False)
@@ -181,3 +156,53 @@ def add_global_rank(ds, col: str, tie_col: str, out_col: str,
         return pd.concat(outs, ignore_index=True) if outs else part.drop(columns="__bucket")
 
     return partition_map(tagged, "__bucket", rank_part, num_partitions=min(num_partitions, n_buckets))
+
+
+def add_global_ranks(ds, cols, tie_col: str, out_cols,
+                     n_buckets: int = 64, num_partitions: int = 16):
+    """Append the global 0-based ordinal rank (ascending, ties broken by
+    ``tie_col`` — i.e. ``np.argsort(np.argsort)`` with a deterministic
+    tie rule) of EACH column in ``cols`` as the matching ``out_cols``
+    entry, fully distributed. The stats and histogram passes are fused
+    across all columns (2 passes total), then one keyed exchange per
+    column."""
+
+    def stat(b: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for c in cols:
+            v = b[c].to_numpy(dtype=np.float64)
+            row[f"n_{c}"] = [len(v)]
+            row[f"mn_{c}"] = [v.min() if len(v) else np.inf]
+            row[f"mx_{c}"] = [v.max() if len(v) else -np.inf]
+        return pd.DataFrame(row)
+
+    agg = ds.map_batches(stat, batch_format="pandas").to_pandas()
+    edges = {
+        c: np.linspace(float(agg[f"mn_{c}"].min()), float(agg[f"mx_{c}"].max()), n_buckets + 1)
+        for c in cols
+    }
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for c in cols:
+            v = b[c].to_numpy(dtype=np.float64)
+            idx = np.clip(np.searchsorted(edges[c], v, side="right") - 1, 0, n_buckets - 1)
+            row[f"c_{c}"] = np.bincount(idx, minlength=n_buckets)
+        row["j"] = np.arange(n_buckets)
+        return pd.DataFrame(row)
+
+    hc = ds.map_batches(hist, batch_format="pandas").to_pandas().groupby("j", sort=True).sum()
+    offsets = {
+        c: np.concatenate([[0], np.cumsum(hc[f"c_{c}"].to_numpy())[:-1]]).astype(np.int64)
+        for c in cols
+    }
+    cur = ds
+    for c, oc in zip(cols, out_cols):
+        cur = _rank_shuffle(cur, c, tie_col, oc, edges[c], offsets[c], n_buckets, num_partitions)
+    return cur
+
+
+def add_global_rank(ds, col: str, tie_col: str, out_col: str,
+                    n_buckets: int = 64, num_partitions: int = 16):
+    """Single-column ``add_global_ranks``."""
+    return add_global_ranks(ds, [col], tie_col, [out_col], n_buckets, num_partitions)
