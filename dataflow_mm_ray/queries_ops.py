@@ -657,6 +657,51 @@ def q_llm_judge_score(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# video metadata probe -> resolution range filter (VideoResolutionFilter)
+# ---------------------------------------------------------------------------
+
+VR_MIN_W, VR_MAX_W = 640, 1920
+VR_MIN_H, VR_MAX_H = 360, 1080
+
+
+@register(
+    "video_resolution_filter",
+    f"""
+WITH probe AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 0 THEN -1
+              ELSE 320 + CAST(doc_id % 10 AS INTEGER) * 160 END AS width,
+         CASE WHEN doc_id % 23 = 0 THEN -1
+              ELSE 240 + CAST(doc_id % 7 AS INTEGER) * 120 END AS height
+  FROM documents
+)
+SELECT doc_id, width, height FROM probe
+WHERE width > 0 AND height > 0
+  AND width BETWEEN {VR_MIN_W} AND {VR_MAX_W}
+  AND height BETWEEN {VR_MIN_H} AND {VR_MAX_H}
+""",
+)
+def q_video_resolution_filter(sf_dir: str):
+    """VideoResolutionFilter (video_resolution_filter.py:21-51,83-118):
+    per-row metadata probe (cv2-bound -> deterministic stub standing in
+    for CAP_PROP_FRAME_WIDTH/HEIGHT; failed probes return (-1,-1) and
+    are dropped), then the min/max range predicate. The probe runs in
+    the same stateless map_batches as the filter — the media-path ->
+    metadata enrichment shape (SURVEY.md §2.7)."""
+
+    def probe_and_filter(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        bad = ids % 23 == 0
+        w = np.where(bad, -1, 320 + (ids % 10) * 160).astype(np.int64)
+        h = np.where(bad, -1, 240 + (ids % 7) * 120).astype(np.int64)
+        keep = (w > 0) & (h > 0) & (w >= VR_MIN_W) & (w <= VR_MAX_W) \
+            & (h >= VR_MIN_H) & (h <= VR_MAX_H)
+        return pd.DataFrame({"doc_id": ids[keep], "width": w[keep], "height": h[keep]})
+
+    return _documents(sf_dir).map_batches(probe_and_filter, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # broadcast semi / anti join + distinct
 # ---------------------------------------------------------------------------
 

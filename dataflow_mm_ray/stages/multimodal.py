@@ -317,3 +317,53 @@ class VideoFrameSampler:
         batch["frame_indices"] = idx_col
         batch["frame_digests"] = digest_col
         return batch
+
+
+# ---------------------------------------------------------------------------
+# media side-effect sink (per-row wav/mp4/png writes)
+# ---------------------------------------------------------------------------
+
+def media_sideeffect_sink(ds, out_dir: str, id_col: str = "doc_id",
+                          bytes_col: str = "payload", ext: str = "png",
+                          batch_size: int = MM_BATCH):
+    """Side-effect file sink: the reference's operators write media
+    outputs per row (wav via soundfile, mp4/png via cv2/PIL —
+    ``video_clip_generator.py:274-311`` clip cutting,
+    ``audio_silero...generator.py`` wav exports). Codec encoding is
+    payload-agnostic here (the bytes column is written verbatim); the
+    SINK semantics are real and distributed:
+
+    - each map task writes its own rows (no driver funnel);
+    - every file lands via write-temp + ``os.replace`` (atomic on
+      POSIX — readers never see partial files);
+    - a re-run skips rows whose file already exists with the right
+      size (idempotent resume, the 2PC-sink philosophy per row);
+    - returns the manifest Dataset (id, path, n_bytes, skipped).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(b: pd.DataFrame) -> pd.DataFrame:
+        paths, sizes, skipped = [], [], []
+        for i, data in zip(b[id_col], b[bytes_col]):
+            final = os.path.join(out_dir, f"{i}.{ext}")
+            data = bytes(data)
+            if os.path.exists(final) and os.path.getsize(final) == len(data):
+                paths.append(final)
+                sizes.append(len(data))
+                skipped.append(True)
+                continue
+            tmp = final + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, final)
+            paths.append(final)
+            sizes.append(len(data))
+            skipped.append(False)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), "path": paths,
+             "n_bytes": np.asarray(sizes, dtype=np.int64), "skipped": skipped}
+        )
+
+    return ds.map_batches(write_batch, batch_format="pandas", batch_size=batch_size)

@@ -111,3 +111,30 @@ def test_registry_lookup_and_fuzzy():
         get_operator("nonexistent_op")
     # stateful ops are marked (actor pools)
     assert get_operator("prompted_qa").stateful
+
+
+def test_media_sideeffect_sink_atomic_idempotent(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.multimodal import media_sideeffect_sink
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [b"aa", b"bbbb", b"cccccc"]}
+    )
+    out = media_sideeffect_sink(
+        rd.from_pandas(df), str(tmp_path / "media"), ext="wav"
+    ).to_pandas().sort_values("doc_id")
+    assert not out["skipped"].any()
+    for _, r in out.iterrows():
+        assert os.path.getsize(r["path"]) == r["n_bytes"]
+    # rerun: all skipped, same manifest
+    again = media_sideeffect_sink(
+        rd.from_pandas(df), str(tmp_path / "media"), ext="wav"
+    ).to_pandas().sort_values("doc_id")
+    assert again["skipped"].all()
+    assert list(again["path"]) == list(out["path"])
+    # no stray temp files
+    assert all(not p.endswith(".tmp") for p in os.listdir(tmp_path / "media"))
