@@ -16,10 +16,13 @@ Clean-room implementation of the published algorithm:
    digit;
 7. collapse whitespace.
 
-Out of scope (documented): whisper's number-word-to-digit rewriting
-(``EnglishNumberNormalizer``) and the British->American spelling table
-(``english.json`` data file) — both need whisper's bundled data, absent
-here. Everything above is deterministic and dependency-free.
+Number words are rewritten to digits between steps 4 and 5 by
+``functions/en_numbers.normalize_number_words`` (the
+EnglishNumberNormalizer core: cardinals/ordinals/decimals/percent/
+currency; fractions and double/triple spelling documented out of
+scope there). The British->American spelling table (``english.json``
+data file) is out of scope — it needs whisper's bundled data.
+Everything here is deterministic and dependency-free.
 """
 from __future__ import annotations
 
@@ -118,6 +121,9 @@ def en_text_norm(text: str) -> str:
     t = _FILLERS_RE.sub("", t)
     for pat, rep in _REPLACERS:
         t = pat.sub(rep, t)
+    from dataflow_mm_ray.functions.en_numbers import normalize_number_words
+
+    t = normalize_number_words(t)
     t = _remove_symbols_keep_numeric(t)
     # commas between digits; periods not followed by a digit
     t = re.sub(r"(?<=\d),(?=\d)", "", t)

@@ -102,10 +102,10 @@ SCENE_MIN_S, SCENE_MAX_S = 120, 1800
 _US = 1_000_000
 
 
-@register(
-    "scene_segments",
-    TRANSCRIPTS_CTE
-    + f"""
+CLIP_FRAMES_MIN = 100
+CLIP_RES_MAX = 1920 * 1080
+
+_SCENE_CHUNKS_SQL = TRANSCRIPTS_CTE + f"""
 , gaps AS (
   SELECT conv_id, turn_idx, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -140,14 +140,64 @@ _US = 1_000_000
                                       >= {SCENE_MIN_S * _US} THEN 1 ELSE 0 END
          END AS n_chunks
   FROM c
+), chunks AS (
+  SELECT conv_id, session_id, CAST(i AS INTEGER) AS chunk_id,
+         ns + i * {SCENE_MAX_S * _US} AS chunk_start_us,
+         CASE WHEN nd <= {SCENE_MAX_S * _US} THEN ne
+              WHEN i < n_full THEN ns + (i + 1) * {SCENE_MAX_S * _US}
+              ELSE ne END AS chunk_end_us
+  FROM n, unnest(range(n_chunks)) AS u(i)
 )
-SELECT conv_id, session_id, CAST(i AS INTEGER) AS chunk_id,
-       ns + i * {SCENE_MAX_S * _US} AS chunk_start_us,
-       CASE WHEN nd <= {SCENE_MAX_S * _US} THEN ne
-            WHEN i < n_full THEN ns + (i + 1) * {SCENE_MAX_S * _US}
-            ELSE ne END AS chunk_end_us
-FROM n, unnest(range(n_chunks)) AS u(i)
+"""
+
+
+@register(
+    "video_clip_filter",
+    _SCENE_CHUNKS_SQL
+    + f"""
+, probe AS (
+  SELECT *, CAST(substr(conv_id, 6) AS BIGINT) AS uid,
+         row_number() OVER (PARTITION BY conv_id ORDER BY session_id, chunk_id) - 1 AS clip_idx
+  FROM chunks
+), m AS (
+  SELECT conv_id, clip_idx,
+         CAST(320 + (uid % 10) * 160 AS BIGINT) AS width,
+         CAST(240 + (uid % 7) * 120 AS BIGINT) AS height,
+         CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT) AS fps,
+         chunk_start_us // 1000000 AS s_sec,
+         chunk_end_us // 1000000 AS e_sec
+  FROM probe
+), f AS (
+  SELECT conv_id, clip_idx, width, height, fps, s_sec, e_sec,
+         s_sec * fps AS frame_start, e_sec * fps AS frame_end,
+         (e_sec - s_sec) * fps AS num_frames
+  FROM m
+)
+SELECT conv_id, conv_id || '_' || CAST(clip_idx AS VARCHAR) AS clip_id,
+       num_frames, height, width, fps,
+       s_sec AS timestamp_start, e_sec AS timestamp_end, frame_start, frame_end
+FROM f
+WHERE num_frames >= {CLIP_FRAMES_MIN} AND width * height <= {CLIP_RES_MAX}
 """,
+)
+def q_video_clip_filter(sf_dir: str):
+    """VideoClipFilter (video_clip_filter.py:80-170): clip metadata
+    construction (integer-second timecodes, frame = floor(sec*fps),
+    clip ids over ALL scenes) + frames/fps/resolution filters, fused
+    with the scene trim/split in one conv-keyed shuffle."""
+    from dataflow_mm_ray.stages.scenes import video_clip_filter
+
+    return video_clip_filter(
+        sf_dir, gap_s=SESSION_GAP_S, start_remove_s=SCENE_SR_S, end_remove_s=SCENE_ER_S,
+        min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
+        frames_min=CLIP_FRAMES_MIN, resolution_max=CLIP_RES_MAX,
+    )
+
+
+@register(
+    "scene_segments",
+    _SCENE_CHUNKS_SQL
+    + "SELECT conv_id, session_id, chunk_id, chunk_start_us, chunk_end_us FROM chunks",
 )
 def q_scene_segments(sf_dir: str):
     """VideoSceneFilter trim/split segment math

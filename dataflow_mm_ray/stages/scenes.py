@@ -76,6 +76,94 @@ def trim_split_kernel(seg: pd.DataFrame, start_remove_us: int, end_remove_us: in
     )
 
 
+def clip_metadata_kernel(chunks: pd.DataFrame, width: np.ndarray, height: np.ndarray,
+                         fps: np.ndarray, frames_min: int | None, frames_max: int | None,
+                         fps_min: float | None, fps_max: float | None,
+                         resolution_max: int | None) -> pd.DataFrame:
+    """VideoClipFilter clip construction + filtering
+    (video_clip_filter.py:80-170), vectorized. ``chunks`` are scene
+    rows (conv_id, session_id, chunk_id, chunk_start_us, chunk_end_us)
+    sorted per conv; ``width/height/fps`` are per-row probe metadata.
+    Timecodes convert to INTEGER seconds (reference ``_to_secs``), then
+    ``frame = floor(sec * fps)`` (``_to_frame_idx``); clip ids number
+    ALL scenes of a video, including filtered-out ones."""
+    s_sec = chunks["chunk_start_us"].to_numpy(dtype=np.int64) // US
+    e_sec = chunks["chunk_end_us"].to_numpy(dtype=np.int64) // US
+    sf = np.floor(s_sec * fps).astype(np.int64)
+    ef = np.floor(e_sec * fps).astype(np.int64)
+    num_frames = ef - sf
+    # clip index = position among the conv's scenes (pre-filter)
+    idx = (
+        chunks.groupby("conv_id", sort=False).cumcount().to_numpy().astype(np.int64)
+    )
+    keep = np.ones(len(chunks), dtype=bool)
+    if frames_min is not None:
+        keep &= num_frames >= frames_min
+    if frames_max is not None:
+        keep &= num_frames <= frames_max
+    if fps_min is not None:
+        keep &= fps >= fps_min
+    if fps_max is not None:
+        keep &= fps <= fps_max
+    if resolution_max is not None:
+        keep &= (width * height) <= resolution_max
+    conv = chunks["conv_id"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "conv_id": conv[keep],
+            "clip_id": pd.Series(conv[keep]).astype(str) + "_" + pd.Series(idx[keep]).astype(str),
+            "num_frames": num_frames[keep],
+            "height": height[keep],
+            "width": width[keep],
+            "fps": fps[keep].astype(np.int64),
+            "timestamp_start": s_sec[keep],
+            "timestamp_end": e_sec[keep],
+            "frame_start": sf[keep],
+            "frame_end": ef[keep],
+        }
+    )
+    return out
+
+
+def video_clip_filter(sf_dir: str, gap_s: int = 1800,
+                      start_remove_s: float = 60.0, end_remove_s: float = 60.0,
+                      min_s: float = 120.0, max_s: float = 1800.0,
+                      frames_min: int | None = 100, frames_max: int | None = None,
+                      fps_min: float | None = None, fps_max: float | None = None,
+                      resolution_max: int | None = 1920 * 1080):
+    """Scene chunks + stub per-video probe -> filtered clip metadata
+    rows, all inside the one fused conv-keyed shuffle. The probe
+    (cv2-bound in the reference) derives deterministic (width, height,
+    fps) from the conversation's numeric id."""
+    from dataflow_mm_ray.sources.transcripts import transcripts_partitioned
+    from dataflow_mm_ray.stages.windows import session_window_kernel
+
+    sr, er = int(start_remove_s * US), int(end_remove_s * US)
+    mn, mx = int(min_s * US), int(max_s * US)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        sess = session_window_kernel(part, gap_s)
+        seg = pd.DataFrame(
+            {
+                "conv_id": sess["conv_id"],
+                "session_id": sess["session_id"],
+                "start_us": sess["session_start"].astype("datetime64[us]").astype(np.int64),
+                "end_us": sess["session_end"].astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        chunks = trim_split_kernel(seg, sr, er, mn, mx)
+        uid = pd.Series(chunks["conv_id"]).str[5:].astype(np.int64).to_numpy()
+        width = (320 + (uid % 10) * 160).astype(np.int64)
+        height = (240 + (uid % 7) * 120).astype(np.int64)
+        fps = np.choose(uid % 3, [24, 30, 60]).astype(np.float64)
+        return clip_metadata_kernel(
+            chunks, width, height, fps, frames_min, frames_max, fps_min, fps_max,
+            resolution_max,
+        )
+
+    return transcripts_partitioned(sf_dir, kernel)
+
+
 def scene_segments(sf_dir: str, gap_s: int = 1800,
                    start_remove_s: float = 60.0, end_remove_s: float = 60.0,
                    min_s: float = 120.0, max_s: float = 1800.0):
