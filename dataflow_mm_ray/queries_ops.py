@@ -657,6 +657,64 @@ def q_llm_judge_score(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# CLIP-score percentile filter (CLIPScoreFilter)
+# ---------------------------------------------------------------------------
+
+CLIP_KEEP_RATIO = 0.8
+
+
+class _StubClipScorer:
+    """Actor-pool scorer: the model load happens once per actor
+    (clipscore_filter.py loads CLIP in __init__); scoring here is a
+    deterministic md5-derived float in [0, 1) with an exact float64
+    representation (24-bit mantissa fraction), so the SQL twin is
+    bit-exact."""
+
+    def __init__(self):
+        import hashlib
+
+        self._md5 = hashlib.md5  # stands in for the CLIP checkpoint load
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        scores = np.fromiter(
+            (int(self._md5(str(t).encode()).hexdigest()[:6], 16) / 16777216.0
+             for t in batch["text"]),
+            dtype=np.float64, count=len(batch),
+        )
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "clip_score": scores})
+
+
+@register(
+    "clipscore_filter",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(text), 1, 6)) AS INTEGER) AS DOUBLE) / 16777216.0
+           AS clip_score
+  FROM documents
+)
+SELECT doc_id, clip_score FROM s
+WHERE clip_score >= (SELECT quantile_cont(clip_score, {1 - CLIP_KEEP_RATIO}) FROM s)
+""",
+)
+def q_clipscore_filter(sf_dir: str):
+    """CLIPScoreFilter (clipscore_filter.py:29,192-199): actor-pool
+    scorer (stub model) -> keep rows with score >= the
+    (1-keep_ratio)-quantile (INCLUSIVE — the reference uses >=, unlike
+    the strict > of value_percentile). Threshold from the distributed
+    exact quantile; the filter streams in map_batches."""
+    from dataflow_mm_ray.stages.percentile import exact_quantile
+
+    scored = _documents(sf_dir).map_batches(
+        _StubClipScorer, batch_format="pandas", batch_size=2048, concurrency=(1, 2)
+    ).materialize()
+    thr = exact_quantile(scored, "clip_score", 1 - CLIP_KEEP_RATIO)
+    return scored.map_batches(
+        lambda b, thr=thr: b[b["clip_score"] >= thr], batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # video metadata probe -> resolution range filter (VideoResolutionFilter)
 # ---------------------------------------------------------------------------
 

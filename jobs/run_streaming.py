@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--width-s", type=int, default=3600)
     ap.add_argument("--gap-s", type=int, default=1800)
     ap.add_argument("--lateness-s", type=int, default=86400)
+    ap.add_argument("--stop-after", type=int, default=None,
+                    help="stop after this epoch index (simulated kill; "
+                         "rerun with the same --out to resume)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -57,7 +60,7 @@ def main() -> None:
         gap_s=args.gap_s,
         lateness_s=args.lateness_s,
     )
-    eng.run()
+    eng.run(stop_after=args.stop_after)
     res = eng.results()
     summary = {
         "committed_rows": {k: int(len(v)) for k, v in res.items()},
