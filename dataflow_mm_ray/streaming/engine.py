@@ -265,7 +265,6 @@ class StreamingEngine:
         shards = self.shards
 
         def apply_and_collect(b: pd.DataFrame) -> pd.DataFrame:
-            from dataflow_mm_ray.hashing import stable_hash_array
             if not len(b):
                 return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in _APPLY_OUT_SCHEMA.items()})
             late_b = b[b["late"]]
@@ -323,13 +322,17 @@ class StreamingEngine:
                     .sum()
                 )
                 # (conv_id, turn_idx) is unique in the stream, so an
-                # order-insensitive combine of the row-key hashes + the
-                # row count identifies this (epoch, shard, block slice)
-                # across retries
-                kh = stable_hash_array(
-                    (g["conv_id"].astype(str) + "#" + g["turn_idx"].astype(str)).to_numpy()
+                # order-insensitive content digest — row count plus the
+                # int64 sums of ts and turn_idx (vectorized, no per-row
+                # hashing) — identifies this (epoch, shard, block
+                # slice) across retries; only same-(epoch, shard)
+                # collisions would matter and they need two different
+                # blocks agreeing on count AND both sums
+                apply_id = (
+                    epoch, int(s), len(g),
+                    int(g["ts_us"].to_numpy(dtype=np.int64).sum()),
+                    int(g["turn_idx"].to_numpy(dtype=np.int64).sum()),
                 )
-                apply_id = (epoch, int(s), int(np.bitwise_xor.reduce(kh)), len(g))
                 refs.append(
                     shards[int(s)].apply.remote(
                         partials, turns, join_events, sliding, apply_id=apply_id
