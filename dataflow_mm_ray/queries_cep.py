@@ -194,6 +194,68 @@ def q_video_clip_filter(sf_dir: str):
     )
 
 
+LUM_MIN, LUM_MAX = 20.0, 235.0
+
+
+@register(
+    "video_luminance_filter",
+    _SCENE_CHUNKS_SQL
+    + f"""
+, probe AS (
+  SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) AS uid,
+         row_number() OVER (PARTITION BY conv_id ORDER BY session_id, chunk_id) - 1 AS clip_idx
+  FROM chunks
+), lum AS (
+  SELECT conv_id, conv_id || '_' || CAST(clip_idx AS VARCHAR) AS clip_id,
+         CASE WHEN (uid + clip_idx) % 19 = 0 THEN NULL
+              ELSE CAST((uid * 31 + clip_idx * 17) % 256 AS DOUBLE) END AS luminance_mean
+  FROM probe
+)
+SELECT conv_id, clip_id, luminance_mean,
+       (luminance_mean IS NULL OR luminance_mean < {LUM_MIN}
+        OR luminance_mean > {LUM_MAX}) AS filtered
+FROM lum
+""",
+)
+def q_video_luminance_filter(sf_dir: str):
+    """VideoLuminanceFilter (video_luminance_filter.py:32-99): per-clip
+    luminance_mean (decoder-bound -> deterministic stub) and the
+    NON-DESTRUCTIVE filtered flag — clips with missing luminance or
+    outside [lum_min, lum_max] are MARKED, never dropped (the
+    reference updates clip['filtered'] in place)."""
+    import numpy as np
+
+    from dataflow_mm_ray.stages.scenes import scene_segments
+
+    chunks = scene_segments(
+        sf_dir, gap_s=SESSION_GAP_S, start_remove_s=SCENE_SR_S, end_remove_s=SCENE_ER_S,
+        min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
+    )
+
+    def mark(b):
+        import pandas as pd
+
+        idx = b.groupby("conv_id", sort=False).cumcount().to_numpy().astype(np.int64)
+        uid = pd.Series(b["conv_id"]).str[5:].astype(np.int64).to_numpy()
+        missing = (uid + idx) % 19 == 0
+        lum = np.where(missing, np.nan, ((uid * 31 + idx * 17) % 256).astype(np.float64))
+        filtered = missing | (lum < LUM_MIN) | (lum > LUM_MAX)
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "clip_id": pd.Series(b["conv_id"]).astype(str) + "_" + pd.Series(idx).astype(str),
+                "luminance_mean": lum,
+                "filtered": filtered,
+            }
+        )
+
+    # the per-conv clip index must see ALL of a conv's chunks — chunks
+    # come out of the conv-keyed reduce, so each output BLOCK holds
+    # whole conversations; batch_size=None keeps batches == blocks so
+    # the stateless cumcount is exact
+    return chunks.map_batches(mark, batch_format="pandas", batch_size=None)
+
+
 @register(
     "scene_segments",
     _SCENE_CHUNKS_SQL

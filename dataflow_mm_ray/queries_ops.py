@@ -129,6 +129,77 @@ def q_prompted_vqa(sf_dir: str):
     return out.map_batches(lambda b: b[["conv_id", "answer"]], batch_format="pandas")
 
 
+@register(
+    "prompted_aqa",
+    # the audio variant: every conversation carries one audio attachment
+    # consumed by an <audio> token on its first turn; the message
+    # builder places modal items BEFORE the text item, so the first
+    # line is "user: <audio:path> text"
+    _TCTE
+    + f"""
+, cl AS (
+  SELECT conv_id, turn_idx, role,
+         trim(regexp_replace(trim(text, '{_WS_STRIP}'), '\\n+', chr(10), 'g'), '{_WS_STRIP}') AS cleaned
+  FROM transcripts WHERE role IN ('user', 'assistant')
+), lines AS (
+  SELECT conv_id, turn_idx,
+         role || ': ' ||
+         CASE WHEN turn_idx = 0
+              THEN '<audio:/data/audio/' || conv_id || '.wav>' ||
+                   CASE WHEN length(cleaned) > 0 THEN ' ' || cleaned ELSE '' END
+              ELSE cleaned END AS line,
+         CASE WHEN turn_idx = 0 THEN 1 ELSE CAST(length(cleaned) > 0 AS INTEGER) END AS keep
+  FROM cl
+)
+SELECT conv_id, 'ans-' || md5(
+  'system: {_VQA_SYS}' || coalesce(chr(10) || string_agg(line, chr(10)
+     ORDER BY turn_idx) FILTER (WHERE keep = 1), '')) AS answer
+FROM lines GROUP BY conv_id
+""",
+)
+def q_prompted_aqa(sf_dir: str):
+    """Audio-QA variant (the core_audio prompted generators' shape —
+    same composition as prompted_vqa_generator.py:39-130 with audio
+    attachments): each conversation gets one audio path consumed by an
+    ``<audio>`` token on its first turn; the media branch of
+    conversation_to_messages (modal items precede text) feeds the
+    serving pool."""
+    from dataflow_mm_ray.serving import prompted_qa
+    from dataflow_mm_ray.sources.transcripts import transcripts_partitioned
+    from dataflow_mm_ray.stages.conversations import conversation_to_messages
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, g in part.groupby("conv_id", sort=False):
+            turns = [
+                {"from": "human" if r == "user" else "gpt", "value": t}
+                for r, t in zip(g["role"], g["text"])
+                if r in ("user", "assistant")
+            ]
+            if turns:
+                turns[0] = {"from": turns[0]["from"], "value": "<audio>" + turns[0]["value"]}
+            media = {"audio": [f"/data/audio/{conv}.wav"]}
+            msgs = conversation_to_messages(turns, media=media, system_prompt=_VQA_SYS)
+            lines = []
+            for m in msgs:
+                if isinstance(m["content"], str):
+                    lines.append(f"{m['role']}: {m['content']}")
+                else:
+                    segs = []
+                    for c in m["content"]:
+                        if c["type"] == "text":
+                            segs.append(c["text"])
+                        else:
+                            segs.append(f"<{c['type']}:{c[c['type']]}>")
+                    lines.append(f"{m['role']}: " + " ".join(segs))
+            rows.append((conv, "\n".join(lines)))
+        return pd.DataFrame(rows, columns=["conv_id", "prompt"])
+
+    prompted = transcripts_partitioned(sf_dir, kernel)
+    out = prompted_qa(prompted, concurrency=(1, 2), batch_size=2048)
+    return out.map_batches(lambda b: b[["conv_id", "answer"]], batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # reward evaluation
 # ---------------------------------------------------------------------------
