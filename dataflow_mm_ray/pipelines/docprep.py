@@ -1,0 +1,98 @@
+"""End-to-end document preparation pipeline — the composed
+training-data-prep chain a DataFlow-MM user runs as a Python pipeline
+script (e.g. the reference's text pipelines wiring RuleBaseFilter ->
+refiners -> dedup -> quality scoring through FileStorage steps), here
+as ONE streaming Ray Data chain with no per-step file materialization:
+
+  read documents
+  -> 15-rule quality filter (RuleBaseFilter semantics, vectorized)
+  -> text normalization + quality stats + language id + fingerprint
+     (all fused into one stateless map pass)
+  -> exact first-wins dedup on the content fingerprint (one keyed
+     exchange)
+  -> MinHash-LSH near-dup removal (distributed banding + verification)
+  -> quality cut: keep documents whose punctuation ratio stays under
+     the cap (junk/markup-heavy docs drop)
+
+Each stage streams blocks into the next; the only barriers are the
+keyed exchanges (fingerprint dedup, LSH banding/verify) and the
+near-dup keep join. Returns the surviving documents with their quality
+metadata — the dataset a user would hand to tokenization.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dataflow_mm_ray.sources.tables import read_table
+
+
+def docprep_pipeline(sf_dir: str, neardup_threshold: float = 0.7,
+                     max_punct_ratio: float = 0.5, num_partitions: int = 16):
+    from dataflow_mm_ray.functions.text_rules import rule_flags_batch
+    from dataflow_mm_ray.functions.textstats import textstats_batch
+    from dataflow_mm_ray.partition import hash_join
+    from dataflow_mm_ray.stages.dedup import dedup_first_wins
+    from dataflow_mm_ray.stages.neardup import minhash_lsh_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clean_and_annotate(b: pd.DataFrame) -> pd.DataFrame:
+        flags = rule_flags_batch(b["text"])
+        kept = b.loc[flags["keep"].to_numpy()].reset_index(drop=True)
+        if not len(kept):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=d) for c, d in _ANNOT_SCHEMA.items()}
+            )
+        stats = textstats_batch(kept["text"])
+        out = pd.DataFrame(
+            {
+                "doc_id": kept["doc_id"].to_numpy().astype(np.int64),
+                "text": kept["text"].to_numpy(),
+                "norm_text": stats["norm_text"].to_numpy(),
+                "n_tokens": stats["n_ws_tokens"].to_numpy().astype(np.int64),
+                "punct_ratio": stats["punct_ratio"].to_numpy(),
+                "stopword_ratio": stats["stopword_ratio"].to_numpy(),
+                "lang_pred": stats["lang_pred"].to_numpy(),
+                "fingerprint": stats["fingerprint"].to_numpy(),
+            }
+        )
+        return out
+
+    annotated = docs.map_batches(clean_and_annotate, batch_format="pandas")
+    exact_deduped = dedup_first_wins(
+        annotated, "fingerprint", order_by=("doc_id",), num_partitions=num_partitions
+    )
+
+    # near-dup keep decisions over the exact-dedup survivors, then a
+    # partitioned join to apply them (both sides keyed by doc_id)
+    keep = minhash_lsh_dedup(
+        sf_dir, threshold=neardup_threshold,
+        ds=exact_deduped, num_partitions=num_partitions,
+    )
+
+    def keep_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["keep"].to_numpy(), ["doc_id"]] if len(b) else b[["doc_id"]]
+
+    keep_ids = keep.map_batches(keep_only, batch_format="pandas")
+    joined = hash_join(exact_deduped, keep_ids, "doc_id", num_partitions=num_partitions)
+
+    def quality_cut(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        m = b["punct_ratio"].to_numpy() <= max_punct_ratio
+        return b.loc[m].drop(columns=["fingerprint"])
+
+    return joined.map_batches(quality_cut, batch_format="pandas")
+
+
+_ANNOT_SCHEMA = {
+    "doc_id": np.int64,
+    "text": object,
+    "norm_text": object,
+    "n_tokens": np.int64,
+    "punct_ratio": np.float64,
+    "stopword_ratio": np.float64,
+    "lang_pred": object,
+    "fingerprint": object,
+}

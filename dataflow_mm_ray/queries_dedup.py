@@ -135,3 +135,15 @@ def q_ivf_topk(sf_dir: str):
     from dataflow_mm_ray.stages import similarity
 
     return similarity.ivf_topk(sf_dir, k=10, n_queries=5, n_clusters=16, nprobe=4)
+
+
+@register("docprep_pipeline", None)  # composed chain: stage oracles cover parts
+def q_docprep_pipeline(sf_dir: str):
+    """The composed document-prep chain (pipelines/docprep.py):
+    rule filter -> annotate -> exact dedup -> MinHash near-dup ->
+    quality cut, one streaming Ray Data chain. Its stages are
+    individually oracled (rule_filter, text_stats,
+    docs_dedup_fingerprint, minhash_dedup)."""
+    from dataflow_mm_ray.pipelines.docprep import docprep_pipeline
+
+    return docprep_pipeline(sf_dir)
