@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "datatailor_select",
+    # composed end-to-end document prep (filter -> annotate -> exact
+    # dedup -> near-dup -> quality cut)
+    "docprep_pipeline",
 ]
 
 CEP_QUERIES = {
