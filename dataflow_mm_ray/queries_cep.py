@@ -194,6 +194,47 @@ def q_video_clip_filter(sf_dir: str):
     )
 
 
+@register(
+    "merged_clip_captions",
+    _SCENE_CHUNKS_SQL
+    + f"""
+, probe AS (
+  SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) AS uid,
+         row_number() OVER (PARTITION BY conv_id ORDER BY session_id, chunk_id) - 1 AS clip_idx,
+         chunk_start_us // 1000000 AS s_sec, chunk_end_us // 1000000 AS e_sec
+  FROM chunks
+), f AS (
+  SELECT conv_id, clip_idx, s_sec, e_sec,
+         CAST(320 + (uid % 10) * 160 AS BIGINT) * CAST(240 + (uid % 7) * 120 AS BIGINT) AS px,
+         (e_sec - s_sec) * CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT)
+           AS num_frames
+  FROM probe
+), kept AS (
+  SELECT * FROM f
+  WHERE num_frames >= {CLIP_FRAMES_MIN} AND px <= {CLIP_RES_MAX}
+)
+SELECT conv_id AS id,
+       string_agg('From ' || CAST(s_sec AS VARCHAR) || ' to ' || CAST(e_sec AS VARCHAR)
+                  || ', clip ' || CAST(clip_idx AS VARCHAR) || ' shows tool use',
+                  chr(10) ORDER BY s_sec, clip_idx) AS captions,
+       count(*) AS num_clips
+FROM kept GROUP BY conv_id
+""",
+)
+def q_merged_clip_captions(sf_dir: str):
+    """VideoMergedCaptionGenerator (video_merged_caption_generator.py:
+    13-124): clips + stub per-clip captions -> per-video time-ordered
+    merged caption text with first-char lowercasing and integer-second
+    timestamps. See stages/scenes.py merged_clip_captions."""
+    from dataflow_mm_ray.stages.scenes import merged_clip_captions
+
+    return merged_clip_captions(
+        sf_dir, gap_s=SESSION_GAP_S, start_remove_s=SCENE_SR_S, end_remove_s=SCENE_ER_S,
+        min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
+        frames_min=CLIP_FRAMES_MIN, resolution_max=CLIP_RES_MAX,
+    )
+
+
 LUM_MIN, LUM_MAX = 20.0, 235.0
 
 

@@ -727,6 +727,18 @@ def q_llm_judge_score(sf_dir: str):
     return judged.map_batches(parse, batch_format="pandas")
 
 
+@register("bbox_nms", None)  # greedy NMS loop: pytest-differential oracle
+def q_bbox_nms(sf_dir: str):
+    """ImageBBoxGenerator post-processing (image_bbox_generator.py:
+    23-40, 77-112): stub detector -> reference-exact greedy NMS (area
+    order, overlap = intersection / candidate area) -> padded
+    normalization to 3 dp, exploded one row per kept box."""
+    from dataflow_mm_ray.stages.bbox import bbox_pipeline
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return bbox_pipeline(docs)
+
+
 # ---------------------------------------------------------------------------
 # CLIP-score percentile filter (CLIPScoreFilter)
 # ---------------------------------------------------------------------------

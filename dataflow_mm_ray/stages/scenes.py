@@ -164,6 +164,77 @@ def video_clip_filter(sf_dir: str, gap_s: int = 1800,
     return transcripts_partitioned(sf_dir, kernel)
 
 
+def extract_video_name(clip_id: str) -> str:
+    """video_merged_caption_generator.py:24-37: strip a trailing
+    ``_<int>`` clip index; anything else is already a video name."""
+    if "_" not in clip_id:
+        return clip_id
+    parts = clip_id.split("_")
+    try:
+        int(parts[-1])
+        return "_".join(parts[:-1])
+    except ValueError:
+        return clip_id
+
+
+def merge_clip_captions(clips: pd.DataFrame, caption_col: str = "caption") -> pd.DataFrame:
+    """``merge_video_captions`` (video_merged_caption_generator.py:40-124)
+    vectorized: group clips by extracted video name, order by start
+    time (stable — insertion order breaks ties like the reference's
+    stable sort), first-char-lowercase each caption, and emit the
+    "From S to E, caption" text block per video. Rows with missing
+    timestamps or empty captions are skipped."""
+    ok = clips["timestamp_start"].notna() & clips["timestamp_end"].notna()
+    cap = clips[caption_col].astype(str).str.replace("\n", " ", regex=False).str.strip()
+    ok &= cap.str.len() > 0
+    c = clips.loc[ok].copy(deep=False)
+    cap = cap[ok]
+    c["__video"] = [extract_video_name(str(i)) for i in c["clip_id"]]
+    c["__line"] = (
+        "From " + c["timestamp_start"].astype(np.int64).astype(str)
+        + " to " + c["timestamp_end"].astype(np.int64).astype(str)
+        + ", " + (cap.str[:1].str.lower() + cap.str[1:])
+    )
+    c = c.sort_values(["__video", "timestamp_start"], kind="mergesort")
+    g = c.groupby("__video", sort=False)
+    return pd.DataFrame(
+        {
+            "id": list(g.groups),
+            "captions": g["__line"].agg("\n".join).to_numpy(),
+            "num_clips": g.size().to_numpy().astype(np.int64),
+        }
+    )
+
+
+def merged_clip_captions(sf_dir: str, gap_s: int = 1800,
+                         start_remove_s: float = 60.0, end_remove_s: float = 60.0,
+                         min_s: float = 120.0, max_s: float = 1800.0,
+                         frames_min: int | None = 100,
+                         resolution_max: int | None = 1920 * 1080):
+    """Clips -> stub per-clip caption -> per-video merged caption text
+    (VideoMergedCaptionGenerator), all in the fused conv-keyed shuffle
+    (a conversation's clips are co-located by construction)."""
+    base = video_clip_filter(
+        sf_dir, gap_s=gap_s, start_remove_s=start_remove_s, end_remove_s=end_remove_s,
+        min_s=min_s, max_s=max_s, frames_min=frames_min, resolution_max=resolution_max,
+    )
+
+    def caption_and_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype=object), "captions": pd.Series([], dtype=object),
+                 "num_clips": pd.Series([], dtype=np.int64)}
+            )
+        b = b.copy(deep=False)
+        # stub captioner (VLM-bound): deterministic per clip
+        idx = b["clip_id"].astype(str).str.rsplit("_", n=1).str[1]
+        b["caption"] = "Clip " + idx + " shows tool use"
+        return merge_clip_captions(b)
+
+    # batch_size=None: batches == blocks == whole conversations
+    return base.map_batches(caption_and_merge, batch_format="pandas", batch_size=None)
+
+
 def scene_segments(sf_dir: str, gap_s: int = 1800,
                    start_remove_s: float = 60.0, end_remove_s: float = 60.0,
                    min_s: float = 120.0, max_s: float = 1800.0):
