@@ -147,3 +147,12 @@ def q_docprep_pipeline(sf_dir: str):
     from dataflow_mm_ray.pipelines.docprep import docprep_pipeline
 
     return docprep_pipeline(sf_dir)
+
+
+@register("embedding_srp_neardup", None)  # LSH-probabilistic: pytest-pinned
+def q_embedding_srp_neardup(sf_dir: str):
+    """Embedding-cosine near-dup SCALE path: sign-random-projection
+    signatures + the banded Hamming first-wins pipeline (the
+    shuffle-bounded surrogate for embedding_neardup's O(n^2) cosine
+    matrix). Recall vs the exact path pinned in tests/test_neardup.py."""
+    return neardup.embedding_srp_neardup(sf_dir)

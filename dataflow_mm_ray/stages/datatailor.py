@@ -201,37 +201,14 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
 
     scored = emb.map_batches(score_assign, batch_format="pandas").materialize()
 
-    # --- centroids of ASSIGNED members + tau_c (tiny driver combine) ---
-    def cent_partial(b: pd.DataFrame) -> pd.DataFrame:
-        mat = _batch_embed(b)
-        rows = []
-        for c, g in b.groupby("cluster", sort=False):
-            rows.append((int(c), mat[b["cluster"].to_numpy() == c].sum(axis=0), len(g)))
-        return pd.DataFrame(rows, columns=["cluster", "vsum", "cnt"])
-
-    cp = scored.map_batches(cent_partial, batch_format="pandas").to_pandas()
-    k = int(cp["cluster"].max()) + 1
-    csum = np.zeros((k, smat.shape[1]))
-    ccnt = np.zeros(k)
-    for _, r in cp.iterrows():
-        csum[int(r["cluster"])] += r["vsum"]
-        ccnt[int(r["cluster"])] += r["cnt"]
-    ccnt[ccnt == 0] = 1.0
-    mcent = csum / ccnt[:, None]
-    mcent = mcent / (np.linalg.norm(mcent, axis=1, keepdims=True) + 1e-8)
-    sims = mcent @ mcent.T
-    tau = np.ones(k)
-    if k > 1:
-        for c in range(k):
-            other = np.delete(sims[c], c)
-            tau[c] = np.exp(other).sum() / (k - 1)
-
-    # --- per-cluster uniqueness + representativeness (one exchange) ---
-    tau_ref = ray.put(tau)
-    single_cluster = k <= 1
-
+    # --- per-cluster kernel (ONE exchange): each cluster is whole in
+    # its partition, so the kernel computes uniqueness AND the cluster
+    # summary (centroid of assigned members, informativeness weights)
+    # in the same pass; tau_c needs all centroids together, so the
+    # kernel emits a tiny per-cluster summary row alongside the
+    # per-vector metrics, the driver combines the k summaries, and one
+    # stateless map attaches rep = tau_c * w.
     def cluster_kernel(part: pd.DataFrame) -> pd.DataFrame:
-        tau_v = ray.get(tau_ref)
         outs = []
         for c, g in part.groupby("cluster", sort=False):
             feats = _batch_embed(g)
@@ -246,18 +223,59 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
                 d = np.linalg.norm(feats[:, None, :] - feats[None, :, :], axis=2)
                 np.fill_diagonal(d, 0.0)
                 uni = d @ w
-            rep = np.ones(len(g)) if single_cluster else tau_v[int(c)] * w
             outs.append(
                 pd.DataFrame(
-                    {"vec_id": g["vec_id"].to_numpy(), "informativeness": inf,
-                     "uniqueness": uni, "representativeness": rep}
+                    {"vec_id": g["vec_id"].to_numpy(), "cluster": np.int64(c),
+                     "informativeness": inf, "uniqueness": uni, "__w": w,
+                     "__cent": None}
+                )
+            )
+            # summary row: centroid of the assigned members
+            outs.append(
+                pd.DataFrame(
+                    {"vec_id": [np.int64(-1)], "cluster": [np.int64(c)],
+                     "informativeness": [0.0], "uniqueness": [0.0], "__w": [0.0],
+                     "__cent": [feats.mean(axis=0)]}
                 )
             )
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
             {"vec_id": pd.Series([], dtype=np.int64)}
         )
 
-    metrics = partition_map(scored, "cluster", cluster_kernel, num_partitions=num_partitions)
+    with_summaries = partition_map(
+        scored, "cluster", cluster_kernel, num_partitions=num_partitions
+    ).materialize()
+
+    # tiny driver combine: k centroid rows -> tau_c per cluster
+    def summaries_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["vec_id"] < 0, ["cluster", "__cent"]]
+
+    summ = with_summaries.map_batches(summaries_only, batch_format="pandas").to_pandas()
+    k = int(summ["cluster"].max()) + 1 if len(summ) else 1
+    mcent = np.zeros((k, smat.shape[1]))
+    for _, r in summ.iterrows():
+        mcent[int(r["cluster"])] = r["__cent"]
+    mcent = mcent / (np.linalg.norm(mcent, axis=1, keepdims=True) + 1e-8)
+    sims = mcent @ mcent.T
+    tau = np.ones(k)
+    if k > 1:
+        for c in range(k):
+            other = np.delete(sims[c], c)
+            tau[c] = np.exp(other).sum() / (k - 1)
+    tau_ref = ray.put(tau)
+    single_cluster = k <= 1
+
+    def attach_rep(b: pd.DataFrame) -> pd.DataFrame:
+        tau_v = ray.get(tau_ref)
+        b = b.loc[b["vec_id"] >= 0].copy(deep=False)
+        if single_cluster:
+            rep = np.ones(len(b))
+        else:
+            rep = tau_v[b["cluster"].to_numpy(dtype=np.int64)] * b["__w"].to_numpy(dtype=np.float64)
+        b["representativeness"] = rep
+        return b[["vec_id", "informativeness", "uniqueness", "representativeness"]]
+
+    metrics = with_summaries.map_batches(attach_rep, batch_format="pandas")
 
     # --- distributed rank normalization + collaborative selection ---
     # (fused stats/hist passes across the three metrics)

@@ -320,6 +320,16 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
         )
 
     signed = docs.map_batches(sign, batch_format="pandas", batch_size=512).materialize()
+    return banded_first_wins(signed, max_hamming=max_hamming, max_bucket=max_bucket,
+                             num_partitions=num_partitions)
+
+
+def banded_first_wins(signed, max_hamming: int = 3, max_bucket: int = 4096,
+                      num_partitions: int = 16):
+    """The banded Hamming first-wins core shared by SimHash (text) and
+    SRP (embedding) near-dup: ``signed`` is a (doc_id, simhash)
+    Dataset; returns (doc_id, simhash, keep) — see ``simhash_dedup``."""
+    from dataflow_mm_ray.partition import partition_map
 
     def band(b: pd.DataFrame) -> pd.DataFrame:
         sig = b["simhash"].to_numpy().astype(np.uint64)
@@ -395,3 +405,53 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
         )
 
     return partition_map(base.union(bucket_out), "doc_id", merge, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup scale path: SRP-LSH (random hyperplane signatures)
+# ---------------------------------------------------------------------------
+
+def _srp_planes(dim: int, n_bits: int = 64, seed: int = 23) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(dim, n_bits))
+
+
+def srp_signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-random-projection signature: bit j = (v . plane_j) > 0.
+    P[bit differs] = angle/pi, so Hamming distance on the 64-bit
+    signature estimates the angle — the scalable surrogate for the
+    O(n^2) cosine matrix of ``embedding_neardup``."""
+    bits = (mat @ planes) > 0
+    out = np.zeros(len(mat), dtype=np.uint64)
+    for j in range(bits.shape[1]):
+        out |= bits[:, j].astype(np.uint64) << np.uint64(j)
+    return out
+
+
+def embedding_srp_neardup(sf_dir: str, max_hamming: int = 10,
+                          source: str = "embeddings", id_col: str = "vec_id",
+                          emb_col: str = "embedding", ds=None,
+                          num_partitions: int = 16):
+    """Embedding-cosine near-dup at scale: SRP signatures -> the same
+    banded 4x16-bit first-wins pipeline as SimHash (exact candidate
+    set holds only for max_hamming <= 3; larger thresholds trade
+    recall, like any banded LSH). Returns (vec_id, simhash, keep),
+    keep = no earlier vector within ``max_hamming`` signature bits
+    (~ angle < max_hamming/64 * pi)."""
+    docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, emb_col])
+
+    def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        planes = _srp_planes(mat.shape[1])
+        return pd.DataFrame(
+            {"doc_id": batch[id_col].to_numpy().astype(np.int64),
+             "simhash": srp_signatures(mat, planes).astype(np.int64)}
+        )
+
+    signed = docs.map_batches(sign, batch_format="pandas", batch_size=512).materialize()
+    out = banded_first_wins(signed, max_hamming=max_hamming, num_partitions=num_partitions)
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"doc_id": id_col})
+
+    return out.map_batches(rename, batch_format="pandas")

@@ -126,3 +126,36 @@ def test_minhash_dedup_partition_independence(ray_session, corpus):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_srp_neardup_recall_vs_exact(ray_session):
+    """SRP signatures must catch exact/near-duplicate embeddings and
+    keep dissimilar ones, in first-wins order."""
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.neardup import embedding_srp_neardup
+
+    rng = np.random.RandomState(4)
+    base = rng.normal(size=(40, 32))
+    rows = [base[i] for i in range(40)]
+    rows.append(base[0].copy())                      # 40: exact dup of 0
+    rows.append(base[1] + rng.normal(0, 1e-3, 32))   # 41: near dup of 1
+    rows.append(base[2] * 5.0)                       # 42: same direction as 2 -> dup
+    df = pd.DataFrame({"vec_id": range(len(rows)), "embedding": rows})
+    out = (
+        embedding_srp_neardup("", ds=rd.from_pandas(df), max_hamming=3)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    assert keep[0] and keep[1] and keep[2]   # first occurrences survive
+    assert not keep[40]                      # exact dup dropped
+    assert not keep[41]                      # near dup dropped
+    assert not keep[42]                      # scale-invariant (cosine) dup dropped
+    # independent random vectors survive
+    assert sum(keep[i] for i in range(40)) >= 38
+    # deterministic
+    again = (
+        embedding_srp_neardup("", ds=rd.from_pandas(df), max_hamming=3)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, again)
