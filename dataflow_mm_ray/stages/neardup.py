@@ -252,7 +252,52 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
             }
         )
 
-    sh = docs.map_batches(shingle_batch, batch_format="pandas", batch_size=512).materialize()
+    sh_all = docs.map_batches(shingle_batch, batch_format="pandas", batch_size=512)
+
+    # EXACT-duplicate collapse before LSH: massive duplicate groups
+    # (the common case in raw crawls) otherwise explode the candidate
+    # set quadratically — a group of g copies lands whole in every band
+    # bucket and yields C(g, 2) pairs. Collapsing is semantics-exact
+    # for first-wins: every non-representative member has an EARLIER
+    # identical doc (its group's min-id representative; Jaccard 1 >= any
+    # threshold), so it is dropped unconditionally, and a
+    # representative's decision only ever depends on other
+    # representatives (a non-rep partner's shingle set equals its own
+    # rep's). One keyed exchange on the full-shingle-set hash.
+    def add_content_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        vals = np.fromiter(
+            ((np.bitwise_xor.reduce(s) if len(s) else np.uint64(0)) ^ np.uint64(2 * len(s))
+             for s in b["__sh"]),
+            dtype=np.uint64, count=len(b),
+        )
+        b["__ck"] = vals.view(np.int64)
+        return b
+
+    def collapse(part: pd.DataFrame) -> pd.DataFrame:
+        # partitioned by the xor-fold key; grouped by the EXACT shingle
+        # bytes so fold collisions can never merge distinct contents
+        part = part.copy(deep=False)
+        # shingle cells may arrive as Ray tensor-extension elements
+        # after the Arrow round trip — normalize to ndarray first
+        part["__cb"] = [np.asarray(s, dtype=np.uint64).tobytes() for s in part["__sh"]]
+        part = part.sort_values(["__cb", "doc_id"], kind="mergesort")
+        is_rep = ~part.duplicated(subset="__cb", keep="first")
+        rep_id = part["doc_id"].where(is_rep).ffill().astype(np.int64)
+        out = part[["doc_id", "__sh"]].copy(deep=False)
+        out["__rep"] = rep_id.to_numpy()
+        out["__grp"] = part.groupby("__cb", sort=False)["doc_id"].transform("size").to_numpy().astype(np.int64)
+        return out
+
+    membership = partition_map(
+        sh_all.map_batches(add_content_key, batch_format="pandas"),
+        "__ck", collapse, num_partitions=num_partitions,
+    ).materialize()
+
+    def reps_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["doc_id"].to_numpy() == b["__rep"].to_numpy(), ["doc_id", "__sh"]]
+
+    sh = membership.map_batches(reps_only, batch_format="pandas").materialize()
 
     pairs = _candidate_pairs(sh, id_col)
     # global candidate dedup (a pair can surface from several bands and
@@ -294,8 +339,46 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
         return pd.DataFrame({"lo": lo[m], "hi": hi[m]})
 
     verified = j2.map_batches(verify, batch_format="pandas")
-    docs_ids = sh  # (doc_id, __sh) — only doc_id is read by the spine
-    return _keep_from_pairs(docs_ids, verified, id_col, num_partitions=num_partitions)
+    rep_keep = _keep_from_pairs(sh, verified, id_col, num_partitions=num_partitions)
+
+    # expand representative decisions back to every member: non-reps
+    # are dropped unconditionally (earlier exact duplicate exists);
+    # partner counts add the (group_size - 1) exact partners to the
+    # representative-level near-dup count (group-collapsed diagnostic)
+    def rekey_rep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"__rep": b[id_col].to_numpy(), "__rkeep": b["keep"].to_numpy(),
+             "__rpartners": b["n_dup_partners"].to_numpy()}
+        )
+
+    mem = membership.map_batches(
+        lambda b: b[["doc_id", "__rep", "__grp"]].rename(columns={"doc_id": id_col}),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        mem, rep_keep.map_batches(rekey_rep, batch_format="pandas"), "__rep",
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64), "keep": pd.Series([], dtype=bool),
+                 "n_dup_partners": pd.Series([], dtype=np.int64)}
+            )
+        is_rep = b[id_col].to_numpy() == b["__rep"].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "keep": is_rep & b["__rkeep"].to_numpy(),
+                "n_dup_partners": (
+                    b["__rpartners"].to_numpy(dtype=np.int64)
+                    + b["__grp"].to_numpy(dtype=np.int64) - 1
+                ),
+            }
+        ).sort_values(id_col)
+
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
