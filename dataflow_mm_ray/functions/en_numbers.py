@@ -155,57 +155,92 @@ def _is_number_start(w: str) -> bool:
         or p in _ORD_TENS or p in _ORD_SCALES
 
 
+_PUNCT = ".,;:!?()[]{}\"'"
+
+
+def _decompose(tok: str) -> tuple[str, str, str]:
+    """(leading punctuation, core, trailing punctuation)."""
+    core = tok.strip(_PUNCT)
+    if not core:
+        return tok, "", ""
+    start = len(tok) - len(tok.lstrip(_PUNCT))
+    return tok[:start], core, tok[start + len(core):]
+
+
 def normalize_number_words(text: str) -> str:
-    """Rewrite spelled-out numbers in lowercased text to digits."""
-    tokens = text.split()
+    """Rewrite spelled-out numbers in lowercased text to digits.
+    Tokens are matched on their punctuation-stripped cores ("five," and
+    "five." normalize like "five"); adjacent punctuation terminates a
+    multi-word number group at that boundary and is re-attached to the
+    rendered digits."""
+    raw = text.split()
+    decomp = [_decompose(t) for t in raw]
+    cores = [c for _, c, _ in decomp]
+
+    def boundary_clean(j: int) -> bool:
+        """May a group that includes token j continue into token j+1?"""
+        return decomp[j][2] == "" and (j + 1 >= len(raw) or decomp[j + 1][0] == "")
+
     out: list[str] = []
     i = 0
-    while i < len(tokens):
-        w = tokens[i]
+    while i < len(raw):
+        w = cores[i]
         starts = _is_number_start(w) or (
-            w == "a" and i + 1 < len(tokens) and tokens[i + 1] in _SCALES
+            w == "a" and i + 1 < len(raw) and boundary_clean(i) and cores[i + 1] in _SCALES
         )
         if not starts or w == "and":
-            out.append(w)
+            out.append(raw[i])
             i += 1
             continue
-        value, consumed, ordinal = _parse_group(tokens[i:])
+        # the group may only span tokens with clean internal boundaries
+        run_end = i + 1
+        while run_end < len(raw) and boundary_clean(run_end - 1):
+            run_end += 1
+        value, consumed, ordinal = _parse_group(cores[i:run_end])
         if consumed == 0:
-            out.append(w)
+            out.append(raw[i])
             i += 1
             continue
-        # whisper keeps a solitary "one" textual ("one of them")
-        if consumed == 1 and w == "one":
-            out.append(w)
+        prefix = decomp[i][0]
+        last = i + consumed - 1
+        suffix = decomp[last][2]
+        nxt_core = cores[i + consumed] if (i + consumed < len(raw) and boundary_clean(last)) else None
+        # whisper keeps a solitary "one" textual ("one of them") — but
+        # not when it heads a decimal / percent / currency expression
+        if consumed == 1 and w == "one" and not (
+            nxt_core == "point" or nxt_core == "percent" or nxt_core in _CURRENCY
+        ):
+            out.append(raw[i])
             i += 1
             continue
         i += consumed
         if ordinal is not None:
-            out.append(f"{ordinal}{_ordinal_suffix(ordinal)}")
+            out.append(f"{prefix}{ordinal}{_ordinal_suffix(ordinal)}{suffix}")
             continue
         rendered = str(value)
-        # decimal: "point" + digit words
-        if i < len(tokens) and tokens[i] == "point":
+        # decimal: "point" + digit words (clean boundaries throughout)
+        if suffix == "" and i < len(raw) and decomp[i][0] == "" and cores[i] == "point":
             digits = []
-            j = i + 1
-            while j < len(tokens) and tokens[j] in _UNITS and _UNITS[tokens[j]] <= 9:
-                digits.append(str(_UNITS[tokens[j]]))
+            j = i
+            while (
+                j + 1 < len(raw) and decomp[j][2] == "" and decomp[j + 1][0] == ""
+                and cores[j + 1] in _UNITS and _UNITS[cores[j + 1]] <= 9
+            ):
+                digits.append(str(_UNITS[cores[j + 1]]))
                 j += 1
             if digits:
                 rendered = f"{rendered}.{''.join(digits)}"
-                i = j
-        if i < len(tokens):
-            nxt = tokens[i]
-            core = nxt.rstrip(".,;:!?")
-            tail = nxt[len(core):]
+                suffix = decomp[j][2]
+                i = j + 1
+        if suffix == "" and i < len(raw) and decomp[i][0] == "":
+            core = cores[i]
             if core == "percent":
-                rendered = f"{rendered}%{tail}"
+                rendered = f"{rendered}%"
+                suffix = decomp[i][2]
                 i += 1
             elif core in _CURRENCY:
-                rendered = f"{_CURRENCY[core]}{rendered}{tail}"
+                rendered = f"{_CURRENCY[core]}{rendered}"
+                suffix = decomp[i][2]
                 i += 1
-        out.append(rendered)
+        out.append(f"{prefix}{rendered}{suffix}")
     return " ".join(out)
-
-
-_SPELLED_RE = re.compile(r"[a-z]")  # cheap guard: skip pure-digit text

@@ -123,13 +123,18 @@ class TemplatedGenerator(PromptedGenerator):
         need = list(self.field_map)
         cols = [batch[col].to_numpy() for col in self.field_map.values()]
         has_lists = any(
-            len(c) and isinstance(c[0], (list, tuple, np.ndarray)) for c in cols
+            isinstance(v, (list, tuple, np.ndarray)) for c in cols for v in c
         )
         import string
 
         parts = list(string.Formatter().parse(self.template))
         fields = {f for _, f, _, _ in parts if f is not None}
-        if not has_lists and fields <= set(need):
+        # the vectorized path only handles plain {name} placeholders —
+        # any format spec or conversion falls back to build_prompt so
+        # its behavior (including errors) is identical per row
+        plain = all((spec in (None, "")) and conv is None for _, f, spec, conv in parts
+                    if f is not None)
+        if not has_lists and plain and fields <= set(need):
             # vectorized prompt assembly: split the template once, then
             # one string-Series concatenation per placeholder — no
             # per-row iteration in the hot path

@@ -70,13 +70,17 @@ def read_source(source: str, local_export_root: str | None = None, **kwargs):
     path = os.path.join(*parts)
     if not os.path.isdir(path) and not os.path.isfile(path):
         raise FileNotFoundError(f"no local export for {source!r} at {path}")
-    return rd.read_parquet(path, **kwargs)
+    from dataflow_mm_ray.sources.tables import read_parquet_split
+
+    return read_parquet_split(path, **kwargs)
 
 
 def read_any(path: str, fmt: str | None = None, **kwargs):
     fmt = fmt or path.rsplit(".", 1)[-1].lower()
     if fmt == "parquet":
-        return rd.read_parquet(path, **kwargs)
+        from dataflow_mm_ray.sources.tables import read_parquet_split
+
+        return read_parquet_split(path, **kwargs)
     if fmt in ("jsonl", "json"):
         if fmt == "json":
             with open(path) as f:

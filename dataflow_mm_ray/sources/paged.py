@@ -14,15 +14,19 @@ scale-killer anyway):
 
 - a "table" is a directory of parquet files partitioned by
   ``pipeline_id/task_id`` (``root/pipeline=<id>/task=<id>/*.parquet``);
-- ``read_page`` prunes directories at the read (never scans other
-  tasks), orders deterministically by ``raw_data_id`` and slices the
-  requested page from row-group metadata WITHOUT decoding other pages;
+- ``read_page`` orders rows DETERMINISTICALLY by (file name, row
+  position) and slices the requested page, decoding only the row
+  groups that overlap it. Like the reference's page query (which has
+  NO ORDER BY — a documented ClickHouse paging hazard), the order is
+  stable-but-arbitrary, NOT raw_data_id order; what the engine
+  guarantees is that pages partition the task's rows and that reruns
+  page identically.
 - ``write_task`` writes a new task partition with the system columns,
-  one file per block (resumable, never one giant file).
-
-Deterministic order note: the reference relies on ClickHouse's
-implicit ordering (no ORDER BY in its page query — a known paging
-hazard); here the order is explicit and stable (``raw_data_id``).
+  one file per block named by the block's CONTENT DIGEST — distinct
+  blocks can never overwrite each other, and a rerun rewrites the same
+  bytes to the same names (idempotent). Byte-identical duplicate
+  blocks would coalesce into one file; pass a globally unique
+  ``raw_id_col`` (recommended) to make every block's content distinct.
 """
 from __future__ import annotations
 
@@ -57,49 +61,56 @@ def read_page(root: str, pipeline_id: str, task_id: str,
     if page_size is None:
         return rd.read_parquet(files)
     offset = max(0, (page_num - 1)) * page_size
-    # row-count prefix-sum over file metadata: only the files overlapping
-    # [offset, offset+page_size) are opened for decode
-    take_files, skip_head, remaining = [], 0, page_size
-    seen = 0
-    for f in files:
-        n = pq.read_metadata(f).num_rows
-        if seen + n <= offset:
-            seen += n
-            continue
-        if remaining <= 0:
-            break
-        head = max(0, offset - seen)
-        take = min(n - head, remaining)
-        take_files.append((f, head, take))
-        remaining -= take
-        seen += n
-    if not take_files:
-        return rd.from_pandas(pd.DataFrame())
 
     frames = []
-    for f, head, take in take_files:
-        t = pq.read_table(f)
-        frames.append(t.slice(head, take).to_pandas())
-    page = pd.concat(frames, ignore_index=True)
-    return rd.from_pandas(page)
+    seen = 0
+    remaining = page_size
+    for f in files:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        n = md.num_rows
+        if seen + n <= offset or remaining <= 0:
+            seen += n
+            continue
+        # row-group pruning: decode only the groups overlapping
+        # [offset, offset + page_size)
+        rg_start = seen
+        for rg in range(md.num_row_groups):
+            rg_n = md.row_group(rg).num_rows
+            rg_lo, rg_hi = rg_start, rg_start + rg_n
+            want_lo = max(rg_lo, offset)
+            want_hi = min(rg_hi, offset + page_size)
+            if want_lo < want_hi:
+                t = pf.read_row_group(rg)
+                frames.append(t.slice(want_lo - rg_lo, want_hi - want_lo).to_pandas())
+                remaining -= want_hi - want_lo
+            rg_start = rg_hi
+        seen += n
+    if not frames:
+        # schema-preserving empty page: zero rows of the task's schema
+        if files:
+            return rd.from_arrow(pq.ParquetFile(files[0]).schema_arrow.empty_table())
+        return rd.from_pandas(pd.DataFrame())
+    return rd.from_pandas(pd.concat(frames, ignore_index=True))
 
 
 def write_task(ds, root: str, pipeline_id: str, task_id: str,
                raw_id_col: str | None = None):
     """Write a Dataset as a new task partition with the reference's
     system columns (storage.py:406-432): ``raw_data_id`` from
-    ``raw_id_col`` (or a stable per-partition sequence) and the
-    ``min_hashes`` near-dup hook column (default ``[0]``,
-    storage.py:289-291). Files are written per block by the map tasks
-    themselves (distributed, resumable)."""
+    ``raw_id_col`` (or a per-block sequence — pass ``raw_id_col`` for
+    globally unique ids) and the ``min_hashes`` near-dup hook column
+    (default ``[0]``, storage.py:289-291). Files are written per block
+    by the map tasks themselves (distributed, resumable), named by the
+    block's content digest so distinct blocks can never collide."""
     d = task_dir(root, pipeline_id, task_id)
     os.makedirs(d, exist_ok=True)
 
     def write_block(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         import pyarrow as pa
         import pyarrow.parquet as pq
-
-        from dataflow_mm_ray.hashing import stable_hash_array
 
         b = b.copy(deep=False)
         b["pipeline_id"] = pipeline_id
@@ -109,14 +120,17 @@ def write_task(ds, root: str, pipeline_id: str, task_id: str,
         elif "raw_data_id" not in b.columns:
             b["raw_data_id"] = np.arange(len(b), dtype=np.int64)
         b["min_hashes"] = [[0]] * len(b)  # storage.py:289-291 hook default
-        if len(b):
-            token = int(stable_hash_array(
-                b["raw_data_id"].to_numpy()[:1].astype(np.int64))[0]) % (1 << 31)
-        else:
-            token = 0
-        f = os.path.join(d, f"part-{token:08x}-{len(b)}.parquet")
+        t = pa.Table.from_pandas(b, preserve_index=False)
+        h = hashlib.md5()
+        for col in t.columns:
+            for chunk in col.chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        h.update(buf)
+        token = h.hexdigest()[:16]
+        f = os.path.join(d, f"part-{token}-{len(b)}.parquet")
         tmp = f + f".tmp-{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(b, preserve_index=False), tmp)
+        pq.write_table(t, tmp)
         os.replace(tmp, f)
         return pd.DataFrame({"file": [f], "rows": [len(b)]})
 

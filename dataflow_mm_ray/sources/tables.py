@@ -36,6 +36,17 @@ def _default_num_blocks(path: str) -> int | None:
     return int(nb) if nb > 1 else None
 
 
+def read_parquet_split(path: str, columns: Sequence[str] | None = None, **kwargs):
+    """Generic parquet read with the single-file split applied — every
+    parquet read in the engine should go through here or read_table
+    (CLAUDE.md convention: never a single-task read_parquet)."""
+    if "override_num_blocks" not in kwargs and os.path.isfile(path):
+        nb = _default_num_blocks(path)
+        if nb:
+            kwargs["override_num_blocks"] = nb
+    return rd.read_parquet(path, columns=list(columns) if columns else None, **kwargs)
+
+
 def read_table(
     sf_dir: str,
     name: str,

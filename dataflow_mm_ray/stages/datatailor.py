@@ -275,7 +275,8 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
         b["representativeness"] = rep
         return b[["vec_id", "informativeness", "uniqueness", "representativeness"]]
 
-    metrics = with_summaries.map_batches(attach_rep, batch_format="pandas")
+    # materialized: add_global_ranks consumes it with three passes
+    metrics = with_summaries.map_batches(attach_rep, batch_format="pandas").materialize()
 
     # --- distributed rank normalization + collaborative selection ---
     # (fused stats/hist passes across the three metrics)

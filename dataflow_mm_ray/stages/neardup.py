@@ -157,7 +157,8 @@ def _band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": ids, "band_id": bands, "band_key": keys})
 
 
-def _candidate_pairs(ds_shingled, id_col: str, max_bucket: int = 1000):
+def _candidate_pairs(ds_shingled, id_col: str, max_bucket: int = 1000,
+                     num_partitions: int = 16):
     """LSH banding -> candidate (lo, hi) doc pairs, deduplicated.
     ``ds_shingled`` carries (doc_id, __sh)."""
     # small batches: signature computation is per-row CPU work, so
@@ -184,7 +185,7 @@ def _candidate_pairs(ds_shingled, id_col: str, max_bucket: int = 1000):
     # globally deduplicated by the next keyed exchange (on ``lo``).
     from dataflow_mm_ray.partition import partition_map
 
-    return partition_map(bands, "band_key", bucket_pairs, num_partitions=16)
+    return partition_map(bands, "band_key", bucket_pairs, num_partitions=num_partitions)
 
 
 def _keep_from_pairs(docs_ids_ds, verified_pairs_ds, id_col: str, num_partitions: int = 16):
@@ -299,7 +300,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
 
     sh = membership.map_batches(reps_only, batch_format="pandas").materialize()
 
-    pairs = _candidate_pairs(sh, id_col)
+    pairs = _candidate_pairs(sh, id_col, num_partitions=num_partitions)
     # global candidate dedup (a pair can surface from several bands and
     # band partitions): one keyed exchange on lo co-locates all copies
     pairs = partition_map(pairs, "lo", lambda p: p.drop_duplicates(), num_partitions=num_partitions)

@@ -322,17 +322,22 @@ class StreamingEngine:
                     .sum()
                 )
                 # (conv_id, turn_idx) is unique in the stream, so an
-                # order-insensitive content digest — row count plus the
-                # int64 sums of ts and turn_idx (vectorized, no per-row
-                # hashing) — identifies this (epoch, shard, block
-                # slice) across retries; only same-(epoch, shard)
-                # collisions would matter and they need two different
-                # blocks agreeing on count AND both sums
-                apply_id = (
-                    epoch, int(s), len(g),
-                    int(g["ts_us"].to_numpy(dtype=np.int64).sum()),
-                    int(g["turn_idx"].to_numpy(dtype=np.int64).sum()),
-                )
+                # order-insensitive xor-fold of avalanche-mixed row
+                # digests (splitmix64 over ts_us/turn_idx — vectorized,
+                # no per-row Python hashing) identifies this (epoch,
+                # shard, block slice) across retries. Mixing matters:
+                # plain column SUMS are linear, so two legitimate
+                # same-epoch blocks could collide (e.g. {1,4} vs {2,3})
+                # and drop real data.
+                ts = g["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)
+                ti = g["turn_idx"].to_numpy(dtype=np.int64).view(np.uint64)
+                x = ts * np.uint64(0x9E3779B97F4A7C15) ^ (ti + np.uint64(0x94D049BB133111EB))
+                x ^= x >> np.uint64(30)
+                x *= np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(27)
+                x *= np.uint64(0x94D049BB133111EB)
+                x ^= x >> np.uint64(31)
+                apply_id = (epoch, int(s), len(g), int(np.bitwise_xor.reduce(x)))
                 refs.append(
                     shards[int(s)].apply.remote(
                         partials, turns, join_events, sliding, apply_id=apply_id

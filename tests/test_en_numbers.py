@@ -50,3 +50,18 @@ def test_integration_with_en_text_norm():
         "i will take 25% of $300"
     assert en_text_norm("The third try, um, cost two point five euros") == \
         "the 3rd try cost €2.5"
+
+
+def test_punctuation_adjacent_numbers():
+    assert nn("it cost five.") == "it cost 5."
+    assert nn("five, six") == "5, 6"
+    assert nn("he has twenty-five, i think") == "he has 25, i think"
+    assert nn("(three hundred) items") == "(300) items"
+    assert nn("one hundred, and five") == "100, and 5"
+
+
+def test_one_heads_numeric_expressions():
+    assert nn("one point five") == "1.5"
+    assert nn("one percent") == "1%"
+    assert nn("one dollars") == "$1"  # plural stub follows whisper's postfix rule
+    assert nn("one of them") == "one of them"

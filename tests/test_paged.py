@@ -37,3 +37,40 @@ def test_write_then_read_pages(ray_session, tmp_path):
     write_task(rd.from_pandas(df.head(3)), str(tmp_path), "p1", "t2",
                raw_id_col="doc_id").to_pandas()
     assert len(read_page(str(tmp_path), "p1", "t2", page_size=None).to_pandas()) == 3
+
+
+def test_write_task_no_filename_collisions(ray_session, tmp_path):
+    """Two equal-length blocks with default per-block raw ids but
+    different payload must land in different files (content-digest
+    naming) — no silent overwrite."""
+    import ray.data as rd
+
+    from dataflow_mm_ray.sources.paged import read_page, write_task
+
+    import pandas as pd
+
+    a = pd.DataFrame({"text": [f"a{i}" for i in range(5)]})
+    b = pd.DataFrame({"text": [f"b{i}" for i in range(5)]})
+    ds = rd.from_pandas([a, b])  # two blocks, same length, default raw ids
+    manifest = write_task(ds, str(tmp_path), "p", "t").to_pandas()
+    assert manifest["rows"].sum() == 10
+    assert len(set(manifest["file"])) == len(manifest)
+    full = read_page(str(tmp_path), "p", "t", page_size=None).to_pandas()
+    assert len(full) == 10
+    assert sorted(full["text"]) == sorted(list(a["text"]) + list(b["text"]))
+
+
+def test_read_page_out_of_range_keeps_schema(ray_session, tmp_path):
+    import ray.data as rd
+
+    import pandas as pd
+
+    from dataflow_mm_ray.sources.paged import read_page, write_task
+
+    df = pd.DataFrame({"doc_id": range(7), "text": list("abcdefg")})
+    write_task(rd.from_pandas(df), str(tmp_path), "p", "t", raw_id_col="doc_id").to_pandas()
+    empty = read_page(str(tmp_path), "p", "t", page_size=5, page_num=99)
+    assert empty.count() == 0
+    # dataset-level schema survives (Ray's to_pandas drops columns on
+    # 0-row frames — a Ray behavior, not a paging one)
+    assert {"doc_id", "text", "raw_data_id"} <= set(empty.schema().names)
