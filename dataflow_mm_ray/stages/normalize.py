@@ -44,7 +44,12 @@ _CONTRACTIONS = [
 
 
 def normalize_text(text: str, mode: str = "basic", remove_punct: bool = True, **kwargs) -> str:
-    t = str(text)
+    # None/NaN -> "" (the reference's clean_punctuations rule,
+    # audio_text_normalizer.py:14-17), never the string "None"/"nan"
+    if text is None or (isinstance(text, float) and text != text):
+        t = ""
+    else:
+        t = str(text)
     if mode == "english":
         from dataflow_mm_ray.functions.en_text_norm import en_text_norm
 

@@ -89,3 +89,43 @@ def test_resume_shard_count_guard(ray_session, tmp_path):
     eng.run(stop_after=0)
     with pytest.raises(AssertionError, match="shard count"):
         StreamingEngine(tp, str(tmp_path / "o"), n_epochs=2, n_shards=3, lateness_s=10**9)
+
+
+def test_normalizers_null_and_unicode_safety():
+    """None/NaN -> "" (reference clean_punctuations rule); emoji and
+    mixed-script text must not crash any mode."""
+    import numpy as np
+
+    from dataflow_mm_ray.stages.normalize import normalize_text
+
+    for mode in ("basic", "english", "english-lite", "zh"):
+        assert normalize_text(None, mode=mode) == ""
+        assert normalize_text(float("nan"), mode=mode) == ""
+        out = normalize_text("héllo 世界 🎉 3毛 café's 1.5%", mode=mode)
+        assert isinstance(out, str)
+    # zh pipeline on pure-ASCII text is punctuation/space rules only
+    assert "hello" in normalize_text("hello, world!", mode="zh")
+
+
+def test_dedup_pipelines_handle_empty_texts(ray_session):
+    """Empty/whitespace texts form one exact group: first-wins keeps
+    only the earliest (jaccard(empty, empty) = 1)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.neardup import minhash_lsh_dedup, simhash_dedup
+
+    df = pd.DataFrame(
+        {"doc_id": range(6),
+         "text": ["real document with several words here", "", "   ", None,
+                  "another distinct real document entirely", ""]}
+    )
+    out = minhash_lsh_dedup("", ds=rd.from_pandas(df), threshold=0.5).to_pandas()
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert keep[0] and keep[4]
+    assert keep[1]                      # first empty survives
+    assert not (keep[2] or keep[3] or keep[5])  # later empties are exact dups
+    sh = simhash_dedup("", ds=rd.from_pandas(df)).to_pandas()
+    k2 = dict(zip(sh["doc_id"], sh["keep"]))
+    assert k2[1] and not (k2[2] or k2[3] or k2[5])
