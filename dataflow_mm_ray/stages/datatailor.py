@@ -17,9 +17,12 @@ math, reproduced here Ray-Data-first:
   ``n_clusters = clip(int(n*clustering_threshold), 2, n//2)``. Here a
   deterministic numpy average-linkage agglomerative clustering runs on
   a bounded hash-stratum sample (the IVF-centroid pattern); every row
-  is then assigned to its nearest cluster centroid in ``map_batches``
-  (for n <= the sample bound the sample IS the full set, so labels are
-  the exact agglomerative labels).
+  is then assigned to its nearest cluster centroid in ``map_batches``.
+  (Even when the sample is the full set, nearest-centroid assignment
+  is the documented approximation: average-linkage clusters are not
+  Voronoi cells of their centroids, so borderline points can move and
+  a sample cluster can end up empty — downstream tau/uniqueness use
+  the ASSIGNED clusters consistently.)
 - **uniqueness** (``:241-287``, eq. 4): within each cluster,
   ``sum_j ||p_j - p_i|| * (inf_j / sum inf)`` — one keyed exchange on
   the cluster label, vectorized pairwise distances per cluster. (Like
@@ -251,19 +254,26 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
         return b.loc[b["vec_id"] < 0, ["cluster", "__cent"]]
 
     summ = with_summaries.map_batches(summaries_only, batch_format="pandas").to_pandas()
-    k = int(summ["cluster"].max()) + 1 if len(summ) else 1
-    mcent = np.zeros((k, smat.shape[1]))
+    # tau over PRESENT clusters only: nearest-centroid reassignment can
+    # leave sample clusters empty (average-linkage clusters are not
+    # Voronoi cells of their centroids), and an absent cluster must not
+    # inject zero-centroid exp(0) terms or inflate the k-1 denominator
+    present = np.sort(summ["cluster"].to_numpy(dtype=np.int64)) if len(summ) else np.empty(0, np.int64)
+    kp = len(present)
+    mcent = np.zeros((kp, smat.shape[1]))
+    pos = {int(c): i for i, c in enumerate(present)}
     for _, r in summ.iterrows():
-        mcent[int(r["cluster"])] = r["__cent"]
+        mcent[pos[int(r["cluster"])]] = r["__cent"]
     mcent = mcent / (np.linalg.norm(mcent, axis=1, keepdims=True) + 1e-8)
     sims = mcent @ mcent.T
-    tau = np.ones(k)
-    if k > 1:
-        for c in range(k):
-            other = np.delete(sims[c], c)
-            tau[c] = np.exp(other).sum() / (k - 1)
+    # tau indexed by ORIGINAL cluster id (dense array over max id)
+    tau = np.ones(int(present.max()) + 1 if kp else 1)
+    if kp > 1:
+        for i, c in enumerate(present):
+            other = np.delete(sims[i], i)
+            tau[int(c)] = np.exp(other).sum() / (kp - 1)
     tau_ref = ray.put(tau)
-    single_cluster = k <= 1
+    single_cluster = kp <= 1
 
     def attach_rep(b: pd.DataFrame) -> pd.DataFrame:
         tau_v = ray.get(tau_ref)

@@ -301,9 +301,11 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
     sh = membership.map_batches(reps_only, batch_format="pandas").materialize()
 
     pairs = _candidate_pairs(sh, id_col, num_partitions=num_partitions)
-    # global candidate dedup (a pair can surface from several bands and
-    # band partitions): one keyed exchange on lo co-locates all copies
-    pairs = partition_map(pairs, "lo", lambda p: p.drop_duplicates(), num_partitions=num_partitions)
+    # NOTE: a pair can surface from several bands/partitions; duplicate
+    # candidates ride through the two joins (cheap — the pair table is
+    # small) and are deduplicated inside `verify`, whose input blocks
+    # are the hi-keyed hash partitions, so all copies of a pair
+    # co-locate there — no dedicated dedup exchange needed.
 
     # Jaccard verification as two partitioned hash joins of the pair
     # list against the shingled doc table (the docstring's promised
@@ -329,6 +331,9 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
     def verify(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return pd.DataFrame({"lo": pd.Series([], dtype=np.int64), "hi": pd.Series([], dtype=np.int64)})
+        # all copies of a duplicate candidate pair co-locate in this
+        # hi-keyed partition block — dedup here, before the Jaccards
+        b = b.drop_duplicates(subset=["lo", "doc_id"])
         lo = b["lo"].to_numpy().astype(np.int64)
         hi = b["doc_id"].to_numpy().astype(np.int64)
         jac = np.fromiter(
@@ -339,7 +344,9 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
         m = jac >= threshold
         return pd.DataFrame({"lo": lo[m], "hi": hi[m]})
 
-    verified = j2.map_batches(verify, batch_format="pandas")
+    # batch_size=None: batches == blocks == whole hash partitions, so
+    # the in-verify dedup sees every copy of a pair
+    verified = j2.map_batches(verify, batch_format="pandas", batch_size=None)
     rep_keep = _keep_from_pairs(sh, verified, id_col, num_partitions=num_partitions)
 
     # expand representative decisions back to every member: non-reps
@@ -447,11 +454,19 @@ def banded_first_wins(signed, max_hamming: int = 3, max_bucket: int = 4096,
             # min doc_id per unique signature
             m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
             np.minimum.at(m, inv, ids)
-            # pairwise Hamming between unique sigs, then per-sig min of
+            # pairwise Hamming between unique sigs in bounded stripes
+            # (a full u x u uint64 matrix at max_bucket=4096 costs
+            # ~0.5-1 GB of temporaries per bucket), then per-sig min of
             # m over sigs within distance k
-            ham = _popcount64(u[:, None] ^ u[None, :])
-            within = ham <= max_hamming
-            dm = np.where(within, m[None, :], np.iinfo(np.int64).max).min(axis=1)
+            dm = np.empty(len(u), dtype=np.int64)
+            stripe = 256
+            big = np.iinfo(np.int64).max
+            for s0 in range(0, len(u), stripe):
+                us_ = u[s0 : s0 + stripe]
+                ham = _popcount64(us_[:, None] ^ u[None, :])
+                dm[s0 : s0 + stripe] = np.where(
+                    ham <= max_hamming, m[None, :], big
+                ).min(axis=1)
             out_id.append(ids)
             out_dmin.append(dm[inv])
         if not out_id:

@@ -39,9 +39,17 @@ import numpy as np
 import pandas as pd
 
 
+def _finite(b: pd.DataFrame, col: str) -> np.ndarray:
+    """Column as float64 with non-finite values dropped — NULL/NaN rows
+    are ignored throughout, matching DuckDB quantile_cont and
+    np.nanquantile semantics."""
+    v = b[col].to_numpy(dtype=np.float64)
+    return v[np.isfinite(v)]
+
+
 def _stats(ds, col: str) -> tuple[int, float, float]:
     def part(b: pd.DataFrame) -> pd.DataFrame:
-        v = b[col].to_numpy(dtype=np.float64)
+        v = _finite(b, col)
         if len(v) == 0:
             return pd.DataFrame({"n": [0], "mn": [np.inf], "mx": [-np.inf]})
         return pd.DataFrame({"n": [len(v)], "mn": [v.min()], "mx": [v.max()]})
@@ -59,7 +67,7 @@ def _kth_value(ds, col: str, k: int, lo: float, hi: float, below: int,
             return lo
 
         def hist(b: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
-            v = b[col].to_numpy(dtype=np.float64)
+            v = _finite(b, col)
             v = v[(v >= lo) & (v <= hi)]
             edges = np.linspace(lo, hi, n_buckets + 1)
             idx = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, n_buckets - 1)
@@ -79,7 +87,7 @@ def _kth_value(ds, col: str, k: int, lo: float, hi: float, below: int,
         in_bucket = int(counts[j])
         if in_bucket <= small_cutoff:
             def gather(b: pd.DataFrame, lo=new_lo, hi=new_hi) -> pd.DataFrame:
-                v = b[col].to_numpy(dtype=np.float64)
+                v = _finite(b, col)
                 # right-open except when the bucket touches the global max
                 m = (v >= lo) & ((v < hi) if j + 1 < n_buckets else (v <= hi))
                 return pd.DataFrame({"v": v[m]})
@@ -111,7 +119,7 @@ def exact_quantile(ds, col: str, q: float,
     # next order statistic: v[k0+1] == v0 if duplicates span the rank,
     # else the min value strictly above v0 — one combined pass
     def nxt(b: pd.DataFrame, v0=v0) -> pd.DataFrame:
-        v = b[col].to_numpy(dtype=np.float64)
+        v = _finite(b, col)
         above = v[v > v0]
         return pd.DataFrame(
             {"n_le": [int((v <= v0).sum())],
@@ -170,7 +178,7 @@ def add_global_ranks(ds, cols, tie_col: str, out_cols,
     def stat(b: pd.DataFrame) -> pd.DataFrame:
         row = {}
         for c in cols:
-            v = b[c].to_numpy(dtype=np.float64)
+            v = _finite(b, c)
             row[f"n_{c}"] = [len(v)]
             row[f"mn_{c}"] = [v.min() if len(v) else np.inf]
             row[f"mx_{c}"] = [v.max() if len(v) else -np.inf]

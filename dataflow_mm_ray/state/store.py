@@ -279,7 +279,12 @@ class StateShard:
             inv_m = ~is_tool
             inv_rows = ev[inv_m]
             n_idx, n_ts = nxt_idx[inv_m], nxt_ts[inv_m]
-            matched = ~np.isnan(n_ts) & (flush | (n_ts <= wm_us))
+            # ts == wm is NOT settled: lateness is ts < wm, so a turn
+            # at exactly the watermark can still arrive in a later
+            # epoch (and an earlier tool response at ts == wm could
+            # displace this match) — only strictly-passed responses
+            # are final
+            matched = ~np.isnan(n_ts) & (flush | (n_ts < wm_us))
             emit = matched | flush
             join_out = pd.DataFrame(
                 {
@@ -302,8 +307,10 @@ class StateShard:
                  "latency_us": pd.Series([], dtype=np.float64)}
             )
             st.inv = inv
-        # GC tool turns the watermark has passed (order == ts order)
-        st.tool = tools[tools["ts_us"].to_numpy(dtype=np.int64) > wm_us][_TOOL_COLS].reset_index(drop=True)
+        # GC tool turns the watermark has STRICTLY passed (ts == wm
+        # rows are not late and may still serve a future invocation
+        # arriving at the same timestamp)
+        st.tool = tools[tools["ts_us"].to_numpy(dtype=np.int64) >= wm_us][_TOOL_COLS].reset_index(drop=True)
 
         frames_out = {
             "windows": win_closed,

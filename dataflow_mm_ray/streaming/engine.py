@@ -240,11 +240,26 @@ class StreamingEngine:
             out["window_start_us"] = (out["ts_us"] // width_us) * width_us
             return out
 
+        from dataflow_mm_ray.sources.tables import read_parquet_split
+
         if self.epoch_partitioned:
-            # a tick reads only its own arrival slice
-            ds = rd.read_parquet(os.path.join(self.transcripts_path, f"epoch={epoch}"))
+            # a tick reads only its own arrival slice; an epoch that
+            # received no rows has no directory — an empty tick, not
+            # an error
+            d = os.path.join(self.transcripts_path, f"epoch={epoch}")
+            if not os.path.isdir(d):
+                import pandas as _pd
+
+                ds = rd.from_pandas(
+                    _pd.DataFrame({c: _pd.Series([], dtype=object) for c in
+                                   ("conv_id", "role", "text", "tool")}
+                                  | {"turn_idx": _pd.Series([], dtype=np.int32),
+                                     "ts": _pd.Series([], dtype="datetime64[us]")})
+                )
+            else:
+                ds = rd.read_parquet(d)
         else:
-            ds = rd.read_parquet(self.transcripts_path)
+            ds = read_parquet_split(self.transcripts_path)
         return ds.map_batches(fn, batch_format="pandas")
 
     def run_epoch(self, epoch: int) -> None:
@@ -323,15 +338,21 @@ class StreamingEngine:
                 )
                 # (conv_id, turn_idx) is unique in the stream, so an
                 # order-insensitive xor-fold of avalanche-mixed row
-                # digests (splitmix64 over ts_us/turn_idx — vectorized,
-                # no per-row Python hashing) identifies this (epoch,
-                # shard, block slice) across retries. Mixing matters:
-                # plain column SUMS are linear, so two legitimate
-                # same-epoch blocks could collide (e.g. {1,4} vs {2,3})
-                # and drop real data.
+                # digests over (conv_id hash, ts_us, turn_idx)
+                # identifies this (epoch, shard, block slice) across
+                # retries. The conv hash MUST be in the digest: ts can
+                # tie across conversations (the derivation breaks ts
+                # ties by event_id), and dropping a legitimate block as
+                # a "replay" would silently lose data. Mixing matters
+                # too: plain column sums are linear ({1,4} vs {2,3}).
+                from dataflow_mm_ray.hashing import stable_hash_array
+
+                ch = stable_hash_array(g["conv_id"].to_numpy())
                 ts = g["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)
                 ti = g["turn_idx"].to_numpy(dtype=np.int64).view(np.uint64)
-                x = ts * np.uint64(0x9E3779B97F4A7C15) ^ (ti + np.uint64(0x94D049BB133111EB))
+                x = ch ^ (ts * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                    ti + np.uint64(0x94D049BB133111EB)
+                )
                 x ^= x >> np.uint64(30)
                 x *= np.uint64(0xBF58476D1CE4E5B9)
                 x ^= x >> np.uint64(27)
