@@ -166,3 +166,73 @@ def test_state_shard_apply_idempotent(ray_session):
     ray.get(sh.apply.remote(partials, None, None, None, apply_id=aid))
     out2 = ray.get(sh.finalize.remote(wm_us=1 << 60, flush=True))
     assert int(out2["windows"]["n_turns"].iloc[0]) == 2
+
+
+def test_watermark_tie_tool_turn_not_gced(ray_session):
+    """A tool response at ts == watermark is NOT settled (late means
+    ts < wm): it must survive GC and serve an invocation arriving at
+    the same timestamp in a later epoch."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from dataflow_mm_ray.state.store import StateShard
+
+    US = 1_000_000
+    sh = StateShard.remote(0, 3600, 1800, 7200)
+    T = 1_000_000 * US
+    # epoch 1: only the tool response, at exactly what will become wm
+    tool_ev = pd.DataFrame(
+        {"conv_id": ["c"], "kind": ["tool"], "turn_idx": [np.int32(2)],
+         "tool": [None], "ts_us": [np.int64(T)]}
+    )
+    ray.get(sh.apply.remote(None, None, tool_ev, None, apply_id=(1, 0, 1, 1)))
+    out1 = ray.get(sh.finalize.remote(wm_us=T, flush=False))
+    assert len(out1["joins"]) == 0  # nothing emitted, nothing lost
+    # epoch 2: the invocation arrives at the same ts (not late: ts == wm)
+    inv_ev = pd.DataFrame(
+        {"conv_id": ["c"], "kind": ["inv"], "turn_idx": [np.int32(1)],
+         "tool": ["tool_x"], "ts_us": [np.int64(T)]}
+    )
+    ray.get(sh.apply.remote(None, None, inv_ev, None, apply_id=(2, 0, 1, 2)))
+    out2 = ray.get(sh.finalize.remote(wm_us=T + US, flush=True))
+    j = out2["joins"]
+    assert len(j) == 1
+    assert j["response_idx"].iloc[0] == 2.0  # matched, not NaN
+
+
+def test_apply_id_distinguishes_conversations(ray_session):
+    """Two same-epoch blocks whose rows tie on (ts, turn_idx) but
+    belong to DIFFERENT conversations must both apply (the digest folds
+    the conv hash — neither is a 'replay' of the other)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from dataflow_mm_ray.hashing import stable_hash_array
+    from dataflow_mm_ray.state.store import StateShard
+
+    def digest(conv, ts, idx):
+        ch = stable_hash_array(np.asarray([conv], dtype=object))
+        t = np.asarray([ts], dtype=np.int64).view(np.uint64)
+        ti = np.asarray([idx], dtype=np.int64).view(np.uint64)
+        x = ch ^ (t * np.uint64(0x9E3779B97F4A7C15)) ^ (ti + np.uint64(0x94D049BB133111EB))
+        x ^= x >> np.uint64(30); x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27); x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return (0, 0, 1, int(np.bitwise_xor.reduce(x)))
+
+    id_a = digest("conv-a", 123, 0)
+    id_b = digest("conv-b", 123, 0)
+    assert id_a != id_b
+
+    sh = StateShard.remote(0, 3600, 1800, 7200)
+    for conv, aid in (("conv-a", id_a), ("conv-b", id_b)):
+        partials = pd.DataFrame(
+            {"conv_id": [conv], "window_start_us": [np.int64(0)],
+             "n_turns": [np.int64(1)], "n_user_turns": [np.int64(1)],
+             "n_tool_calls": [np.int64(0)], "sum_chars": [np.int64(5)]}
+        )
+        ray.get(sh.apply.remote(partials, None, None, None, apply_id=aid))
+    out = ray.get(sh.finalize.remote(wm_us=1 << 60, flush=True))
+    assert len(out["windows"]) == 2  # both conversations applied
