@@ -297,6 +297,92 @@ def q_video_luminance_filter(sf_dir: str):
     return chunks.map_batches(mark, batch_format="pandas", batch_size=None)
 
 
+AES_MIN, OCR_MAX = 4.0, 0.3
+MOTION_MIN, MOTION_MAX = 2.0, 14.0
+
+
+@register(
+    "video_score_filter",
+    _SCENE_CHUNKS_SQL
+    + f"""
+, probe AS (
+  SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) AS uid,
+         row_number() OVER (PARTITION BY conv_id ORDER BY session_id, chunk_id) - 1 AS clip_idx,
+         chunk_start_us // 1000000 AS s_sec, chunk_end_us // 1000000 AS e_sec
+  FROM chunks
+), m AS (
+  SELECT conv_id, conv_id || '_' || CAST(clip_idx AS VARCHAR) AS clip_id,
+         (e_sec - s_sec) * CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT)
+           AS num_frames,
+         CASE WHEN (uid + clip_idx) % 19 = 0 THEN NULL
+              ELSE CAST((uid * 31 + clip_idx * 17) % 256 AS DOUBLE) END AS luminance_mean,
+         3.0 + CAST((uid * 7 + clip_idx * 13) % 50 AS DOUBLE) / 10.0 AS aesthetic_score,
+         CAST((uid * 3 + clip_idx) % 100 AS DOUBLE) / 100.0 AS ocr_score,
+         CAST((uid + clip_idx * 5) % 200 AS DOUBLE) / 10.0 AS motion_score
+  FROM probe
+)
+SELECT conv_id, clip_id, num_frames, luminance_mean, aesthetic_score,
+       ocr_score, motion_score,
+       NOT (luminance_mean IS NULL OR luminance_mean < {LUM_MIN} OR luminance_mean > {LUM_MAX}
+            OR num_frames < {CLIP_FRAMES_MIN}
+            OR aesthetic_score < {AES_MIN} OR ocr_score > {OCR_MAX}
+            OR motion_score < {MOTION_MIN} OR motion_score > {MOTION_MAX}) AS passed
+FROM m
+""",
+)
+def q_video_score_filter(sf_dir: str):
+    """VideoScoreFilter (video_score_filter.py:9-160): the multi-metric
+    clip gate — frames / aesthetic / OCR / luminance / motion
+    thresholds with carry-through semantics (a clip already marked by
+    an earlier filter, here the luminance NULL/range mark, stays
+    marked; later checks only run while still passing). Metric probes
+    are deterministic stubs for the model/codec evaluators; the gate
+    logic is exact."""
+    import numpy as np
+
+    from dataflow_mm_ray.stages.scenes import scene_segments
+
+    chunks = scene_segments(
+        sf_dir, gap_s=SESSION_GAP_S, start_remove_s=SCENE_SR_S, end_remove_s=SCENE_ER_S,
+        min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
+    )
+
+    def gate(b):
+        import pandas as pd
+
+        idx = b.groupby("conv_id", sort=False).cumcount().to_numpy().astype(np.int64)
+        uid = pd.Series(b["conv_id"]).str[5:].astype(np.int64).to_numpy()
+        s_sec = b["chunk_start_us"].to_numpy(dtype=np.int64) // 1_000_000
+        e_sec = b["chunk_end_us"].to_numpy(dtype=np.int64) // 1_000_000
+        fps = np.choose(uid % 3, [24, 30, 60]).astype(np.int64)
+        num_frames = (e_sec - s_sec) * fps
+        missing = (uid + idx) % 19 == 0
+        lum = np.where(missing, np.nan, ((uid * 31 + idx * 17) % 256).astype(np.float64))
+        aes = 3.0 + ((uid * 7 + idx * 13) % 50).astype(np.float64) / 10.0
+        ocr = ((uid * 3 + idx) % 100).astype(np.float64) / 100.0
+        motion = ((uid + idx * 5) % 200).astype(np.float64) / 10.0
+        # carry-through: the luminance mark first, then the gate
+        passed = ~(missing | (lum < LUM_MIN) | (lum > LUM_MAX))
+        passed &= ~(
+            (num_frames < CLIP_FRAMES_MIN) | (aes < AES_MIN) | (ocr > OCR_MAX)
+            | (motion < MOTION_MIN) | (motion > MOTION_MAX)
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "clip_id": pd.Series(b["conv_id"]).astype(str) + "_" + pd.Series(idx).astype(str),
+                "num_frames": num_frames,
+                "luminance_mean": lum,
+                "aesthetic_score": aes,
+                "ocr_score": ocr,
+                "motion_score": motion,
+                "passed": passed,
+            }
+        )
+
+    return chunks.map_batches(gate, batch_format="pandas", batch_size=None)
+
+
 @register(
     "scene_segments",
     _SCENE_CHUNKS_SQL
