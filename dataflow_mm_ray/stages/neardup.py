@@ -136,25 +136,33 @@ def hamming64(a: np.uint64, b: np.uint64) -> int:
 # ---------------------------------------------------------------------------
 
 def _band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """shingled doc row -> N_BANDS rows of (band_id, band_key, doc_id),
-    with one vectorized hash pass per batch for the band keys. Consumes
-    the precomputed ``__sh`` column so the corpus is shingled exactly
-    once across the whole pipeline."""
+    """shingled doc row -> N_BANDS rows of (band_id, band_key, doc_id).
+    Consumes the precomputed ``__sh`` column so the corpus is shingled
+    exactly once; band keys are a vectorized splitmix-style fold of the
+    band's ROWS_PER_BAND minhash values (equal signatures -> equal
+    keys; 64-bit collisions are negligible, and buckets group by
+    (band_id, band_key) so cross-band collisions are irrelevant)."""
     n = len(batch)
+    if n == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "band_id": pd.Series([], dtype=np.int32),
+             "band_key": pd.Series([], dtype=np.int64)}
+        )
     sigs = np.empty((n, N_PERM), dtype=np.uint64)
     for r, sh in enumerate(batch["__sh"].to_numpy()):
         sigs[r] = minhash_signature(sh)
-    band_strs = np.empty(n * N_BANDS, dtype=object)
+    v = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+    k = np.full((n, N_BANDS), np.uint64(0x9E3779B97F4A7C15))
+    for j in range(ROWS_PER_BAND):
+        k = (k ^ v[:, :, j]) * np.uint64(0xBF58476D1CE4E5B9)
+        k ^= k >> np.uint64(27)
+    k *= np.uint64(0x94D049BB133111EB)
+    k ^= k >> np.uint64(31)
     ids = np.repeat(batch[id_col].to_numpy().astype(np.int64), N_BANDS)
     bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
-    k = 0
-    for r in range(n):
-        row = sigs[r]
-        for b in range(N_BANDS):
-            band_strs[k] = "|".join(map(str, row[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
-            k += 1
-    keys = stable_hash_array(band_strs).astype(np.int64) if n else np.empty(0, dtype=np.int64)
-    return pd.DataFrame({"doc_id": ids, "band_id": bands, "band_key": keys})
+    return pd.DataFrame(
+        {"doc_id": ids, "band_id": bands, "band_key": k.reshape(-1).view(np.int64)}
+    )
 
 
 def _candidate_pairs(ds_shingled, id_col: str, max_bucket: int = 1000,
