@@ -136,3 +136,36 @@ def test_normalize_queries_run(ray_session):
         out = registry()[name].fn(SF_TINY).to_pandas()
         assert len(out) == 500
         assert set(out.columns) == {"doc_id", "norm_text"}
+
+
+def test_fuzz_sentences_parity(ref):
+    """Generated sentences mixing numbers, dates, money, percent,
+    fractions, measure words and filler text — engine normalize_nsw
+    must match the exec'd reference byte-for-byte."""
+    import numpy as np
+
+    from dataflow_mm_ray.functions.cn_text_norm import normalize_nsw
+
+    rng = np.random.RandomState(17)
+    fillers = ["今天", "大概", "他说", "总共", "可能", "结果是", "价格", "距离",
+               "the value is", "approx", "了", "个人认为"]
+    makers = [
+        lambda: str(rng.randint(0, 10**6)),
+        lambda: f"{rng.randint(0, 1000)}.{rng.randint(0, 99)}",
+        lambda: f"{rng.randint(1, 100)}%",
+        lambda: f"{rng.randint(1, 20)}/{rng.randint(2, 30)}",
+        lambda: f"{rng.randint(1990, 2029)}年{rng.randint(1, 12)}月{rng.randint(1, 28)}日",
+        lambda: f"{rng.randint(1, 9999)}元",
+        lambda: f"{rng.randint(1, 500)}个",
+        lambda: f"{rng.randint(1, 31)}号",
+        lambda: f"{rng.randint(0, 100)}块",
+        lambda: str(rng.randint(10**7, 10**9)),  # phone-shaped digit runs
+    ]
+    for _ in range(200):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            parts.append(fillers[rng.randint(len(fillers))])
+            if rng.rand() < 0.8:
+                parts.append(makers[rng.randint(len(makers))]())
+        s = "".join(parts) if rng.rand() < 0.5 else " ".join(parts)
+        assert normalize_nsw(s) == ref.normalize_nsw(s), repr(s)
