@@ -35,5 +35,6 @@ def registry() -> dict[str, Query]:
     import dataflow_mm_ray.queries_text  # noqa: F401
     import dataflow_mm_ray.queries_dedup  # noqa: F401
     import dataflow_mm_ray.queries_ops  # noqa: F401
+    import dataflow_mm_ray.queries_nli  # noqa: F401
 
     return dict(_REGISTRY)

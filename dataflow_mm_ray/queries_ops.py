@@ -921,3 +921,130 @@ def q_distinct_tools(sf_dir: str):
 
     partials = transcripts_partitioned(sf_dir, kernel)
     return partials.to_pandas().drop_duplicates().reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Caption-as-Teacher filter (CatFilter)
+# ---------------------------------------------------------------------------
+
+_CAT_WS = " " + "".join(chr(c) for c in (9, 10, 13, 11, 12))
+
+_CAT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z'']+') AS cap_toks,
+         regexp_extract_all(lower(substr(text, 1, 40)), '[a-z'']+') AS ocr_toks
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text, '{_CAT_WS}')) > 0
+), scored AS (
+  SELECT doc_id,
+    len(list_distinct(list_transform(
+      CASE WHEN len(cap_toks) >= 3 THEN range(CAST(len(cap_toks)/3 AS BIGINT)) ELSE [] END,
+      i -> cap_toks[3*i+1] || chr(31) || cap_toks[3*i+2] || chr(31) || cap_toks[3*i+3]
+    ))) AS triple_cnt,
+    len(list_distinct(ocr_toks)) AS n_ocr,
+    len(list_intersect(list_distinct(ocr_toks), list_distinct(cap_toks))) AS n_inter,
+    len(list_distinct(ocr_toks || cap_toks)) AS n_union
+  FROM toks
+)
+SELECT doc_id, CAST(triple_cnt AS BIGINT) AS triple_cnt
+FROM scored
+WHERE triple_cnt >= 2 AND (n_ocr = 0 OR n_inter * 1.0 / n_union < 0.2)
+"""
+
+
+@register("cat_filter", _CAT_SQL)
+def q_cat_filter(sf_dir: str):
+    """CatFilter (cat_filter.py:36-111): SVO-triple complexity gate +
+    action-verb gate + OCR-overlap Jaccard gate. The stub grammar makes
+    each disjoint token 3-gram an (nsubj, VERB, obj) group, so the
+    reference extraction reduces to distinct 3-grams and the whole
+    decision stays SQL-oracled; OCR text is surrogated by the first 40
+    chars of the caption (a prefix "transcription")."""
+    from dataflow_mm_ray.stages.cat import CatFilterStage
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_ocr(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["ocr_text"] = b["text"].astype(str).str.slice(0, 40)
+        return b
+
+    kept = docs.map_batches(add_ocr, batch_format="pandas").map_batches(
+        CatFilterStage,
+        fn_constructor_kwargs={"caption_key": "text", "ocr_key": "ocr_text"},
+        batch_format="pandas",
+        concurrency=(1, 2),
+        batch_size=4096,
+    )
+    return kept.map_batches(lambda b: b[["doc_id", "triple_cnt"]], batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# video metadata probe table (VideoInfoFilter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "video_info_probe",
+    """
+WITH present AS (
+  SELECT doc_id FROM documents WHERE doc_id % 31 <> 0
+), probe AS (
+  SELECT doc_id, (doc_id % 19 <> 0) AS success,
+         CASE WHEN doc_id % 19 <> 0 THEN 30 + (doc_id % 50) * 24 END AS nf,
+         CASE WHEN doc_id % 19 <> 0 THEN 320 + (doc_id % 10) * 160 END AS w,
+         CASE WHEN doc_id % 19 <> 0 THEN 240 + (doc_id % 7) * 120 END AS h,
+         CASE WHEN doc_id % 19 <> 0 THEN
+              CASE WHEN doc_id % 2 = 0 THEN 30.0 ELSE 24.0 END END AS fps
+  FROM present
+)
+SELECT doc_id, success,
+       CAST(nf AS DOUBLE) AS num_frames,
+       CAST(w AS DOUBLE) AS width,
+       CAST(h AS DOUBLE) AS height,
+       CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS aspect_ratio,
+       CAST(w * h AS DOUBLE) AS resolution,
+       fps,
+       CAST(nf AS DOUBLE) / fps AS duration_sec
+FROM probe
+""",
+)
+def q_video_info_probe(sf_dir: str):
+    """VideoInfoFilter (video_info_filter.py:265-345,347-400): optional
+    existence pre-filter (``ext=True``, lines 290-304 — stub: every 31st
+    path is missing), per-video metadata probe (cv2-bound -> stub; a
+    failed probe keeps the row with success=false and NULL fields,
+    lines 324-336), then a global ascending sort by num_frames with
+    failures last (None -> inf, lines 338-343). NULL-able numerics are
+    float64-with-NaN on both sides (CLAUDE.md dtype rule)."""
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        ids = ids[ids % 31 != 0]  # ext=True existence pre-filter
+        ok = ids % 19 != 0
+        nf = np.where(ok, 30 + (ids % 50) * 24, 1).astype(np.float64)
+        w = np.where(ok, 320 + (ids % 10) * 160, 1).astype(np.float64)
+        h = np.where(ok, 240 + (ids % 7) * 120, 1).astype(np.float64)
+        fps = np.where(ids % 2 == 0, 30.0, 24.0)
+        nan = np.float64("nan")
+        out = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "success": ok,
+                "num_frames": np.where(ok, nf, nan),
+                "width": np.where(ok, w, nan),
+                "height": np.where(ok, h, nan),
+                "aspect_ratio": np.where(ok, w / h, nan),
+                "resolution": np.where(ok, w * h, nan),
+                "fps": np.where(ok, fps, nan),
+                "duration_sec": np.where(ok, nf / fps, nan),
+                # None -> inf sort key (video_info_filter.py:338-341)
+                "sort_key": np.where(ok, nf, np.inf),
+            }
+        )
+        return out
+
+    probed = _documents(sf_dir).map_batches(probe, batch_format="pandas")
+    return probed.sort("sort_key").map_batches(
+        lambda b: b.drop(columns=["sort_key"]), batch_format="pandas"
+    )
