@@ -2,6 +2,8 @@
 with DuckDB oracles. See sources/transcripts.py for the derivation."""
 from __future__ import annotations
 
+import pandas as pd
+
 from dataflow_mm_ray.queries import register
 from dataflow_mm_ray.sources.transcripts import (
     TRANSCRIPTS_CTE,
@@ -194,10 +196,7 @@ def q_video_clip_filter(sf_dir: str):
     )
 
 
-@register(
-    "merged_clip_captions",
-    _SCENE_CHUNKS_SQL
-    + f"""
+_MERGED_CAPTIONS_CTE = _SCENE_CHUNKS_SQL + f"""
 , probe AS (
   SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) AS uid,
          row_number() OVER (PARTITION BY conv_id ORDER BY session_id, chunk_id) - 1 AS clip_idx,
@@ -212,14 +211,20 @@ def q_video_clip_filter(sf_dir: str):
 ), kept AS (
   SELECT * FROM f
   WHERE num_frames >= {CLIP_FRAMES_MIN} AND px <= {CLIP_RES_MAX}
+), merged AS (
+  SELECT conv_id AS id,
+         string_agg('From ' || CAST(s_sec AS VARCHAR) || ' to ' || CAST(e_sec AS VARCHAR)
+                    || ', clip ' || CAST(clip_idx AS VARCHAR) || ' shows tool use',
+                    chr(10) ORDER BY s_sec, clip_idx) AS captions,
+         count(*) AS num_clips
+  FROM kept GROUP BY conv_id
 )
-SELECT conv_id AS id,
-       string_agg('From ' || CAST(s_sec AS VARCHAR) || ' to ' || CAST(e_sec AS VARCHAR)
-                  || ', clip ' || CAST(clip_idx AS VARCHAR) || ' shows tool use',
-                  chr(10) ORDER BY s_sec, clip_idx) AS captions,
-       count(*) AS num_clips
-FROM kept GROUP BY conv_id
-""",
+"""
+
+
+@register(
+    "merged_clip_captions",
+    _MERGED_CAPTIONS_CTE + "SELECT id, captions, num_clips FROM merged",
 )
 def q_merged_clip_captions(sf_dir: str):
     """VideoMergedCaptionGenerator (video_merged_caption_generator.py:
@@ -233,6 +238,76 @@ def q_merged_clip_captions(sf_dir: str):
         min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
         frames_min=CLIP_FRAMES_MIN, resolution_max=CLIP_RES_MAX,
     )
+
+
+# VideoQAGeneratorPrompt.build_prompt (dataflow/prompts/video.py:25-54):
+# the caption is appended after "Description: ".
+VIDEO_QA_PROMPT_PREFIX = (
+    "### Task:\n"
+    "Given a detailed description that summarizes the content of a video, generate question-answer pairs "
+    "based on the description to help humans better understand the video.\n"
+    "The question-answer pairs should be faithful to the content of the video description and developed "
+    "from different dimensions to promote comprehensive understanding of the video.\n\n"
+    "#### Guidelines For Question-Answer Pairs Generation:\n"
+    "- Read the provided video description carefully. Pay attention to the scene, main characters, "
+    "their behaviors, and the development of events.\n"
+    "- Generate appropriate question-answer pairs based on the description. The pairs should cover "
+    "as many question dimensions as possible and not deviate from the content.\n"
+    "- Generate 5 to 10 question-answer pairs across different dimensions.\n\n"
+    "### Output Format:\n"
+    "1. Your output should be formatted as a JSON list.\n"
+    "2. Only provide the Python dictionary string.\n"
+    "Your response should look like:\n"
+    "[\n"
+    '  {"Dimension": <dimension-1>, "Question": <question-1>, "Answer": <answer-1>},\n'
+    '  {"Dimension": <dimension-2>, "Question": <question-2>, "Answer": <answer-2>},\n'
+    "  ...\n"
+    "]\n\n"
+    "Please generate question-answer pairs for the following video description:\n"
+    "Description: "
+)
+
+_VCQA_SYS = "You are a helpful assistant."
+
+
+@register(
+    "video_caption_qa",
+    _MERGED_CAPTIONS_CTE
+    + "SELECT id, 'ans-' || md5('system: " + _VCQA_SYS + "' || chr(10) || 'user: ' || '"
+    + VIDEO_QA_PROMPT_PREFIX.replace("'", "''")
+    + "' || captions) AS answer FROM merged",
+)
+def q_video_caption_qa(sf_dir: str):
+    """VideoCaptionToQAGenerator (video_qa_generator.py:16-132): build a
+    QA-generation prompt from each video's merged caption via
+    VideoQAGeneratorPrompt (video.py:25-54), rewrite the (default,
+    single-human-turn) conversation's first user message to it
+    (lines 100-110), then delegate to the PromptedVQAGenerator serving
+    path (lines 117-128) — here the caption chain (scene split -> clip
+    filter -> merged captions) feeds the same serving actor pool."""
+    from dataflow_mm_ray.serving import prompted_qa
+    from dataflow_mm_ray.stages.scenes import merged_clip_captions
+
+    caps = merged_clip_captions(
+        sf_dir, gap_s=SESSION_GAP_S, start_remove_s=SCENE_SR_S, end_remove_s=SCENE_ER_S,
+        min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
+        frames_min=CLIP_FRAMES_MIN, resolution_max=CLIP_RES_MAX,
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": b["id"].to_numpy(),
+                "prompt": [
+                    f"system: {_VCQA_SYS}\nuser: {VIDEO_QA_PROMPT_PREFIX}{c}"
+                    for c in b["captions"]
+                ],
+            }
+        )
+
+    out = prompted_qa(caps.map_batches(build, batch_format="pandas"),
+                      concurrency=(1, 2), batch_size=2048)
+    return out.map_batches(lambda b: b[["id", "answer"]], batch_format="pandas")
 
 
 LUM_MIN, LUM_MAX = 20.0, 235.0

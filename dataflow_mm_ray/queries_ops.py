@@ -1048,3 +1048,58 @@ def q_video_info_probe(sf_dir: str):
     return probed.sort("sort_key").map_batches(
         lambda b: b.drop(columns=["sort_key"]), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# text -> image generation (PromptedImageGenerator, diffusers-shaped)
+# ---------------------------------------------------------------------------
+
+@register(
+    "prompted_image_gen",
+    _CTE + f"""
+SELECT 'sample' || conv_id || '_condition' || turn_idx AS sample_id,
+       safe || '/' || safe || '_0.png' AS rel_path,
+       md5(text) AS img_md5,
+       CAST(1024 AS BIGINT) AS n_bytes
+FROM (
+  SELECT conv_id, turn_idx, text,
+         substr(trim(regexp_replace(text, '[^0-9a-zA-Z]+', '_', 'g'), '_'), 1, 120) AS safe
+  FROM transcripts
+  WHERE text IS NOT NULL AND length(trim(text, '{_CAT_WS}')) > 0
+)
+""",
+)
+def q_prompted_image_gen(sf_dir: str):
+    """PromptedImageGenerator (prompted_image_generator.py:30-95): every
+    non-empty conversation message becomes one t2i prompt with a unique
+    sample id; the diffusers serving is an actor pool (stub backend)
+    emitting image bytes + the reference's sanitized save layout
+    (image_gen.py:33-41). The reference's positional
+    ``sample{row}_condition{msg}`` id becomes the stable
+    ``sample{conv_id}_condition{turn_idx}`` (a positional index is not
+    reproducible under distribution). Bytes flow to
+    ``media_sideeffect_sink`` in the pytest composition; the query
+    returns the manifest."""
+    from dataflow_mm_ray.serving import T2IGenerator
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(sf_dir)
+
+    def to_prompts(b: pd.DataFrame) -> pd.DataFrame:
+        mask = b["text"].notna() & (b["text"].astype(str).str.strip() != "")
+        b = b[mask]
+        return pd.DataFrame(
+            {
+                "sample_id": "sample" + b["conv_id"].astype(str)
+                + "_condition" + b["turn_idx"].astype(str),
+                "prompt": b["text"].astype(str),
+            }
+        )
+
+    gen = t.map_batches(to_prompts, batch_format="pandas").map_batches(
+        T2IGenerator, batch_format="pandas", concurrency=(1, 2), batch_size=1024
+    )
+    return gen.map_batches(
+        lambda b: b[["sample_id", "rel_path", "img_md5", "n_bytes"]],
+        batch_format="pandas",
+    )

@@ -199,3 +199,52 @@ def templated_qa(ds, template: str, field_map: dict[str, str],
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class Text2ImageBackend:
+    """Diffusers-shaped text->image serving (``dataflow/serving``'s
+    image-gen servings; ``dataflow/io/core_io/image_gen.py:26-50`` save
+    layout). Construction (pipeline load) happens once per pool actor."""
+
+    def generate_images(self, prompts: Sequence[str]) -> list[bytes]:
+        raise NotImplementedError
+
+
+class StubT2IServing(Text2ImageBackend):
+    """Deterministic stand-in for a diffusers pipeline: the 'image' is a
+    1 KiB payload derived from md5(prompt) — enough to exercise byte
+    plumbing, sinks and manifests with SQL-expressible digests."""
+
+    def generate_images(self, prompts: Sequence[str]) -> list[bytes]:
+        return [hashlib.md5(str(p).encode("utf-8")).digest() * 64 for p in prompts]
+
+
+class T2IGenerator:
+    """Actor-pool callable reproducing ``PromptedImageGenerator``
+    (``prompted_image_generator.py:30-95``): one image per non-empty
+    prompt; emits the generated bytes plus manifest columns
+    (``image_gen.py:33-41`` sanitized naming: non-alnum runs -> '_',
+    strip '_', first 120 chars, '<safe>/<safe>_<idx>.png')."""
+
+    def __init__(self, backend_cls=StubT2IServing, backend_kwargs=None,
+                 prompt_key: str = "prompt", bytes_key: str = "image_bytes"):
+        self.serving = backend_cls(**(backend_kwargs or {}))  # once per actor
+        self.prompt_key = prompt_key
+        self.bytes_key = bytes_key
+
+    @staticmethod
+    def safe_name(prompt: str) -> str:
+        import re
+
+        return re.sub(r"[^0-9a-zA-Z]+", "_", prompt).strip("_")[:120]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        prompts = [str(p) for p in batch[self.prompt_key]]
+        images = self.serving.generate_images(prompts)
+        safe = [self.safe_name(p) for p in prompts]
+        out = batch.copy(deep=False)
+        out[self.bytes_key] = images
+        out["rel_path"] = [f"{s}/{s}_0.png" for s in safe]
+        out["img_md5"] = [hashlib.md5(p.encode("utf-8")).hexdigest() for p in prompts]
+        out["n_bytes"] = np.int64(1024)
+        return out
