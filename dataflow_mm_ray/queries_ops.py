@@ -1103,3 +1103,144 @@ def q_prompted_image_gen(sf_dir: str):
         lambda b: b[["sample_id", "rel_path", "img_md5", "n_bytes"]],
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# image editing (PromptedImageEditGenerator, diffusers-shaped)
+# ---------------------------------------------------------------------------
+
+@register(
+    "image_edit_gen",
+    _CTE + """
+, instr AS (
+  SELECT conv_id, arg_min(text, turn_idx) AS instruction
+  FROM transcripts WHERE role = 'user' GROUP BY conv_id
+)
+SELECT conv_id,
+       'images/' || conv_id || '.png' AS src_rel,
+       md5('images/' || conv_id || '.png' || chr(31) || instruction) AS edit_md5,
+       CAST(1024 AS BIGINT) AS n_bytes
+FROM instr
+""",
+)
+def q_image_edit_gen(sf_dir: str):
+    """PromptedImageEditGenerator (prompted_image_edit_generator.py:
+    52-184): per conversation, the FIRST user message is the editing
+    instruction for that conversation's source image; relative source
+    paths resolve against the dataset base dir
+    (resolve_media_path / lines 31-39 — unit-tested; the digest keys on
+    the canonical relative path so output is mount-independent). The
+    edit serving is an actor pool; bytes flow to media_sideeffect_sink
+    in the pytest composition."""
+    from dataflow_mm_ray.serving import ImageEditGenerator
+    from dataflow_mm_ray.sources.transcripts import transcripts_partitioned
+
+    def first_instruction(part: pd.DataFrame) -> pd.DataFrame:
+        u = part[part["role"] == "user"]
+        u = u.sort_values(["conv_id", "turn_idx"], kind="mergesort").drop_duplicates("conv_id")
+        return pd.DataFrame(
+            {
+                "conv_id": u["conv_id"].to_numpy(),
+                "src_rel": "images/" + u["conv_id"].astype(str) + ".png",
+                "instruction": u["text"].astype(str).to_numpy(),
+            }
+        )
+
+    pairs = transcripts_partitioned(sf_dir, first_instruction)
+    gen = pairs.map_batches(
+        ImageEditGenerator, batch_format="pandas", concurrency=(1, 2), batch_size=2048
+    )
+    return gen.map_batches(
+        lambda b: b[["conv_id", "src_rel", "edit_md5", "n_bytes"]], batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CoT QA generation (VideoCOTQAGenerator)
+# ---------------------------------------------------------------------------
+
+def _cot_sql() -> str:
+    from dataflow_mm_ray.serving import COT_PROMPT_BODY, COT_TYPE_TEMPLATE
+
+    body = COT_PROMPT_BODY.replace("'", "''")
+    suffix = "CASE problem_type " + " ".join(
+        f"WHEN '{k}' THEN '{v.replace(chr(39), chr(39) * 2)}'"
+        for k, v in COT_TYPE_TEMPLATE.items()
+    ) + " END"
+    return f"""
+WITH fix AS (
+  SELECT doc_id,
+    ['multiple choice', 'numerical', 'OCR', 'free-form', 'regression'][(doc_id % 5) + 1]
+      AS problem_type
+  FROM documents
+), q AS (
+  SELECT doc_id, problem_type,
+    'Q' || doc_id || ': determine the correct output.' ||
+    CASE WHEN problem_type = 'multiple choice'
+         THEN 'Options:' || chr(10) || 'A. first' || chr(10) || 'B. second' || chr(10)
+              || 'C. third' || chr(10) || 'D. fourth' || chr(10)
+         ELSE '' END AS question
+  FROM fix
+), p AS (
+  SELECT doc_id, problem_type,
+         md5(question || chr(10) || '{body}' || {suffix}) AS h
+  FROM q
+)
+SELECT doc_id, problem_type,
+       'thinking about ' || substr(h, 1, 8) AS process,
+       substr(h, 9, 8) AS answer
+FROM p
+"""
+
+
+@register("cot_qa", _cot_sql())
+def q_cot_qa(sf_dir: str):
+    """VideoCOTQAGenerator (video_cotqa_generator.py:17-194): per-row
+    problem -> CoT prompt (multiple-choice options appended, lines
+    52-61; type-specific answer-format suffix, lines 63-67 of
+    prompts/video.py) -> serving pool -> <think>/<answer> extraction
+    (lines 85-99). The stub CoT backend emits a structured response so
+    the extraction regexes run for real."""
+    from dataflow_mm_ray.serving import (
+        COT_PROMPT_BODY,
+        COT_TYPE_TEMPLATE,
+        PromptedGenerator,
+        StubCoTServing,
+        extract_answer,
+        extract_think,
+    )
+
+    TYPES = ["multiple choice", "numerical", "OCR", "free-form", "regression"]
+    OPTIONS = "Options:\nA. first\nB. second\nC. third\nD. fourth\n"
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        ptype = pd.Series([TYPES[i % 5] for i in ids])
+        base = "Q" + pd.Series(ids).astype(str) + ": determine the correct output."
+        question = base + np.where(ptype == "multiple choice", OPTIONS, "")
+        prompt = (
+            question + "\n" + COT_PROMPT_BODY + ptype.map(COT_TYPE_TEMPLATE).to_numpy()
+        )
+        return pd.DataFrame(
+            {"doc_id": ids, "problem_type": ptype.to_numpy(), "prompt": prompt.to_numpy()}
+        )
+
+    gen = _documents(sf_dir).map_batches(build, batch_format="pandas").map_batches(
+        PromptedGenerator,
+        fn_constructor_kwargs={"backend_cls": StubCoTServing, "output_key": "full_response"},
+        batch_format="pandas",
+        concurrency=(1, 2),
+        batch_size=2048,
+    )
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "problem_type": b["problem_type"].to_numpy(),
+                "process": [extract_think(r) for r in b["full_response"]],
+                "answer": [extract_answer(r) for r in b["full_response"]],
+            }
+        )
+
+    return gen.map_batches(extract, batch_format="pandas")

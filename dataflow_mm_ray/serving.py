@@ -248,3 +248,96 @@ class T2IGenerator:
         out["img_md5"] = [hashlib.md5(p.encode("utf-8")).hexdigest() for p in prompts]
         out["n_bytes"] = np.int64(1024)
         return out
+
+
+def resolve_media_path(path: str, base_dir: str) -> str:
+    """``PromptedImageEditGenerator._resolve_image_path``
+    (``prompted_image_edit_generator.py:31-39``): absolute paths pass
+    through, relative ones are normpath-joined to the dataset's base
+    directory."""
+    import os
+
+    if os.path.isabs(path):
+        return path
+    return os.path.normpath(os.path.join(base_dir, path))
+
+
+class ImageEditGenerator:
+    """Actor-pool callable for ``PromptedImageEditGenerator``
+    (``prompted_image_edit_generator.py:52-184``): one edited image per
+    (source image, instruction) pair. The stub backend derives the
+    edited payload from md5(rel_path + chr(31) + instruction) — keyed on
+    the canonical RELATIVE path so outputs (and resume decisions) are
+    mount-independent."""
+
+    def __init__(self, backend_cls=StubT2IServing, backend_kwargs=None,
+                 image_key: str = "src_rel", instruction_key: str = "instruction"):
+        self.serving = backend_cls(**(backend_kwargs or {}))  # once per actor
+        self.image_key = image_key
+        self.instruction_key = instruction_key
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            f"{p}\x1f{i}"
+            for p, i in zip(batch[self.image_key], batch[self.instruction_key])
+        ]
+        out = batch.copy(deep=False)
+        out["edited_bytes"] = self.serving.generate_images(keys)
+        out["edit_md5"] = [hashlib.md5(k.encode("utf-8")).hexdigest() for k in keys]
+        out["n_bytes"] = np.int64(1024)
+        return out
+
+
+# ``VideoCOTQAGeneratorPrompt`` (dataflow/prompts/video.py:57-86): the
+# CoT body appended after the question, plus type-specific suffixes.
+COT_PROMPT_BODY = (
+    "Please think about this question as if you were a human pondering deeply. "
+    "Engage in an internal dialogue using expressions such as 'let me think', 'wait', 'Hmm', "
+    "'oh, I see', 'let's break it down', etc, or other natural language thought expressions "
+    "It's encouraged to include self-reflection or verification in the reasoning process. "
+    "Provide your detailed reasoning between the <think> and </think> tags, and then give your "
+    "final answer between the <answer> and </answer> tags."
+)
+
+COT_TYPE_TEMPLATE = {
+    "multiple choice": " Please provide only the single option letter (e.g., A, B, C, D, etc.) within the <answer> </answer> tags.",
+    "numerical": " Please provide the numerical value (e.g., 42 or 3.14) within the <answer> </answer> tags.",
+    "OCR": " Please transcribe text from the image/video clearly and provide your text answer within the <answer> </answer> tags.",
+    "free-form": " Please provide your text answer within the <answer> </answer> tags.",
+    "regression": " Please provide the numerical value (e.g., 42 or 3.14) within the <answer> </answer> tags.",
+}
+
+
+class StubCoTServing(ServingBackend):
+    """Deterministic CoT stub: a <think>/<answer>-structured response
+    derived from md5(prompt), with padding whitespace so the extraction
+    regexes' \\s* strip is exercised."""
+
+    def generate(self, prompts: Sequence[str]) -> list[str]:
+        out = []
+        for p in prompts:
+            h = hashlib.md5(str(p).encode("utf-8")).hexdigest()
+            out.append(
+                f"<think> thinking about {h[:8]} </think>\n<answer> {h[8:16]} </answer>"
+            )
+        return out
+
+
+import re as _re
+
+_THINK_RE = _re.compile(r"<think>\s*(.*?)\s*</think>", _re.DOTALL)
+_ANSWER_RE = _re.compile(r"<answer>\s*(.*?)\s*</answer>", _re.DOTALL)
+
+
+def extract_think(output_str: str) -> str:
+    """``VideoCOTQAGenerator.extract_think`` (video_cotqa_generator.py:
+    85-91): content between <think> tags, '' when absent."""
+    m = _THINK_RE.search(output_str or "")
+    return m.group(1).strip() if m else ""
+
+
+def extract_answer(text: str) -> str:
+    """``VideoCOTQAGenerator.extract_answer`` (video_cotqa_generator.py:
+    93-99)."""
+    m = _ANSWER_RE.search(text or "")
+    return m.group(1).strip() if m else ""

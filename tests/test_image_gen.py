@@ -48,3 +48,41 @@ def test_sink_composition_idempotent(ray_session, tmp_path):
                                bytes_col="image_bytes").to_pandas()
     assert m2["skipped"].all()
     assert sorted(m2["path"]) == sorted(m1["path"])
+
+
+def test_resolve_media_path():
+    from dataflow_mm_ray.serving import resolve_media_path
+
+    # prompted_image_edit_generator.py:31-39
+    assert resolve_media_path("/abs/x.png", "/base") == "/abs/x.png"
+    assert resolve_media_path("rel/x.png", "/base") == "/base/rel/x.png"
+    assert resolve_media_path("./rel/../x.png", "/base/d") == "/base/d/x.png"
+
+
+def test_image_edit_bytes_keyed_on_rel_path():
+    import hashlib
+
+    from dataflow_mm_ray.serving import ImageEditGenerator
+
+    b = pd.DataFrame({"src_rel": ["images/c1.png"], "instruction": ["make it blue"]})
+    out = ImageEditGenerator()(b)
+    key = "images/c1.png\x1fmake it blue"
+    assert out["edit_md5"].iloc[0] == hashlib.md5(key.encode()).hexdigest()
+    assert bytes(out["edited_bytes"].iloc[0]) == hashlib.md5(key.encode()).digest() * 64
+
+
+def test_cot_extraction_edges():
+    from dataflow_mm_ray.serving import StubCoTServing, extract_answer, extract_think
+
+    # video_cotqa_generator.py:85-99 — whitespace stripped, '' on absence
+    assert extract_think("<think>  a\nb  </think>") == "a\nb"
+    assert extract_answer("<answer>\n42\n</answer>") == "42"
+    assert extract_think("no tags") == ""
+    assert extract_answer("<answer>unclosed") == ""
+    assert extract_think(None) == ""
+    # DOTALL: tags spanning lines; first match wins
+    s = "<answer> one </answer><answer>two</answer>"
+    assert extract_answer(s) == "one"
+    r = StubCoTServing().generate(["p"])[0]
+    assert extract_think(r).startswith("thinking about ")
+    assert len(extract_answer(r)) == 8
