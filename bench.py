@@ -27,6 +27,31 @@ def _warm_cache(sf_dir: str) -> None:
                 pass
 
 
+def _host_health() -> dict:
+    """Sample host contention (this sandbox is co-tenant: wall times
+    swing 2-3x — see BASELINE.md). Recorded inline so every BENCH
+    snapshot carries its own measurement conditions."""
+    with open("/proc/stat") as f:
+        a = list(map(int, f.readline().split()[1:]))
+    t0 = time.perf_counter()
+    s, i = 0, 0
+    while time.perf_counter() - t0 < 0.3:
+        s += i * i
+        i += 1
+    spin_mops = round(i / (time.perf_counter() - t0) / 1e6, 1)
+    time.sleep(1.2)
+    with open("/proc/stat") as f:
+        b = list(map(int, f.readline().split()[1:]))
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return {
+        "spin_mops": spin_mops,  # single-thread Python ops/s (millions)
+        "sys_pct": round(100 * d[2] / tot, 1),
+        "idle_pct": round(100 * d[3] / tot, 1),
+        "steal_pct": round(100 * d[7] / tot, 1) if len(d) > 7 else 0.0,
+    }
+
+
 def _consume(res) -> int:
     """Fully execute a query result; return its row count."""
     import pandas as pd
@@ -96,10 +121,15 @@ def run_bench() -> dict:
     reg = registry()
     _warm_cache(sf_dir)
 
-    # untimed warm-up: spin up ray workers + JIT module imports so the
-    # first timed query measures steady-state compute, not cold start
+    # untimed warm-up: spin up the FULL ray worker pool + JIT module
+    # imports so the first timed query measures steady-state compute,
+    # not cold start / fork storms. The range() pass forces one task per
+    # CPU slot so every worker process exists before timing begins.
     import ray.data as rd
 
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pandas"
+    ).count()
     rd.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
         lambda b: b, batch_format="pandas"
     ).count()
@@ -107,6 +137,8 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
 
     n_turns = pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
+
+    health_pre = _host_health()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -136,6 +168,7 @@ def run_bench() -> dict:
         "turns": n_turns,
         "turns_per_sec": round(n_turns * (1 + len(CEP_QUERIES)) / cep_sec, 1),
         "rows": rows,
+        "host": {"pre": health_pre, "post": _host_health()},
     }
     ray.shutdown()
     return out

@@ -42,6 +42,39 @@ import ray.data as rd
 from dataflow_mm_ray.hashing import partition_ids
 from dataflow_mm_ray.schema import DEFAULT_NUM_PARTITIONS
 
+# Auto-sizing target: ~1M transcript-ish rows (~100-300 MB pandas) per
+# reduce partition. Floor = cluster CPUs so every core owns a reduce
+# task; cap only as a runaway guard (at the cap, partitions grow with
+# the input instead — the caller should then pass num_partitions).
+TARGET_ROWS_PER_PARTITION = 1_000_000
+MAX_AUTO_PARTITIONS = 65536
+
+
+def resolve_num_partitions(num_partitions: int, n_rows: int | None = None) -> int:
+    """Resolve the P=0 "auto" sentinel (schema.DEFAULT_NUM_PARTITIONS).
+
+    P must satisfy two opposing constraints: (input rows / P) fits one
+    worker's heap (pushes P up with data size), and B*P split objects
+    stay cheap (pushes P down at small scale — measured 4.5x on a fixed
+    P=64 vs P=CPUs at 100k rows). Auto = max(cluster CPUs,
+    rows/TARGET_ROWS_PER_PARTITION when the input size is known).
+    ``GRAFT_NUM_PARTITIONS`` overrides for experiments.
+    """
+    if num_partitions:
+        return num_partitions
+    import os
+
+    env = os.environ.get("GRAFT_NUM_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8)) or 8
+    p = cpus
+    if n_rows:
+        p = max(p, -(-n_rows // TARGET_ROWS_PER_PARTITION))
+    return min(p, MAX_AUTO_PARTITIONS)
+
 
 def _split_block(block, key: str, num_partitions: int):
     # blocks arrive as zero-copy Arrow tables; the pandas conversion
@@ -108,6 +141,7 @@ def partition_map(
     hashes to that partition (all rows of any given key — never split),
     optionally pre-sorted by ``sort_by``. It must return a DataFrame.
     """
+    num_partitions = resolve_num_partitions(num_partitions)
     block_refs = ds.to_arrow_refs()  # shuffle barrier: executes upstream (zero-copy blocks)
     split = ray.remote(num_returns=num_partitions)(_split_block)
     pieces = [split.remote(b, key, num_partitions) for b in block_refs]
@@ -141,6 +175,7 @@ def partition_map_parquet(
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(path)
+    num_partitions = resolve_num_partitions(num_partitions, n_rows=md.num_rows)
     n_rg = md.num_row_groups
     rows_per_rg = max(1, md.num_rows // max(1, n_rg))
     rg_per_task = max(1, target_rows_per_task // rows_per_rg)
@@ -178,6 +213,7 @@ def hash_join(
     partitioned hash join the Ray guide prescribes when neither side
     fits a broadcast. (Small sides should use ``ray.put`` + per-batch
     lookup instead; see stages/similarity.py.)"""
+    num_partitions = resolve_num_partitions(num_partitions)
     split = ray.remote(num_returns=num_partitions)(_split_block)
     l_refs = left_ds.to_arrow_refs()
     r_refs = right_ds.to_arrow_refs()

@@ -94,4 +94,6 @@ def salted_aggregate(
         return g.agg({out_col: _MERGE[fn] for out_col, (_, fn) in aggs.items()})
 
     # merge-combine: tiny second exchange over one row per (key, salt)
-    return partition_map(partials, key, combine, num_partitions=min(16, num_partitions))
+    # post-partial data is one row per (key, salt) — a small fixed P
+    # beats the auto rule's CPU floor here
+    return partition_map(partials, key, combine, num_partitions=min(16, num_partitions or 16))

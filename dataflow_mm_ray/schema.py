@@ -28,10 +28,15 @@ TRANSCRIPT_SCHEMA = pa.schema(
 
 ROLES = ("user", "assistant", "tool", "system")
 
-# Default hash-partition count for keyed stages. On a real cluster this
-# should be ~2-4x the total core count; each partition must fit in one
-# worker's heap (partition bytes ~ input_bytes / DEFAULT_NUM_PARTITIONS).
-DEFAULT_NUM_PARTITIONS = 64
+# Default hash-partition count for keyed stages. 0 = "auto": resolved
+# at shuffle time by partition.resolve_num_partitions — cluster-CPU
+# floor (every core gets a reduce task), rows-based target when the
+# input size is known (~TARGET_ROWS_PER_PARTITION rows so a partition
+# fits one worker's heap), GRAFT_NUM_PARTITIONS env override. Measured
+# on this host: a fixed P=64 costs 4.5x vs P=CPUs at sf0.1 (tiny
+# partitions -> B*P object soup); at 100 TB a fixed P would instead be
+# far too SMALL, so the auto rule scales with input rows.
+DEFAULT_NUM_PARTITIONS = 0
 
 # Default vectorized batch size for map_batches stages over text rows.
 DEFAULT_BATCH_SIZE = 16384
