@@ -140,21 +140,29 @@ def run_bench() -> dict:
 
     health_pre = _host_health()
 
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        rows[name] = _consume(reg[name].fn(sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # streaming flagship: windowed agg + stateful join + filter with
-    # watermarks + exactly-once commits
+    # min-of-N repeats, interleaved across queries (CLAUDE.md: this host
+    # swings wall times 2-3x — never trust single runs). Repeat 1 is a
+    # full pass, repeat 2 re-times everything after the host has settled;
+    # per-query minima are reported.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     from dataflow_mm_ray.pipelines.flagship import flagship_pipeline
 
-    t0 = time.perf_counter()
-    fl = flagship_pipeline(sf_dir, n_epochs=4, lateness_s=10**9)
-    timings["streaming_flagship"] = round(time.perf_counter() - t0, 3)
-    rows["streaming_flagship"] = len(fl)
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for _rep in range(repeats):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            rows[name] = _consume(reg[name].fn(sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+        # streaming flagship: windowed agg + stateful join + filter with
+        # watermarks + exactly-once commits
+        t0 = time.perf_counter()
+        fl = flagship_pipeline(sf_dir, n_epochs=4, lateness_s=10**9)
+        dt = round(time.perf_counter() - t0, 3)
+        timings["streaming_flagship"] = min(timings.get("streaming_flagship", dt), dt)
+        rows["streaming_flagship"] = len(fl)
 
     total = round(sum(timings.values()), 3)
     cep_sec = sum(v for k, v in timings.items() if k in CEP_QUERIES) + timings["streaming_flagship"]

@@ -543,8 +543,12 @@ GROUP BY 1 ORDER BY n_turns DESC, conv_id LIMIT 10
 """,
 )
 def q_hot_conversations(sf_dir: str):
-    counts = transcripts_partitioned(sf_dir, stats.conv_count_kernel)
-    return stats.topk_counts(counts.to_pandas(), k=10)
+    # per-partition counts fused with a local top-k (each partition holds
+    # all turns of its convs): the driver only sees P*10 candidate rows
+    local = transcripts_partitioned(
+        sf_dir, lambda t: stats.topk_counts(stats.conv_count_kernel(t), 10)
+    )
+    return stats.topk_counts(local.to_pandas(), k=10)
 
 
 @register(

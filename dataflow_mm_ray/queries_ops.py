@@ -859,8 +859,10 @@ def _hot_conv_set(sf_dir: str):
     """Small side: the top-10 hot conversations, broadcast as a set."""
     from dataflow_mm_ray.stages import stats
 
-    counts = transcripts_partitioned(sf_dir, stats.conv_count_kernel)
-    return frozenset(stats.topk_counts(counts.to_pandas(), 10)["conv_id"])
+    local = transcripts_partitioned(
+        sf_dir, lambda t: stats.topk_counts(stats.conv_count_kernel(t), 10)
+    )
+    return frozenset(stats.topk_counts(local.to_pandas(), 10)["conv_id"])
 
 
 @register(

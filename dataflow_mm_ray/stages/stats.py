@@ -40,10 +40,15 @@ def topk_counts(counts: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def hot_conversations(transcripts, k: int = 10):
     """Top-k conversations by turn count; deterministic tie-break on
-    conv_id. Returns: conv_id, n_turns (pandas, small)."""
+    conv_id. Returns: conv_id, n_turns (pandas, small).
+
+    Scale: the per-key count table is one row per conversation — far
+    too big to collect at 10^12 turns. Each reduce partition holds all
+    rows of its keys, so it emits only its local top-k; the driver sees
+    P*k rows and takes the global top-k."""
     partials = transcripts.map_batches(conv_count_kernel, batch_format="pandas")
-    counts = partition_map(partials, "conv_id", conv_count_kernel_merge)
-    return topk_counts(counts.to_pandas(), k)
+    local_topk = partition_map(partials, "conv_id", lambda p: topk_counts(conv_count_kernel_merge(p), k))
+    return topk_counts(local_topk.to_pandas(), k)
 
 
 def conv_count_kernel_merge(part: pd.DataFrame) -> pd.DataFrame:
