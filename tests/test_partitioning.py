@@ -34,3 +34,26 @@ def test_partition_map_colocates_keys(ray_session):
     expect = df.groupby("k", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
     got = out.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expect.sort_values("k").reset_index(drop=True))
+
+
+def test_resolve_num_partitions_rules(ray_session, monkeypatch):
+    from dataflow_mm_ray.partition import resolve_num_partitions
+
+    # explicit value wins untouched
+    assert resolve_num_partitions(7) == 7
+    assert resolve_num_partitions(7, n_rows=10**9) == 7
+    # env override beats auto
+    monkeypatch.setenv("GRAFT_NUM_PARTITIONS", "5")
+    assert resolve_num_partitions(0) == 5
+    monkeypatch.delenv("GRAFT_NUM_PARTITIONS")
+    # auto: floor at cluster CPUs (ray_session initialises 4 CPUs)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU"))
+    assert resolve_num_partitions(0) == cpus
+    assert resolve_num_partitions(0, n_rows=100) == cpus
+    # auto: grows with rows past the per-partition target
+    from dataflow_mm_ray.partition import TARGET_ROWS_PER_PARTITION
+
+    big = TARGET_ROWS_PER_PARTITION * 100
+    assert resolve_num_partitions(0, n_rows=big) == max(cpus, 100)
