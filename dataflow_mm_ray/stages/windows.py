@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from dataflow_mm_ray.groupsum import group_sum, group_sum_df
 from dataflow_mm_ray.partition import partition_map
 from dataflow_mm_ray.schema import DEFAULT_NUM_PARTITIONS
 
@@ -47,23 +48,29 @@ def _partial_window_counts(batch: pd.DataFrame, width_s: int) -> pd.DataFrame:
     """Per-batch combiner: one partial row per (conv_id, window_start)."""
     us = _ts_us(batch["ts"])
     width_us = width_s * US
-    part = pd.DataFrame(
+    n = len(batch)
+    return group_sum(
         {
             "conv_id": batch["conv_id"].to_numpy(),
             "window_start_us": (us // width_us) * width_us,
-            "n_turns": np.int64(1),
+        },
+        {
+            "n_turns": np.ones(n, dtype=np.int64),
             "n_user_turns": (batch["role"].to_numpy() == "user").astype(np.int64),
             "n_tool_calls": (
                 (batch["role"].to_numpy() == "assistant") & batch["tool"].notna().to_numpy()
             ).astype(np.int64),
             "sum_chars": batch["text"].str.len().to_numpy(dtype=np.int64),
-        }
+        },
     )
-    return part.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
 
 
 def _merge_window_partials(part: pd.DataFrame) -> pd.DataFrame:
-    agg = part.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
+    agg = group_sum_df(
+        part,
+        ["conv_id", "window_start_us"],
+        ["n_turns", "n_user_turns", "n_tool_calls", "sum_chars"],
+    )
     agg["window_start"] = agg.pop("window_start_us").to_numpy().astype("datetime64[us]")
     return agg[_WINDOW_COLS]
 
@@ -105,11 +112,11 @@ def _partial_sliding(batch: pd.DataFrame, width_s: int, slide_s: int) -> pd.Data
         for i in range(k)
     ]
     rep = pd.concat(frames, ignore_index=True)
-    return rep.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
+    return group_sum_df(rep, ["conv_id", "window_start_us"], ["n_turns", "sum_chars"])
 
 
 def _merge_sliding_partials(part: pd.DataFrame) -> pd.DataFrame:
-    agg = part.groupby(["conv_id", "window_start_us"], as_index=False, sort=False).sum()
+    agg = group_sum_df(part, ["conv_id", "window_start_us"], ["n_turns", "sum_chars"])
     agg["window_start"] = agg.pop("window_start_us").to_numpy().astype("datetime64[us]")
     return agg[["conv_id", "window_start", "n_turns", "sum_chars"]]
 
@@ -152,21 +159,28 @@ def _sessionize(part: pd.DataFrame, gap_s: int) -> pd.DataFrame:
     if len(part) > 1:
         gap[1:] = us[1:] - us[:-1]
     new_session = new_conv | (gap > gap_s * US)
-    sid = np.cumsum(new_session)  # global session ordinal within partition
-    df = pd.DataFrame({"conv_id": conv, "__sid": sid, "us": us})
-    agg = df.groupby(["conv_id", "__sid"], as_index=False, sort=False).agg(
-        n_turns=("us", "size"), start_us=("us", "min"), end_us=("us", "max")
-    )
-    # session_id = 0-based ordinal of the session within its conversation
-    agg["session_id"] = agg.groupby("conv_id", sort=False).cumcount().astype(np.int32)
+    # sessions are CONTIGUOUS runs of the (conv_id, turn_idx)-sorted
+    # partition, so the aggregate is pure boundary arithmetic — no
+    # groupby (the multi-key pandas path is 60x slower at 1M rows;
+    # see groupsum.py).
+    starts = np.flatnonzero(new_session)
+    n_turns = np.diff(np.append(starts, len(part))).astype(np.int64)
+    start_us = np.minimum.reduceat(us, starts)
+    end_us = np.maximum.reduceat(us, starts)
+    conv_out = conv[starts]
+    # session_id = 0-based ordinal within its conversation (conv runs
+    # are contiguous too: subtract each conv's first session position)
+    conv_first = np.flatnonzero(new_conv[starts])
+    seg = np.cumsum(new_conv[starts]) - 1
+    session_id = (np.arange(len(starts)) - conv_first[seg]).astype(np.int32)
     return pd.DataFrame(
         {
-            "conv_id": agg["conv_id"],
-            "session_id": agg["session_id"],
-            "n_turns": agg["n_turns"].astype(np.int64),
-            "session_start": agg["start_us"].to_numpy().astype("datetime64[us]"),
-            "session_end": agg["end_us"].to_numpy().astype("datetime64[us]"),
-            "duration_us": (agg["end_us"] - agg["start_us"]).astype(np.int64),
+            "conv_id": conv_out,
+            "session_id": session_id,
+            "n_turns": n_turns,
+            "session_start": start_us.astype("datetime64[us]"),
+            "session_end": end_us.astype("datetime64[us]"),
+            "duration_us": (end_us - start_us).astype(np.int64),
         }
     )
 

@@ -50,6 +50,8 @@ import numpy as np
 import pandas as pd
 import ray
 
+from dataflow_mm_ray.groupsum import group_sum_df
+
 US = 1_000_000
 
 _WIN_COLS = ["conv_id", "window_start_us", "n_turns", "n_user_turns", "n_tool_calls", "sum_chars"]
@@ -96,17 +98,18 @@ def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
         .groupby(conv_grp).cummax().groupby(conv_grp).shift(1)
     )
     new_session = new_conv | ((s - run_end.to_numpy()) > gap_us)
-    sid = np.cumsum(new_session)
-    out = (
-        df.assign(__sid=sid)
-        .groupby("__sid", sort=False, as_index=False)
-        .agg(
-            conv_id=("conv_id", "first"),
-            start_us=("start_us", "min"),
-            end_us=("end_us", "max"),
-            n_turns=("n_turns", "sum"),
-        )
-        .drop(columns=["__sid"], errors="ignore")
+    # merged sessions are contiguous runs of the sorted frame: aggregate
+    # with boundary arithmetic, not a groupby (groupsum.py rationale)
+    starts = np.flatnonzero(new_session)
+    e = df["end_us"].to_numpy(dtype=np.int64)
+    nt = df["n_turns"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "conv_id": conv[starts],
+            "start_us": s[starts],  # rows sorted by (conv, start_us)
+            "end_us": np.maximum.reduceat(e, starts),
+            "n_turns": np.add.reduceat(nt, starts),
+        }
     )
     return out[_SESS_STATE_COLS]
 
@@ -189,7 +192,7 @@ class StateShard:
         if not frames:
             return base, base  # both empty
         allw = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        agg = allw.groupby(["conv_id", "window_start_us"], sort=False, as_index=False).sum()
+        agg = group_sum_df(allw, ["conv_id", "window_start_us"], cols[2:])
         if flush:
             closed = agg.sort_values(["conv_id", "window_start_us"], kind="mergesort")
             return closed.reset_index(drop=True)[cols], _empty(cols)

@@ -51,6 +51,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from dataflow_mm_ray.groupsum import group_sum, group_sum_df
 from dataflow_mm_ray.hashing import partition_ids
 from dataflow_mm_ray.state.store import StateShard
 from dataflow_mm_ray.streaming.sink import EpochSink
@@ -286,19 +287,19 @@ class StreamingEngine:
             cur_b = b[~b["late"]]
             refs = []
             for s, g in cur_b.groupby("shard", sort=False):
-                partials = (
-                    g.assign(
-                        n_turns=1,
-                        n_user_turns=(g["role"] == "user").astype(np.int64),
-                        n_tool_calls=((g["role"] == "assistant") & g["tool"].notna()).astype(np.int64),
-                    )
-                    .groupby(["conv_id", "window_start_us"], as_index=False, sort=False)
-                    .agg(
-                        n_turns=("n_turns", "sum"),
-                        n_user_turns=("n_user_turns", "sum"),
-                        n_tool_calls=("n_tool_calls", "sum"),
-                        sum_chars=("text_len", "sum"),
-                    )
+                partials = group_sum(
+                    {
+                        "conv_id": g["conv_id"].to_numpy(),
+                        "window_start_us": g["window_start_us"].to_numpy(),
+                    },
+                    {
+                        "n_turns": np.ones(len(g), dtype=np.int64),
+                        "n_user_turns": (g["role"].to_numpy() == "user").astype(np.int64),
+                        "n_tool_calls": (
+                            (g["role"].to_numpy() == "assistant") & g["tool"].notna().to_numpy()
+                        ).astype(np.int64),
+                        "sum_chars": g["text_len"].to_numpy(dtype=np.int64),
+                    },
                 )
                 turns = g[["conv_id", "ts_us"]]
                 inv = g[(g["role"] == "assistant") & g["tool"].notna()]
@@ -331,10 +332,9 @@ class StreamingEngine:
                     )
                     for i in range(k_slide)
                 ]
-                sliding = (
-                    pd.concat(rep_frames, ignore_index=True)
-                    .groupby(["conv_id", "window_start_us"], as_index=False, sort=False)
-                    .sum()
+                rep = pd.concat(rep_frames, ignore_index=True)
+                sliding = group_sum_df(
+                    rep, ["conv_id", "window_start_us"], ["n_turns", "sum_chars"]
                 )
                 # (conv_id, turn_idx) is unique in the stream, so an
                 # order-insensitive xor-fold of avalanche-mixed row
