@@ -97,22 +97,22 @@ def tumbling_window_agg(
 def _partial_sliding(batch: pd.DataFrame, width_s: int, slide_s: int) -> pd.DataFrame:
     k = width_s // slide_s
     us = _ts_us(batch["ts"])
-    bucket = (us // (slide_s * US)) * (slide_s * US)
+    slide_us = slide_s * US
+    bucket = (us // slide_us) * slide_us
     chars = batch["text"].str.len().to_numpy(dtype=np.int64)
     conv = batch["conv_id"].to_numpy()
-    frames = [
-        pd.DataFrame(
-            {
-                "conv_id": conv,
-                "window_start_us": bucket - i * slide_s * US,
-                "n_turns": np.int64(1),
-                "sum_chars": chars,
-            }
-        )
-        for i in range(k)
-    ]
-    rep = pd.concat(frames, ignore_index=True)
-    return group_sum_df(rep, ["conv_id", "window_start_us"], ["n_turns", "sum_chars"])
+    n = len(batch)
+    # replicate as flat arrays (k shifted copies), not k DataFrames
+    return group_sum(
+        {
+            "conv_id": np.tile(conv, k),
+            "window_start_us": np.concatenate([bucket - i * slide_us for i in range(k)]),
+        },
+        {
+            "n_turns": np.ones(n * k, dtype=np.int64),
+            "sum_chars": np.tile(chars, k),
+        },
+    )
 
 
 def _merge_sliding_partials(part: pd.DataFrame) -> pd.DataFrame:

@@ -51,7 +51,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from dataflow_mm_ray.groupsum import group_sum, group_sum_df
+from dataflow_mm_ray.groupsum import group_sum
 from dataflow_mm_ray.hashing import partition_ids
 from dataflow_mm_ray.state.store import StateShard
 from dataflow_mm_ray.streaming.sink import EpochSink
@@ -321,20 +321,18 @@ class StreamingEngine:
                 # window) per batch, k = width/slide replicas per turn
                 slide_us = slide_s_cfg * US
                 bucket = (g["ts_us"].to_numpy() // slide_us) * slide_us
-                rep_frames = [
-                    pd.DataFrame(
-                        {
-                            "conv_id": g["conv_id"].to_numpy(),
-                            "window_start_us": bucket - i * slide_us,
-                            "n_turns": np.int64(1),
-                            "sum_chars": g["text_len"].to_numpy(),
-                        }
-                    )
-                    for i in range(k_slide)
-                ]
-                rep = pd.concat(rep_frames, ignore_index=True)
-                sliding = group_sum_df(
-                    rep, ["conv_id", "window_start_us"], ["n_turns", "sum_chars"]
+                n_g = len(g)
+                sliding = group_sum(
+                    {
+                        "conv_id": np.tile(g["conv_id"].to_numpy(), k_slide),
+                        "window_start_us": np.concatenate(
+                            [bucket - i * slide_us for i in range(k_slide)]
+                        ),
+                    },
+                    {
+                        "n_turns": np.ones(n_g * k_slide, dtype=np.int64),
+                        "sum_chars": np.tile(g["text_len"].to_numpy(dtype=np.int64), k_slide),
+                    },
                 )
                 # (conv_id, turn_idx) is unique in the stream, so an
                 # order-insensitive xor-fold of avalanche-mixed row
