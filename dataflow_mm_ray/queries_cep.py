@@ -611,3 +611,69 @@ def q_top_turns_per_conv(sf_dir: str):
         return out.groupby("conv_id", sort=False, group_keys=False).head(3)
 
     return transcripts_partitioned(sf_dir, kernel)
+
+
+# --- temporal non-equi operators (as-of join, range join) -----------------
+
+_ASOF_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+@register(
+    "asof_enrich",
+    """
+SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+       CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+       CAST(last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+         AS prior_click_event_id,
+       last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_asof_enrich(sf_dir: str):
+    """As-of join: every turn enriched with the latest strictly-prior
+    'click' event of the same conversation (stages/temporal.py —
+    segmented running-max kernel, one user-keyed shuffle)."""
+    from dataflow_mm_ray.partition import partition_map_parquet
+    from dataflow_mm_ray.sources.tables import table_path
+    from dataflow_mm_ray.stages.temporal import asof_enrich_kernel
+
+    return partition_map_parquet(
+        table_path(sf_dir, "events"), _ASOF_EVENT_COLS, "user_id", asof_enrich_kernel
+    )
+
+
+@register(
+    "range_join_incidents",
+    """
+WITH inc AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 1800 SECOND AS end_ts
+  FROM events WHERE event_type = 'error'
+), t AS (
+  SELECT user_id, ts,
+         'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER)
+           AS turn_idx
+  FROM events
+)
+SELECT t.conv_id, t.turn_idx, CAST(count(i.start_ts) AS BIGINT) AS n_open_incidents
+FROM t LEFT JOIN inc i
+  ON i.user_id = t.user_id AND i.start_ts <= t.ts AND t.ts < i.end_ts
+GROUP BY 1, 2
+""",
+)
+def q_range_join_incidents(sf_dir: str):
+    """Range join: count of open per-conversation incident intervals
+    [error_ts, error_ts + 30 min) containing each turn's ts
+    (stages/temporal.py — merged ±1 boundary sweep, one shuffle)."""
+    from dataflow_mm_ray.partition import partition_map_parquet
+    from dataflow_mm_ray.sources.tables import table_path
+    from dataflow_mm_ray.stages.temporal import incident_count_kernel
+
+    return partition_map_parquet(
+        table_path(sf_dir, "events"), _ASOF_EVENT_COLS, "user_id", incident_count_kernel
+    )
