@@ -156,3 +156,45 @@ def q_embedding_srp_neardup(sf_dir: str):
     shuffle-bounded surrogate for embedding_neardup's O(n^2) cosine
     matrix). Recall vs the exact path pinned in tests/test_neardup.py."""
     return neardup.embedding_srp_neardup(sf_dir)
+
+
+_NGRAM_PUNCT = r"[\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]"
+_NGRAM_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+NGRAM_JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "ngram_jaccard_dedup",
+    f"""
+WITH norm AS (
+  SELECT doc_id,
+    regexp_replace(trim(lower(regexp_replace(text, '{_NGRAM_PUNCT}', '', 'g')), {_NGRAM_WS}),
+                   '\\s+', ' ', 'g') AS nt
+  FROM documents
+), words AS (
+  SELECT doc_id, string_split(nt, ' ') AS ws FROM norm WHERE nt <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_transform(range(1, len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sh
+    FROM words)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT hi FROM pairs JOIN sizes sa ON sa.doc_id = lo JOIN sizes sb ON sb.doc_id = hi
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {NGRAM_JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, d.doc_id NOT IN (SELECT hi FROM near) AS keep FROM documents d
+""",
+)
+def q_ngram_jaccard_dedup(sf_dir: str):
+    """EXACT word-3-gram Jaccard first-wins near-dup over the documents
+    table via a distributed inverted index (stages/neardup.py
+    ngram_jaccard_dedup) — the verification kernel of the MinHash path
+    promoted to a standalone exact operator, fully SQL-oracled."""
+    return neardup.ngram_jaccard_dedup(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)

@@ -240,19 +240,8 @@ def _keep_from_pairs(docs_ids_ds, verified_pairs_ds, id_col: str, num_partitions
     return partition_map(spine.union(partials), "doc_id", merge, num_partitions=num_partitions)
 
 
-def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "documents",
-                      id_col: str = "doc_id", text_col: str = "text", ds=None,
-                      num_partitions: int = 16):
-    """Full MinHash-LSH near-dup pipeline, fully distributed. Returns a
-    Dataset of (doc_id, keep, n_dup_partners) for every document; keep
-    follows first-wins order (duplicate = later member of a verified
-    pair)."""
-    from dataflow_mm_ray.partition import hash_join, partition_map
-
-    docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
-    # the shingled table is consumed by BOTH join passes — materialize
-    # once so shingling doesn't run twice; blocks stay distributed in
-    # the object store (spill-backed), never on the driver.
+def shingle_docs(docs, id_col: str, text_col: str):
+    """(id, text) Dataset -> (doc_id, __sh) Dataset of shingle-hash sets."""
     def shingle_batch(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -261,18 +250,23 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
             }
         )
 
-    sh_all = docs.map_batches(shingle_batch, batch_format="pandas", batch_size=512)
+    return docs.map_batches(shingle_batch, batch_format="pandas", batch_size=512)
 
-    # EXACT-duplicate collapse before LSH: massive duplicate groups
-    # (the common case in raw crawls) otherwise explode the candidate
-    # set quadratically — a group of g copies lands whole in every band
-    # bucket and yields C(g, 2) pairs. Collapsing is semantics-exact
-    # for first-wins: every non-representative member has an EARLIER
-    # identical doc (its group's min-id representative; Jaccard 1 >= any
-    # threshold), so it is dropped unconditionally, and a
-    # representative's decision only ever depends on other
-    # representatives (a non-rep partner's shingle set equals its own
-    # rep's). One keyed exchange on the full-shingle-set hash.
+
+def exact_collapse(sh_all, num_partitions: int = 16):
+    """EXACT-duplicate collapse before candidate generation: massive
+    duplicate groups (the common case in raw crawls) otherwise explode
+    the candidate set quadratically — a group of g copies lands whole in
+    every band bucket and yields C(g, 2) pairs. Collapsing is
+    semantics-exact for first-wins: every non-representative member has
+    an EARLIER identical doc (its group's min-id representative;
+    Jaccard 1 >= any threshold), so it is dropped unconditionally, and a
+    representative's decision only ever depends on other
+    representatives (a non-rep partner's shingle set equals its own
+    rep's). One keyed exchange on the full-shingle-set hash. Returns
+    the materialized membership Dataset (doc_id, __sh, __rep, __grp)."""
+    from dataflow_mm_ray.partition import partition_map
+
     def add_content_key(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy(deep=False)
         vals = np.fromiter(
@@ -298,15 +292,37 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
         out["__grp"] = part.groupby("__cb", sort=False)["doc_id"].transform("size").to_numpy().astype(np.int64)
         return out
 
-    membership = partition_map(
+    return partition_map(
         sh_all.map_batches(add_content_key, batch_format="pandas"),
         "__ck", collapse, num_partitions=num_partitions,
     ).materialize()
 
+
+def collapse_reps(membership):
+    """Representative rows (doc_id, __sh) of the collapse, materialized
+    (consumed by candidate generation AND both verification joins)."""
     def reps_only(b: pd.DataFrame) -> pd.DataFrame:
         return b.loc[b["doc_id"].to_numpy() == b["__rep"].to_numpy(), ["doc_id", "__sh"]]
 
-    sh = membership.map_batches(reps_only, batch_format="pandas").materialize()
+    return membership.map_batches(reps_only, batch_format="pandas").materialize()
+
+
+def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text", ds=None,
+                      num_partitions: int = 16):
+    """Full MinHash-LSH near-dup pipeline, fully distributed. Returns a
+    Dataset of (doc_id, keep, n_dup_partners) for every document; keep
+    follows first-wins order (duplicate = later member of a verified
+    pair)."""
+    from dataflow_mm_ray.partition import hash_join
+
+    docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
+    # the shingled table is consumed by BOTH join passes — materialize
+    # once so shingling doesn't run twice; blocks stay distributed in
+    # the object store (spill-backed), never on the driver.
+    sh_all = shingle_docs(docs, id_col, text_col)
+    membership = exact_collapse(sh_all, num_partitions)
+    sh = collapse_reps(membership)
 
     pairs = _candidate_pairs(sh, id_col, num_partitions=num_partitions)
     # NOTE: a pair can surface from several bands/partitions; duplicate
@@ -356,11 +372,16 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
     # the in-verify dedup sees every copy of a pair
     verified = j2.map_batches(verify, batch_format="pandas", batch_size=None)
     rep_keep = _keep_from_pairs(sh, verified, id_col, num_partitions=num_partitions)
+    return expand_rep_decisions(membership, rep_keep, id_col, num_partitions)
 
-    # expand representative decisions back to every member: non-reps
-    # are dropped unconditionally (earlier exact duplicate exists);
-    # partner counts add the (group_size - 1) exact partners to the
-    # representative-level near-dup count (group-collapsed diagnostic)
+
+def expand_rep_decisions(membership, rep_keep, id_col: str, num_partitions: int = 16):
+    """Expand representative decisions back to every member: non-reps
+    are dropped unconditionally (earlier exact duplicate exists);
+    partner counts add the (group_size - 1) exact partners to the
+    representative-level near-dup count (group-collapsed diagnostic)."""
+    from dataflow_mm_ray.partition import hash_join
+
     def rekey_rep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"__rep": b[id_col].to_numpy(), "__rkeep": b["keep"].to_numpy(),
@@ -395,6 +416,122 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
         ).sort_values(id_col)
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, source: str = "documents",
+                        id_col: str = "doc_id", text_col: str = "text", ds=None,
+                        num_partitions: int = 16, max_posting: int | None = None):
+    """EXACT n-gram Jaccard near-dup via a distributed inverted index —
+    no LSH approximation, no driver collect. Returns (doc_id, keep):
+    keep is False iff some earlier doc has word-``SHINGLE_W``-gram
+    Jaccard >= ``threshold`` (first-wins, the order rule of
+    image_deduplication_filter.py:143-157 over text shingles).
+
+    Pipeline (three keyed exchanges, all vectorized):
+
+    1. shingle + exact-duplicate collapse (shared with MinHash-LSH —
+       duplicate groups cost one representative, not C(g, 2) pairs);
+    2. explode representatives to (shingle, doc_id, set_size) postings;
+       ``partition_map(shingle)`` self-merges each posting list —
+       every co-occurring pair (lo < hi) carries both set sizes, and a
+       per-partition groupby pre-aggregates partial intersection
+       counts (the combiner before the pair exchange);
+    3. ``partition_map(lo)`` sums intersections per pair and applies
+       jaccard = inter / (n_lo + n_hi - inter) >= threshold; the
+       verified pairs feed the shared first-wins keep merge and the
+       collapse-membership expansion.
+
+    Documents with NO shingles (empty normalized text) produce no
+    postings and are always kept — "no shingles" is no evidence of
+    duplication (they bypass the collapse so identical empties don't
+    first-wins each other; the SQL oracle agrees).
+
+    Scale: cost is sum over shingles of |posting|^2. Exact-collapse
+    bounds the duplicate-explosion case; for web-scale corpora where
+    distinct documents share hot phrases, cap posting lists with
+    ``max_posting`` (hot shingles are dropped from the index — counts
+    become a documented lower bound) or use minhash_lsh_dedup. The
+    registered query runs exact (sf posting max ~7).
+
+    Engine shingles are 64-bit hashes (hashing.py), the oracle uses the
+    shingle strings; a 64-bit collision inside one document's set is
+    the only (negligible, ~1e-13 at 10^6 shingles) divergence."""
+    from dataflow_mm_ray.partition import partition_map
+
+    docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
+    sh_all = shingle_docs(docs, id_col, text_col)
+    membership = exact_collapse(sh_all, num_partitions)
+
+    def nonempty(b: pd.DataFrame) -> pd.DataFrame:
+        return b[np.fromiter((len(s) > 0 for s in b["__sh"]), dtype=bool, count=len(b))]
+
+    def empty_keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.fromiter((len(s) == 0 for s in b["__sh"]), dtype=bool, count=len(b))
+        return pd.DataFrame(
+            {id_col: b.loc[m, "doc_id"].to_numpy().astype(np.int64),
+             "keep": np.ones(int(m.sum()), dtype=bool)}
+        )
+
+    ne_membership = membership.map_batches(nonempty, batch_format="pandas")
+    sh = collapse_reps(ne_membership)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"sh": pd.Series([], dtype=np.int64), "doc_id": pd.Series([], dtype=np.int64),
+                 "nsh": pd.Series([], dtype=np.int64)}
+            )
+        shs = [np.asarray(s, dtype=np.uint64) for s in b["__sh"]]
+        counts = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
+        return pd.DataFrame(
+            {
+                "sh": np.concatenate(shs).view(np.int64),
+                "doc_id": np.repeat(b["doc_id"].to_numpy().astype(np.int64), counts),
+                "nsh": np.repeat(counts, counts),
+            }
+        )
+
+    postings = sh.map_batches(explode, batch_format="pandas")
+
+    def pair_partials(part: pd.DataFrame) -> pd.DataFrame:
+        if max_posting is not None:
+            sizes = part.groupby("sh", sort=False)["doc_id"].transform("size")
+            part = part[sizes.to_numpy() <= max_posting]
+        m = part.merge(part, on="sh", suffixes=("", "_b"))
+        m = m[m["doc_id"].to_numpy() < m["doc_id_b"].to_numpy()]
+        if not len(m):
+            return pd.DataFrame(
+                {"lo": pd.Series([], dtype=np.int64), "hi": pd.Series([], dtype=np.int64),
+                 "inter": pd.Series([], dtype=np.int64), "n_lo": pd.Series([], dtype=np.int64),
+                 "n_hi": pd.Series([], dtype=np.int64)}
+            )
+        agg = m.groupby(["doc_id", "doc_id_b"], sort=False).agg(
+            inter=("sh", "size"), n_lo=("nsh", "first"), n_hi=("nsh_b", "first")
+        ).reset_index()
+        return agg.rename(columns={"doc_id": "lo", "doc_id_b": "hi"})
+
+    partials = partition_map(postings, "sh", pair_partials, num_partitions=num_partitions)
+
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {"lo": pd.Series([], dtype=np.int64), "hi": pd.Series([], dtype=np.int64)}
+            )
+        agg = part.groupby(["lo", "hi"], sort=False).agg(
+            inter=("inter", "sum"), n_lo=("n_lo", "first"), n_hi=("n_hi", "first")
+        ).reset_index()
+        inter = agg["inter"].to_numpy(dtype=np.float64)
+        union = agg["n_lo"].to_numpy(dtype=np.float64) + agg["n_hi"].to_numpy(dtype=np.float64) - inter
+        keep = inter / union >= threshold
+        return agg.loc[keep, ["lo", "hi"]]
+
+    verified = partition_map(partials, "lo", verify, num_partitions=num_partitions)
+    rep_keep = _keep_from_pairs(sh, verified, id_col, num_partitions=num_partitions)
+    expanded = expand_rep_decisions(ne_membership, rep_keep, id_col, num_partitions)
+    empties = membership.map_batches(empty_keep, batch_format="pandas")
+    return expanded.map_batches(
+        lambda b: b[[id_col, "keep"]], batch_format="pandas"
+    ).union(empties)
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",

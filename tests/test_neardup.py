@@ -159,3 +159,44 @@ def test_srp_neardup_recall_vs_exact(ray_session):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, again)
+
+
+def _brute_force_ngram_keep(texts, threshold):
+    """Sequential first-wins oracle: doc i kept iff no j<i with
+    shingle-Jaccard >= threshold; empty shingle sets never match."""
+    sets = [shingle_set(t) for t in texts]
+    keep = []
+    for i, si in enumerate(sets):
+        dup = False
+        if len(si):
+            for j in range(i):
+                if len(sets[j]) and jaccard(sets[j], si) >= threshold:
+                    dup = True
+                    break
+        keep.append(not dup)
+    return np.array(keep)
+
+
+def test_ngram_jaccard_exact_vs_sequential(ray_session):
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.neardup import ngram_jaccard_dedup
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(40)]
+    texts += [BASE, _mutate(BASE, 2, 1), BASE, _mutate(BASE, 30, 2)]
+    texts += ["", "   ", "!!!", "two words", "two words", "three tiny words"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    want = _brute_force_ngram_keep(texts, 0.5)
+    for p in (1, 5):
+        got = (
+            ngram_jaccard_dedup(None, threshold=0.5, ds=rd.from_pandas(df), num_partitions=p)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert got["doc_id"].tolist() == list(range(len(texts)))
+        np.testing.assert_array_equal(got["keep"].to_numpy(), want)
+    # empty/punct-only docs are always kept, even repeated ones
+    empty_ids = [44, 45, 46]
+    assert want[empty_ids].all()
