@@ -198,3 +198,24 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     ngram_jaccard_dedup) — the verification kernel of the MinHash path
     promoted to a standalone exact operator, fully SQL-oracled."""
     return neardup.ngram_jaccard_dedup(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
+
+
+@register(
+    "ivf_topk_fullprobe",
+    _EMB_CTE
+    + f"""
+, q AS (SELECT vec_id AS query_id, e FROM b WHERE vec_id < {TOPK_NQ})
+SELECT query_id, vec_id, sim FROM (
+  SELECT q.query_id, b.vec_id, round(list_cosine_similarity(q.e, b.e), 9) AS sim
+  FROM q, b WHERE b.vec_id <> q.query_id
+)
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {TOPK_K}
+""",
+)
+def q_ivf_topk_fullprobe(sf_dir: str):
+    """The IVF scan path at nprobe == n_clusters: must equal brute-force
+    cosine top-k exactly (the recall=1.0 end of the IVF trade-off), so
+    the whole IVF machinery (centroid training on a bounded sample,
+    per-batch cluster assignment, probe filter, distributed final
+    top-k) is held to the same SQL oracle as topk_cosine."""
+    return similarity.ivf_topk(sf_dir, k=TOPK_K, n_queries=TOPK_NQ, n_clusters=16, nprobe=16)
