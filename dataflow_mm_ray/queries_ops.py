@@ -10,7 +10,7 @@ import pandas as pd
 
 from dataflow_mm_ray.queries import register
 from dataflow_mm_ray.sources.tables import read_table
-from dataflow_mm_ray.sources.transcripts import transcripts_partitioned
+from dataflow_mm_ray.sources.transcripts import TRANSCRIPTS_CTE, transcripts_partitioned
 
 KEEP_RATIO = 0.3  # CLIPScoreFilter-style top-fraction keep
 
@@ -23,11 +23,39 @@ def _documents(sf_dir: str):
 # conversation formatting (Conversation2Message)
 # ---------------------------------------------------------------------------
 
-@register("conversation_message", None)  # nested JSON output — pytest-oracled
+_CONV_MESSAGE_SQL = TRANSCRIPTS_CTE + """
+, turns AS (
+  SELECT conv_id, turn_idx,
+         CASE role WHEN 'user' THEN 'user' ELSE 'assistant' END AS mrole,
+         trim(regexp_replace(trim(text), '\\n+', chr(10), 'g')) AS cleaned
+  FROM transcripts WHERE role IN ('user', 'assistant')
+), frag AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN cleaned <> '' THEN
+           '{"role": "' || mrole || '", "content": [{"type": "text", "text": '
+             || to_json(cleaned) || '}]}'
+         END AS f
+  FROM turns
+), convs AS (SELECT DISTINCT conv_id FROM transcripts)
+SELECT c.conv_id,
+       '[{"role": "system", "content": "You are a helpful assistant."}'
+         || coalesce(', ' || string_agg(f, ', ' ORDER BY turn_idx) FILTER (WHERE f IS NOT NULL), '')
+         || ']' AS message,
+       CAST(NULL AS VARCHAR) AS error
+FROM convs c LEFT JOIN frag USING (conv_id)
+GROUP BY c.conv_id
+"""
+
+
+@register("conversation_message", _CONV_MESSAGE_SQL)
 def q_conversation_message(sf_dir: str):
     """Conversation2Message (conversation_to_message.py:49-104) over
-    re-assembled transcript conversations; see tests/test_operators.py
-    for the semantics oracle."""
+    re-assembled transcript conversations. The nested message list is
+    a deterministic JSON string, so the oracle rebuilds it byte-exactly
+    in SQL (to_json string escaping == json.dumps ensure_ascii=False
+    for these texts; media-token branches are pytest-oracled in
+    tests/test_operators.py since the transcript stream carries no
+    modal tokens)."""
     from dataflow_mm_ray.stages.conversations import _assemble_kernel
 
     return transcripts_partitioned(
