@@ -310,8 +310,54 @@ def q_answer_reward(sf_dir: str):
 
 CHUNK_MAX_DURATION_S = 6 * 3600
 
+# The greedy capped merge is a sequential per-key scan; SQL expresses
+# it as a recursive CTE stepping one session segment at a time (state =
+# (sequence_num, current chunk duration)). Sessions are disjoint and
+# ordered per conv, so min(start)/max(end) per chunk equal the
+# engine's first/last-segment timecodes; single-turn sessions have
+# start_us == end_us and are skipped as invalid on both sides.
+_CHUNK_MERGE_SQL = TRANSCRIPTS_CTE.replace(
+    "WITH _ev_ranked", "WITH RECURSIVE _ev_ranked", 1
+) + f"""
+, gaps AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(1800 AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), sess AS (
+  SELECT conv_id, ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS sid
+  FROM gaps
+), seg0 AS (
+  SELECT conv_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+  FROM sess GROUP BY conv_id, sid
+), segs AS (
+  SELECT conv_id, start_us, end_us, end_us - start_us AS d,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY start_us) AS BIGINT) AS r
+  FROM seg0 WHERE start_us < end_us
+), rec AS (
+  SELECT conv_id, r, CAST(1 AS INTEGER) AS seq, d AS cur_dur, d, start_us, end_us
+  FROM segs WHERE r = 1
+  UNION ALL
+  SELECT s.conv_id, s.r,
+         rec.seq + CASE WHEN rec.cur_dur + s.d > {CHUNK_MAX_DURATION_S * 1_000_000}
+                             AND rec.cur_dur > 0 THEN 1 ELSE 0 END,
+         CASE WHEN rec.cur_dur + s.d > {CHUNK_MAX_DURATION_S * 1_000_000}
+                   AND rec.cur_dur > 0 THEN s.d ELSE rec.cur_dur + s.d END,
+         s.d, s.start_us, s.end_us
+  FROM rec JOIN segs s ON s.conv_id = rec.conv_id AND s.r = rec.r + 1
+)
+SELECT conv_id, seq AS sequence_num, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(d) AS BIGINT) AS total_duration_us,
+       CAST(min(start_us) AS BIGINT) AS chunk_start_us,
+       CAST(max(end_us) AS BIGINT) AS chunk_end_us
+FROM rec GROUP BY 1, 2
+"""
 
-@register("chunk_merge", None)  # greedy capped merge: pytest-oracled
+
+@register("chunk_merge", _CHUNK_MERGE_SQL)
 def q_chunk_merge(sf_dir: str):
     """Sessions -> segments -> greedy duration-capped merge
     (audio_timestamp_chunk_row_generator.py:297-346 semantics)."""
