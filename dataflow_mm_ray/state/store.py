@@ -59,6 +59,18 @@ _SLIDE_COLS = ["conv_id", "window_start_us", "n_turns", "sum_chars"]
 _SESS_STATE_COLS = ["conv_id", "start_us", "end_us", "n_turns"]
 _INV_COLS = ["conv_id", "turn_idx", "tool", "ts_us"]
 _TOOL_COLS = ["conv_id", "turn_idx", "ts_us"]
+_ASOF_COLS = ["conv_id", "turn_idx", "ts_us", "is_click"]
+
+
+def _empty_asof() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype=object),
+            "turn_idx": pd.Series([], dtype=np.int64),
+            "ts_us": pd.Series([], dtype=np.int64),
+            "is_click": pd.Series([], dtype=bool),
+        }
+    )
 
 
 def _empty(cols) -> pd.DataFrame:
@@ -81,6 +93,11 @@ class _ShardState:
         self.inv_chunks: list[pd.DataFrame] = []
         self.tool = _empty(_TOOL_COLS)
         self.tool_chunks: list[pd.DataFrame] = []
+        # as-of enrichment: buffered un-finalized turns + per-conv
+        # carried (last finalized click turn_idx, its ts_us)
+        self.asof_pending = _empty_asof()
+        self.asof_chunks: list[pd.DataFrame] = []
+        self.asof_last: dict[str, tuple[int, int]] = {}
 
 
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -135,6 +152,7 @@ class StateShard:
         turns: pd.DataFrame | None,
         join_events: pd.DataFrame | None,
         sliding_partials: pd.DataFrame | None = None,
+        asof_rows: pd.DataFrame | None = None,
         apply_id=None,
     ) -> int:
         """Append one epoch's (pre-aggregated, non-late) rows — O(1);
@@ -160,6 +178,9 @@ class StateShard:
                      "end_us": ts, "n_turns": np.int64(1)}
                 )
             )
+        if asof_rows is not None and len(asof_rows):
+            n += len(asof_rows)
+            st.asof_chunks.append(asof_rows[_ASOF_COLS])
         if join_events is not None and len(join_events):
             n += len(join_events)
             inv = join_events[join_events["kind"] == "inv"]
@@ -315,11 +336,85 @@ class StateShard:
         # arriving at the same timestamp)
         st.tool = tools[tools["ts_us"].to_numpy(dtype=np.int64) >= wm_us][_TOOL_COLS].reset_index(drop=True)
 
+        # --- as-of enrichment: running prior-click over settled turns ---
+        # A turn is settled once the watermark STRICTLY passes its ts
+        # (a same-ts lower-idx click could still arrive non-late at
+        # ts == wm — the same tie rule as the join's response match).
+        # Settled turns are enriched with the latest strictly-prior
+        # click turn of their conversation: a segmented running max
+        # over click positions, seeded from the carried per-conv state;
+        # every remaining pending turn has ts >= wm > any settled
+        # click's ts, so carrying only (last click idx, ts) per conv is
+        # lossless.
+        asof_frames = ([st.asof_pending] if len(st.asof_pending) else []) + st.asof_chunks
+        st.asof_chunks = []
+        if asof_frames:
+            allr = (pd.concat(asof_frames, ignore_index=True)
+                    if len(asof_frames) > 1 else asof_frames[0])
+        else:
+            allr = _empty_asof()
+        if flush:
+            settle = np.ones(len(allr), dtype=bool)
+        else:
+            settle = allr["ts_us"].to_numpy(dtype=np.int64) < wm_us
+        emit_r = allr[settle].sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        st.asof_pending = allr[~settle].reset_index(drop=True)
+        if len(emit_r):
+            conv = emit_r["conv_id"].to_numpy()
+            n_r = len(emit_r)
+            g_starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+            grp_start = np.repeat(g_starts, np.diff(np.r_[g_starts, n_r]))
+            pos = np.arange(n_r, dtype=np.int64)
+            clickpos = np.where(emit_r["is_click"].to_numpy(), pos, np.int64(-1))
+            run = np.maximum.accumulate(clickpos)
+            prior = np.empty(n_r, dtype=np.int64)
+            prior[0] = -1
+            prior[1:] = run[:-1]
+            valid = prior >= grp_start
+            safe = np.maximum(prior, 0)
+            idx_arr = emit_r["turn_idx"].to_numpy(dtype=np.int64)
+            ts_arr = emit_r["ts_us"].to_numpy(dtype=np.int64)
+            p_idx = np.where(valid, idx_arr[safe].astype(np.float64), np.nan)
+            p_ts = np.where(valid, ts_arr[safe].astype(np.float64), np.nan)
+            inv_m = ~valid
+            if inv_m.any():
+                seed = pd.Series(conv[inv_m]).map(st.asof_last)
+                has = seed.notna().to_numpy()
+                sv = np.array(
+                    [s if isinstance(s, tuple) else (np.nan, np.nan) for s in seed],
+                    dtype=np.float64,
+                ).reshape(-1, 2)
+                p_idx[inv_m] = np.where(has, sv[:, 0], np.nan)
+                p_ts[inv_m] = np.where(has, sv[:, 1], np.nan)
+            asof_out = pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": idx_arr.astype(np.int32),
+                    "prior_click_turn_idx": p_idx,
+                    "prior_click_ts_us": p_ts,
+                }
+            ).reset_index(drop=True)
+            clicks = emit_r[emit_r["is_click"].to_numpy()]
+            if len(clicks):
+                last = clicks.groupby("conv_id", sort=False).tail(1)
+                for c, i, t in zip(last["conv_id"], last["turn_idx"], last["ts_us"]):
+                    st.asof_last[c] = (int(i), int(t))
+        else:
+            asof_out = pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "turn_idx": pd.Series([], dtype=np.int32),
+                    "prior_click_turn_idx": pd.Series([], dtype=np.float64),
+                    "prior_click_ts_us": pd.Series([], dtype=np.float64),
+                }
+            )
+
         frames_out = {
             "windows": win_closed,
             "sessions": sessions_out,
             "joins": join_out,
             "sliding": slide_closed,
+            "asof": asof_out,
         }
         if stage_root is None:
             return frames_out
@@ -361,4 +456,5 @@ class StateShard:
             "open_sessions": int(len(st.sessions)) + sum(len(c) for c in st.sess_chunks),
             "pending_inv": int(len(st.inv)) + sum(len(c) for c in st.inv_chunks),
             "pending_tool": int(len(st.tool)) + sum(len(c) for c in st.tool_chunks),
+            "pending_asof": int(len(st.asof_pending)) + sum(len(c) for c in st.asof_chunks),
         }

@@ -23,7 +23,9 @@ Per epoch (one tick):
    Shard calls run concurrently (one round of ``ray.get``).
 3. **Advance watermark**: ``wm = max(wm, epoch_max_ts - lateness)`` —
    a pure function of data seen so far, never of wall-clock.
-4. **Finalize**: shards emit closed windows/sessions/matured joins.
+4. **Finalize**: shards emit closed windows/sessions/matured joins
+   and settled as-of enrichments (latest strictly-prior click turn per
+   turn — emitted once the watermark strictly passes the turn's ts).
 5. **Commit**: the 2PC sink stages + commits each output stream for
    this epoch (no-op if already committed — replay safe).
 6. **Checkpoint**: state snapshots per shard + offsets/watermark JSON,
@@ -57,7 +59,7 @@ from dataflow_mm_ray.state.store import StateShard
 from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
-STREAMS = ("windows", "sliding", "sessions", "joins", "late")
+STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "late")
 
 
 def prepare_transcripts(sf_dir: str, path: str, n_epochs: int = 5,
@@ -234,6 +236,7 @@ class StreamingEngine:
                     "tool": b["tool"].to_numpy(),
                     "ts_us": ts_us,
                     "text_len": b["text"].str.len().to_numpy(dtype=np.int64),
+                    "is_click": b["text"].str.startswith("click ").to_numpy(dtype=bool),
                 }
             )
             out["late"] = out["ts_us"] < wm_us
@@ -302,6 +305,14 @@ class StreamingEngine:
                     },
                 )
                 turns = g[["conv_id", "ts_us"]]
+                asof_rows = pd.DataFrame(
+                    {
+                        "conv_id": g["conv_id"].to_numpy(),
+                        "turn_idx": g["turn_idx"].to_numpy(dtype=np.int64),
+                        "ts_us": g["ts_us"].to_numpy(dtype=np.int64),
+                        "is_click": g["is_click"].to_numpy(dtype=bool),
+                    }
+                )
                 inv = g[(g["role"] == "assistant") & g["tool"].notna()]
                 tool = g[g["role"] == "tool"]
                 join_events = pd.concat(
@@ -359,11 +370,14 @@ class StreamingEngine:
                 apply_id = (epoch, int(s), len(g), int(np.bitwise_xor.reduce(x)))
                 refs.append(
                     shards[int(s)].apply.remote(
-                        partials, turns, join_events, sliding, apply_id=apply_id
+                        partials, turns, join_events, sliding, asof_rows,
+                        apply_id=apply_id,
                     )
                 )
             ray.get(refs)  # barrier within the task: applies land before it reports
-            out = late_b.drop(columns=["late", "shard", "window_start_us", "text_len"]).copy()
+            out = late_b.drop(
+                columns=["late", "shard", "window_start_us", "text_len", "is_click"]
+            ).copy()
             out["__applied"] = np.int64(0)
             out["__max_ts"] = np.int64(0)
             head = pd.DataFrame(
@@ -398,7 +412,7 @@ class StreamingEngine:
             ]
         )
         emitted_counts = {}
-        for stream in ("windows", "sliding", "sessions", "joins"):
+        for stream in ("windows", "sliding", "sessions", "joins", "asof"):
             files = [f for e in emissions for f in e["files"][stream]]
             rows = sum(e["rows"][stream] for e in emissions)
             emitted_counts[stream] = rows
@@ -460,6 +474,7 @@ _EXTRACT_SCHEMA = {
     "tool": object,
     "ts_us": np.int64,
     "text_len": np.int64,
+    "is_click": bool,
     "late": bool,
     "shard": np.int32,
     "window_start_us": np.int64,

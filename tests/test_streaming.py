@@ -236,3 +236,61 @@ def test_apply_id_distinguishes_conversations(ray_session):
         ray.get(sh.apply.remote(partials, None, None, None, apply_id=aid))
     out = ray.get(sh.finalize.remote(wm_us=1 << 60, flush=True))
     assert len(out["windows"]) == 2  # both conversations applied
+
+
+def _batch_asof_expect(sf_dir):
+    """Pandas twin of the streamed as-of enrichment: latest strictly-
+    prior click turn per (conv, turn_idx order)."""
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(sf_dir).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    )
+    conv = t["conv_id"].to_numpy()
+    n = len(t)
+    starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+    grp_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+    pos = np.arange(n, dtype=np.int64)
+    is_click = t["text"].str.startswith("click ").to_numpy()
+    run = np.maximum.accumulate(np.where(is_click, pos, np.int64(-1)))
+    prior = np.empty(n, dtype=np.int64)
+    prior[0] = -1
+    prior[1:] = run[:-1]
+    valid = prior >= grp_start
+    safe = np.maximum(prior, 0)
+    idx = t["turn_idx"].to_numpy(dtype=np.int64)
+    ts_us = t["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    return pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": idx.astype(np.int32),
+            "prior_click_turn_idx": np.where(valid, idx[safe].astype(np.float64), np.nan),
+            "prior_click_ts_us": np.where(valid, ts_us[safe].astype(np.float64), np.nan),
+        }
+    )
+
+
+def test_asof_stream_matches_batch(ray_session, transcripts_path, tmp_path):
+    eng = _run_engine(transcripts_path, tmp_path / "out", BIG_LATENESS)
+    got = eng.results()["asof"]
+    want = _batch_asof_expect(SF_TINY)
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
+
+
+def test_asof_staged_watermarks_deterministic(ray_session, transcripts_path, tmp_path):
+    """With finite lateness the enrichment is computed over non-late
+    turns only, emitted as watermarks advance — deterministic, and
+    every non-late turn is enriched exactly once."""
+    import pyarrow.parquet as pq
+
+    eng = _run_engine(transcripts_path, tmp_path / "a", 3600)
+    res = eng.results()
+    n_input = pq.read_table(transcripts_path).num_rows
+    assert len(res["asof"]) + len(res["late"]) == n_input
+    assert res["asof"]["turn_idx"].ge(0).all()
+    eng2 = _run_engine(transcripts_path, tmp_path / "b", 3600)
+    pd.testing.assert_frame_equal(
+        _canon(res["asof"]), _canon(eng2.results()["asof"]), check_dtype=False
+    )
