@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "hot_conversations",
     "late_events",
     "scene_segments",
+    "asof_enrich",
+    "range_join_incidents",
     # text analysis over documents
     "rule_filter",
     "text_stats",
@@ -85,6 +87,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "minhash_dedup",
     "simhash_dedup",
+    "ngram_jaccard_dedup",
     "datatailor_select",
     # composed end-to-end document prep (filter -> annotate -> exact
     # dedup -> near-dup -> quality cut)
@@ -94,7 +97,7 @@ BENCH_QUERIES = [
 CEP_QUERIES = {
     "transcripts", "tumbling_window", "sliding_window", "session_window",
     "tool_join", "dedup_exact", "conversation_digest", "hot_conversations",
-    "late_events", "scene_segments",
+    "late_events", "scene_segments", "asof_enrich", "range_join_incidents",
 }
 
 
