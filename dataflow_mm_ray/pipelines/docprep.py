@@ -60,9 +60,12 @@ def docprep_pipeline(sf_dir: str, neardup_threshold: float = 0.7,
         return out
 
     annotated = docs.map_batches(clean_and_annotate, batch_format="pandas")
+    # materialize: consumed by BOTH the near-dup pipeline and the final
+    # keep join — without it the read+annotate+dedup prefix (the
+    # md5-fingerprint pass included) executes twice (CLAUDE.md rule)
     exact_deduped = dedup_first_wins(
         annotated, "fingerprint", order_by=("doc_id",), num_partitions=num_partitions
-    )
+    ).materialize()
 
     # near-dup keep decisions over the exact-dedup survivors, then a
     # partitioned join to apply them (both sides keyed by doc_id)

@@ -18,13 +18,18 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 _READ_TASK_BYTES = 8 << 20  # target bytes of parquet per read task
+_READ_TASK_ROWS = 32768  # target rows per read task (compression-proof)
 
 
 def _default_num_blocks(path: str) -> int | None:
     """Split single-file reads across tasks: Ray otherwise decodes one
     file in ONE read task, serializing the whole pipeline behind a
     single-threaded parquet decode (measured 2.4x slowdown end-to-end).
-    Target ~8 MiB of file per read task, capped at 4x cluster CPUs."""
+    Target ~8 MiB of file OR ~32k rows per read task — whichever gives
+    more tasks — capped at 4x cluster CPUs. The rows floor matters for
+    highly-compressible text: a 1M-doc corpus of near-duplicates packs
+    into a 19 MiB file, and the byte heuristic alone handed a 130 s
+    fused read+annotate to ONE task (measured; 30 tasks -> 7 s)."""
     import ray
 
     try:
@@ -32,7 +37,14 @@ def _default_num_blocks(path: str) -> int | None:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         return None
-    nb = max(1, min(size // _READ_TASK_BYTES, ncpu * 4))
+    by_rows = 0
+    try:
+        import pyarrow.parquet as pq
+
+        by_rows = pq.read_metadata(path).num_rows // _READ_TASK_ROWS
+    except Exception:
+        pass
+    nb = max(1, min(max(size // _READ_TASK_BYTES, by_rows), ncpu * 4))
     return int(nb) if nb > 1 else None
 
 
