@@ -57,3 +57,23 @@ def test_resolve_num_partitions_rules(ray_session, monkeypatch):
 
     big = TARGET_ROWS_PER_PARTITION * 100
     assert resolve_num_partitions(0, n_rows=big) == max(cpus, 100)
+
+
+def test_read_split_rows_floor(ray_session, tmp_path):
+    """A highly-compressible file (tiny on disk, many rows) must still
+    split into many read tasks — the byte heuristic alone serialized a
+    1M-row fused read+annotate onto one task (BASELINE.md)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.sources.tables import _default_num_blocks
+
+    p = tmp_path / "compressible.parquet"
+    df = pd.DataFrame({"doc_id": range(200_000), "text": ["same text " * 20] * 200_000})
+    pq.write_table(pa.Table.from_pandas(df), p, row_group_size=16384)
+    import os
+
+    assert os.path.getsize(p) < 8 << 20  # premise: tiny on disk
+    nb = _default_num_blocks(str(p))
+    assert nb is not None and nb >= 200_000 // 32768  # rows floor kicks in
