@@ -23,11 +23,14 @@ def _documents(sf_dir: str):
 # conversation formatting (Conversation2Message)
 # ---------------------------------------------------------------------------
 
+_CONV_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+# braces below are JSON literals — splice _CONV_WS by replace, not f-string
 _CONV_MESSAGE_SQL = TRANSCRIPTS_CTE + """
 , turns AS (
   SELECT conv_id, turn_idx,
          CASE role WHEN 'user' THEN 'user' ELSE 'assistant' END AS mrole,
-         trim(regexp_replace(trim(text), '\\n+', chr(10), 'g')) AS cleaned
+         trim(regexp_replace(trim(text, <WS>), '\\n+', chr(10), 'g'), <WS>)
+           AS cleaned
   FROM transcripts WHERE role IN ('user', 'assistant')
 ), frag AS (
   SELECT conv_id, turn_idx,
@@ -44,7 +47,7 @@ SELECT c.conv_id,
        CAST(NULL AS VARCHAR) AS error
 FROM convs c LEFT JOIN frag USING (conv_id)
 GROUP BY c.conv_id
-"""
+""".replace("<WS>", _CONV_WS)
 
 
 @register("conversation_message", _CONV_MESSAGE_SQL)
@@ -53,9 +56,11 @@ def q_conversation_message(sf_dir: str):
     re-assembled transcript conversations. The nested message list is
     a deterministic JSON string, so the oracle rebuilds it byte-exactly
     in SQL (to_json string escaping == json.dumps ensure_ascii=False
-    for these texts; media-token branches are pytest-oracled in
-    tests/test_operators.py since the transcript stream carries no
-    modal tokens)."""
+    for these texts; both trims strip the ASCII whitespace set — texts
+    edged with exotic Unicode whitespace would differ, as Python
+    str.strip() is Unicode-aware; media-token branches are
+    pytest-oracled in tests/test_operators.py since the transcript
+    stream carries no modal tokens)."""
     from dataflow_mm_ray.stages.conversations import _assemble_kernel
 
     return transcripts_partitioned(

@@ -6,7 +6,7 @@ matrix (``image_deduplication_filter.py:138``) and a stubbed
 Here the scalable shapes are built instead — every stage distributed,
 nothing doc-scale ever lands on the driver:
 
-- **MinHash-LSH**: shingle -> 64 minhashes -> 16 bands x 4 rows ->
+- **MinHash-LSH**: shingle -> 128 minhashes -> 32 bands x 4 rows ->
   ``partition_map(band_key)`` (ONE shuffle; no all-pairs) ->
   within-bucket candidate pairs -> exact Jaccard verification via a
   partitioned hash join of the pair list against the shingled doc
@@ -94,18 +94,24 @@ def shingle_sets_batch(texts, w: int = SHINGLE_W) -> list[np.ndarray]:
     the previous string-join implementation had), but the per-doc
     Python string work is gone: ONE vectorized normalize/split/hash
     pass per batch, then numpy window combines. Measured ~6x faster on
-    the 1M-doc corpus, where shingling dominated the dedup pipelines."""
+    the 1M-doc corpus, where shingling dominated the dedup pipelines.
+
+    Tokenization is ASCII-whitespace (``[ \\t\\n\\r\\f\\v]``) — exactly
+    the RE2 ``\\s`` semantics of the DuckDB SQL oracle, so keep
+    decisions agree on any input: non-ASCII whitespace (e.g. U+00A0)
+    stays word-internal on BOTH sides."""
     import itertools
 
     s = pd.Series(texts, dtype=object)
     s = s.where(s.map(lambda t: isinstance(t, str)), "")
+    ws = " \t\n\r\f\v"
     norm = (
         s.str.translate(_SHINGLE_PUNCT_TABLE)
         .str.lower()
-        .str.strip()
-        .str.replace(r"\s+", " ", regex=True)
+        .str.strip(ws)
+        .str.replace(f"[{ws}]+", " ", regex=True)
     )
-    lists = norm.str.split().tolist()
+    lists = norm.str.split(" ").map(lambda xs: [x for x in xs if x]).tolist()
     n = len(lists)
     counts = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
     total = int(counts.sum())
@@ -149,7 +155,7 @@ def shingle_set(text: str, w: int = SHINGLE_W) -> np.ndarray:
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """64 minhash values (uint64) via universal hashing mod 2^61-1."""
+    """N_PERM minhash values (uint64) via universal hashing mod 2^61-1."""
     if len(shingles) == 0:
         return np.full(N_PERM, _MERSENNE, dtype=np.uint64)
     # fold the 64-bit shingle hash to 32 bits so the (a*h+b) product is
@@ -519,9 +525,11 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, source: str = "docu
     become a documented lower bound) or use minhash_lsh_dedup. The
     registered query runs exact (sf posting max ~7).
 
-    Engine shingles are 64-bit hashes (hashing.py), the oracle uses the
-    shingle strings; a 64-bit collision inside one document's set is
-    the only (negligible, ~1e-13 at 10^6 shingles) divergence."""
+    Engine shingles are 64-bit identities (shingle_sets_batch, same
+    ASCII-whitespace tokenization as the oracle's RE2 regexes), the
+    oracle uses the shingle strings; a 64-bit collision inside one
+    document's set is the only (negligible, ~1e-13 at 10^6 shingles)
+    divergence."""
     from dataflow_mm_ray.partition import partition_map
 
     docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
@@ -538,7 +546,9 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, source: str = "docu
              "keep": np.ones(int(m.sum()), dtype=bool)}
         )
 
-    ne_membership = membership.map_batches(nonempty, batch_format="pandas")
+    # materialized: consumed by both collapse_reps and the final
+    # expansion (CLAUDE.md multi-pass rule)
+    ne_membership = membership.map_batches(nonempty, batch_format="pandas").materialize()
     sh = collapse_reps(ne_membership)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:

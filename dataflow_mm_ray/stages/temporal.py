@@ -55,6 +55,25 @@ def _group_starts(uid: np.ndarray) -> np.ndarray:
     return np.repeat(starts, np.diff(np.r_[starts, n]))
 
 
+def latest_prior_match(group_key: np.ndarray, is_match: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented as-of core: for rows sorted with equal keys contiguous,
+    return (index of the latest STRICTLY-prior matching row within the
+    same group — clamped to 0 where none — and the validity mask).
+    Shared by the batch as-of kernel and the streamed as-of finalize
+    (state/store.py) so the tie/strictness rule lives in one place."""
+    n = len(group_key)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+    grp_start = _group_starts(group_key)
+    pos = np.arange(n, dtype=np.int64)
+    run = np.maximum.accumulate(np.where(is_match, pos, np.int64(-1)))
+    prior = np.empty(n, dtype=np.int64)
+    prior[0] = -1
+    prior[1:] = run[:-1]  # strictly prior: shift by one row
+    valid = prior >= grp_start  # a hit from an earlier group is out of segment
+    return np.maximum(prior, 0), valid
+
+
 def asof_enrich_kernel(part: pd.DataFrame, event_type: str = ASOF_EVENT_TYPE) -> pd.DataFrame:
     """Per partition (hash(user_id)): attach the latest strictly-prior
     ``event_type`` event's id and value to every turn."""
@@ -68,17 +87,8 @@ def asof_enrich_kernel(part: pd.DataFrame, event_type: str = ASOF_EVENT_TYPE) ->
             }
         )
     part, turn_idx = _sorted_with_turn_idx(part)
-    n = len(part)
     uid = part["user_id"].to_numpy()
-    grp_start = _group_starts(uid)
-    pos = np.arange(n, dtype=np.int64)
-    match_pos = np.where(part["event_type"].to_numpy() == event_type, pos, np.int64(-1))
-    run = np.maximum.accumulate(match_pos)
-    prior = np.empty(n, dtype=np.int64)
-    prior[0] = -1
-    prior[1:] = run[:-1]  # strictly prior: shift by one row
-    valid = prior >= grp_start  # a hit from an earlier conversation is out of segment
-    safe = np.maximum(prior, 0)
+    safe, valid = latest_prior_match(uid, part["event_type"].to_numpy() == event_type)
     ev_id = part["event_id"].to_numpy()
     val = part["value"].to_numpy(dtype=np.float64)
     return pd.DataFrame(

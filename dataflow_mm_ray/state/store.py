@@ -360,18 +360,10 @@ class StateShard:
         emit_r = allr[settle].sort_values(["conv_id", "turn_idx"], kind="mergesort")
         st.asof_pending = allr[~settle].reset_index(drop=True)
         if len(emit_r):
+            from dataflow_mm_ray.stages.temporal import latest_prior_match
+
             conv = emit_r["conv_id"].to_numpy()
-            n_r = len(emit_r)
-            g_starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
-            grp_start = np.repeat(g_starts, np.diff(np.r_[g_starts, n_r]))
-            pos = np.arange(n_r, dtype=np.int64)
-            clickpos = np.where(emit_r["is_click"].to_numpy(), pos, np.int64(-1))
-            run = np.maximum.accumulate(clickpos)
-            prior = np.empty(n_r, dtype=np.int64)
-            prior[0] = -1
-            prior[1:] = run[:-1]
-            valid = prior >= grp_start
-            safe = np.maximum(prior, 0)
+            safe, valid = latest_prior_match(conv, emit_r["is_click"].to_numpy())
             idx_arr = emit_r["turn_idx"].to_numpy(dtype=np.int64)
             ts_arr = emit_r["ts_us"].to_numpy(dtype=np.int64)
             p_idx = np.where(valid, idx_arr[safe].astype(np.float64), np.nan)

@@ -200,3 +200,34 @@ def test_ngram_jaccard_exact_vs_sequential(ray_session):
     # empty/punct-only docs are always kept, even repeated ones
     empty_ids = [44, 45, 46]
     assert want[empty_ids].all()
+
+
+def test_ngram_tokenization_matches_oracle_on_unicode_ws():
+    """Engine tokenization is ASCII-whitespace (RE2 \\s semantics), so
+    non-ASCII whitespace stays word-internal on BOTH engine and oracle
+    sides — keep decisions agree on such input."""
+    import duckdb
+
+    texts = [
+        "hello\xa0world foo bar baz",       # U+00A0 inside a "word"
+        "hello world foo bar baz",
+        "tab\tseparated words here now",    # ASCII tab IS whitespace
+        " em-space lead trail ",
+    ]
+    engine_sets = [shingle_set(t) for t in texts]
+    con = duckdb.connect()
+    PUNCT = r"[\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]"
+    WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    for t, got in zip(texts, engine_sets):
+        n_words, n_sh = con.execute(
+            f"""
+            WITH norm AS (SELECT regexp_replace(trim(lower(regexp_replace(?, '{PUNCT}', '', 'g')), {WS}),
+                                 '\\s+', ' ', 'g') AS nt),
+            words AS (SELECT string_split(nt, ' ') AS ws FROM norm WHERE nt <> ''),
+            sh AS (SELECT DISTINCT sh FROM (SELECT unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws,' ')]
+                        ELSE list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END) AS sh FROM words))
+            SELECT (SELECT len(ws) FROM words), (SELECT count(*) FROM sh)
+            """,
+            [t],
+        ).fetchone()
+        assert len(got) == n_sh, (t, len(got), n_sh)

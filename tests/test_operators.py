@@ -218,3 +218,20 @@ def test_functional_refine_column_and_constant(ray_session):
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["aa", "bb"]})
     out = functional_refine(rd.from_pandas(df), suffix_udf, "out", text="text", tag="!").to_pandas()
     assert list(out["out"]) == ["aa!", "bb!"]
+
+
+def test_conversation_cleaned_matches_oracle_trim_on_ascii_ws():
+    """The oracle's trim(…, ws-set) equals the engine's strip for texts
+    edged with ASCII whitespace (the reviewed divergence case)."""
+    import duckdb
+
+    from dataflow_mm_ray.stages.conversations import parse_multimodal_tokens
+
+    WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    con = duckdb.connect()
+    for t in ["hi there\n", "\ttabbed lead", "mid\n\n\nlines\n", "  spaces  ", "x\r\n"]:
+        _, cleaned = parse_multimodal_tokens(t)
+        sql = con.execute(
+            f"SELECT trim(regexp_replace(trim(?, {WS}), '\\n+', chr(10), 'g'), {WS})", [t]
+        ).fetchone()[0]
+        assert cleaned == sql, (repr(t), repr(cleaned), repr(sql))
