@@ -1,4 +1,11 @@
-"""DuckDB oracle for the textstats kernel (functions/textstats.py)."""
+"""DuckDB oracle for the textstats kernel (functions/textstats.py).
+
+Whitespace caveat: the kernel follows the reference's Python semantics
+(``\\s``/str.split are Unicode-aware), while RE2's ``\\s`` here is
+ASCII — the two diverge only on text containing non-ASCII whitespace
+(absent from the synthetic corpus). The ngram dedup path, whose keep
+decisions must hold on ANY input, instead tokenizes ASCII-only on both
+sides (stages/neardup.shingle_sets_batch)."""
 from __future__ import annotations
 
 from dataflow_mm_ray.functions.textstats import LANG_PRIORITY, STOPWORDS
