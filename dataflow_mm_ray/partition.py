@@ -110,7 +110,13 @@ def _split_block(block, key: str, num_partitions: int):
 def _reduce_partition(fn, sort_by, *pieces: pd.DataFrame) -> pd.DataFrame:
     frames = [p for p in pieces if len(p)]
     if not frames:
-        return pd.DataFrame()
+        # empty partition (fewer distinct keys than P): still run fn on
+        # a correctly-columned empty frame (the split pieces carry the
+        # input schema) so every output block has fn's schema — a
+        # column-less block would KeyError downstream kernels and break
+        # Dataset schema unification
+        empty = pieces[0].iloc[:0] if len(pieces) else pd.DataFrame()
+        return fn(empty.reset_index(drop=True))
     df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0].reset_index(drop=True)
     if sort_by:
         df = df.sort_values(list(sort_by), kind="mergesort")
@@ -188,14 +194,18 @@ def partition_map_parquet(
 def _join_reduce(key, how, suffixes, n_left, *pieces: pd.DataFrame) -> pd.DataFrame:
     lf = [p for p in pieces[:n_left] if len(p)]
     rf = [p for p in pieces[n_left:] if len(p)]
-    left = pd.concat(lf, ignore_index=True) if lf else None
-    right = pd.concat(rf, ignore_index=True) if rf else None
-    if left is None and right is None:
-        return pd.DataFrame()
-    if left is None:
-        left = pd.DataFrame(columns=[key])
-    if right is None:
-        right = pd.DataFrame(columns=[key])
+
+    def side_empty(side):
+        # empty sides keep their input schema where a piece carries one
+        # (upstream empty blocks can be column-less), so the merged
+        # block has the full joined schema whenever it is knowable
+        for p in side:
+            if key in p.columns:
+                return p.iloc[:0]
+        return pd.DataFrame({key: []})
+
+    left = pd.concat(lf, ignore_index=True) if lf else side_empty(pieces[:n_left])
+    right = pd.concat(rf, ignore_index=True) if rf else side_empty(pieces[n_left:])
     return left.merge(right, on=key, how=how, suffixes=suffixes, sort=False)
 
 

@@ -426,13 +426,28 @@ class StateShard:
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-shard{self.shard_id:05d}.parquet")
             pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+            # the manifest the driver commits must never outlive this data
+            from dataflow_mm_ray.fsutil import fsync_file_and_dir
+
+            fsync_file_and_dir(path)
             out["files"][stream] = [os.path.relpath(path, stage_root)]
         return out
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:
-        with open(path, "wb") as f:
+        # tmp + fsync + atomic replace: the checkpoint manifest that
+        # references this snapshot must never outlive its bytes
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(self.s, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        from dataflow_mm_ray.fsutil import fsync_dir
+
+        fsync_dir(os.path.dirname(path))
 
     def restore(self, path: str) -> None:
         with open(path, "rb") as f:

@@ -62,6 +62,17 @@ US = 1_000_000
 STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "late")
 
 
+def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
+    """Simulated arrival epoch of each turn — stable hash of
+    (conv_id, turn_idx). ONE definition: prepare_transcripts' layout
+    and the unpartitioned-input epoch filter must agree bit-for-bit,
+    or ticks drop/double-process rows."""
+    return partition_ids(
+        (b["conv_id"].astype(str) + "#" + b["turn_idx"].astype(str)).to_numpy(),
+        n_epochs,
+    )
+
+
 def prepare_transcripts(sf_dir: str, path: str, n_epochs: int = 5,
                         num_partitions: int = 16) -> str:
     """Materialize the canonical transcript table once, PARTITIONED BY
@@ -74,16 +85,28 @@ def prepare_transcripts(sf_dir: str, path: str, n_epochs: int = 5,
 
     meta_path = os.path.join(path, "_meta.json")
     if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prepared = json.load(f)["n_epochs"]
+        if prepared != n_epochs:
+            raise ValueError(
+                f"{path} is already prepared with n_epochs={prepared}; "
+                f"requested {n_epochs} — use a fresh path"
+            )
         return path
     os.makedirs(path, exist_ok=True)
+    # a prepare interrupted before _meta.json may have left part files;
+    # deterministic filenames differ across n_epochs/input, so stale
+    # files would otherwise be unioned into epoch reads — wipe first
+    import shutil
+
+    for name in os.listdir(path):
+        if name.startswith("epoch="):
+            shutil.rmtree(os.path.join(path, name))
     ds = transcripts_from_events(sf_dir, num_partitions=num_partitions)
 
     def add_epoch(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy(deep=False)
-        b["__epoch"] = partition_ids(
-            (b["conv_id"].astype(str) + "#" + b["turn_idx"].astype(str)).to_numpy(),
-            n_epochs,
-        )
+        b["__epoch"] = _arrival_epoch(b, n_epochs)
         return b
 
     with_epoch = ds.map_batches(add_epoch, batch_format="pandas")
@@ -170,6 +193,20 @@ class StreamingEngine:
         ]
         return max(epochs) if epochs else None
 
+    def _config_record(self) -> dict:
+        """Every knob that changes which rows an epoch reads or how
+        state evolves — a resumed run must match ALL of them, or the
+        replayed epochs silently mix regimes."""
+        return {
+            "n_epochs": self.n_epochs,
+            "n_shards": self.n_shards,
+            "width_s": self.width_s,
+            "gap_s": self.gap_s,
+            "lateness_us": self.lateness_us,
+            "slide_width_s": self.slide_width_s,
+            "slide_s": self.slide_s,
+        }
+
     def _checkpoint(self, epoch: int) -> None:
         state_files = {}
         refs = []
@@ -181,7 +218,7 @@ class StreamingEngine:
         meta = {
             "epoch": epoch,
             "watermark_us": int(self.watermark_us),
-            "n_shards": self.n_shards,
+            "config": self._config_record(),
             "state_files": state_files,
         }
         tmp = self._ckpt_path(epoch) + ".tmp"
@@ -190,6 +227,21 @@ class StreamingEngine:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._ckpt_path(epoch))
+        from dataflow_mm_ray.fsutil import fsync_dir
+
+        fsync_dir(self.checkpoint_dir)
+        # prune superseded checkpoints: only the latest is ever resumed
+        # from (keep one prior epoch as a safety margin) — without this
+        # the checkpoint dir grows O(n_epochs x shard state)
+        for name in os.listdir(self.checkpoint_dir):
+            for prefix, suffix in (("ckpt-", ".json"), ("state-", ".pkl")):
+                if name.startswith(prefix) and name.endswith(suffix):
+                    try:
+                        e = int(name[len(prefix):].split("-")[0].removesuffix(".json"))
+                    except ValueError:
+                        continue
+                    if e < epoch - 1:
+                        os.remove(os.path.join(self.checkpoint_dir, name))
 
     def _maybe_resume(self) -> None:
         latest = self._latest_checkpoint()
@@ -197,7 +249,18 @@ class StreamingEngine:
             return
         with open(self._ckpt_path(latest)) as f:
             meta = json.load(f)
-        assert meta["n_shards"] == self.n_shards, "shard count is part of the checkpoint"
+        want = self._config_record()
+        got = meta.get("config", {"n_shards": meta.get("n_shards")})
+        mismatched = {k: (got.get(k), want[k]) for k in want
+                      if k in got and got[k] != want[k]}
+        if mismatched:
+            raise ValueError(
+                f"resume config mismatch vs checkpoint epoch {meta['epoch']}: "
+                + ", ".join(f"{k}: checkpoint={a} requested={b}"
+                            for k, (a, b) in mismatched.items())
+                + " — resuming with a changed epoch/shard/window/lateness "
+                "configuration would silently corrupt output"
+            )
         ray.get(
             [
                 sh.restore.remote(meta["state_files"][str(i)])
@@ -218,11 +281,7 @@ class StreamingEngine:
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             if not epoch_partitioned:
                 # unpartitioned input: filter this tick's arrivals
-                h = partition_ids(
-                    (b["conv_id"].astype(str) + "#" + b["turn_idx"].astype(str)).to_numpy(),
-                    n_epochs,
-                )
-                b = b[h == epoch]
+                b = b[_arrival_epoch(b, n_epochs) == epoch]
             if not len(b):
                 return pd.DataFrame(
                     {c: pd.Series([], dtype=d) for c, d in _EXTRACT_SCHEMA.items()}
@@ -252,13 +311,11 @@ class StreamingEngine:
             # an error
             d = os.path.join(self.transcripts_path, f"epoch={epoch}")
             if not os.path.isdir(d):
-                import pandas as _pd
-
                 ds = rd.from_pandas(
-                    _pd.DataFrame({c: _pd.Series([], dtype=object) for c in
-                                   ("conv_id", "role", "text", "tool")}
-                                  | {"turn_idx": _pd.Series([], dtype=np.int32),
-                                     "ts": _pd.Series([], dtype="datetime64[us]")})
+                    pd.DataFrame({c: pd.Series([], dtype=object) for c in
+                                  ("conv_id", "role", "text", "tool")}
+                                 | {"turn_idx": pd.Series([], dtype=np.int32),
+                                    "ts": pd.Series([], dtype="datetime64[us]")})
                 )
             else:
                 ds = rd.read_parquet(d)
@@ -380,20 +437,24 @@ class StreamingEngine:
             ).copy()
             out["__applied"] = np.int64(0)
             out["__max_ts"] = np.int64(0)
+            out["__ctr"] = False
+            # per-task counter rides a dedicated marker column — never a
+            # magic conv_id that could collide with real input keys
             head = pd.DataFrame(
                 {
-                    "conv_id": ["__counter__"], "turn_idx": [np.int32(-1)], "role": [""],
+                    "conv_id": [""], "turn_idx": [np.int32(-1)], "role": [""],
                     "tool": [None],
                     "ts_us": [np.int64(0)],
                     "__applied": [np.int64(len(cur_b))],
                     "__max_ts": [np.int64(cur_b["ts_us"].max()) if len(cur_b) else np.int64(-(1 << 62))],
+                    "__ctr": [True],
                 }
             )
             return pd.concat([head, out], ignore_index=True)
 
         collected = extracted.map_batches(apply_and_collect, batch_format="pandas").to_pandas()
-        counters = collected[collected["conv_id"] == "__counter__"]
-        late = collected[collected["conv_id"] != "__counter__"].drop(columns=["__applied", "__max_ts"])
+        counters = collected[collected["__ctr"]]
+        late = collected[~collected["__ctr"]].drop(columns=["__applied", "__max_ts", "__ctr"])
         n_applied = int(counters["__applied"].sum())
 
         # advance watermark (pure function of data seen)
@@ -488,4 +549,5 @@ _APPLY_OUT_SCHEMA = {
     "ts_us": np.int64,
     "__applied": np.int64,
     "__max_ts": np.int64,
+    "__ctr": bool,
 }

@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from dataflow_mm_ray.fsutil import fsync_dir, fsync_file_and_dir
+
 
 class EpochSink:
     def __init__(self, out_dir: str, streams: Iterable[str]):
@@ -46,39 +48,12 @@ class EpochSink:
     def is_committed(self, stream: str, epoch: int) -> bool:
         return os.path.exists(self._manifest_path(stream, epoch))
 
-    def stage_and_commit(self, stream: str, epoch: int, df: pd.DataFrame, watermark_us: int):
-        """Write one epoch of one stream and commit it atomically.
-        No-op if the epoch is already committed."""
-        if self.is_committed(stream, epoch):
-            return
-        stage_dir = os.path.join(self.out_dir, "staging", stream, f"epoch={epoch}")
-        os.makedirs(stage_dir, exist_ok=True)
-        files = []
-        if len(df):
-            path = os.path.join(stage_dir, "part-00000.parquet")
-            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
-            files.append(os.path.relpath(path, self.out_dir))
-        manifest = {
-            "stream": stream,
-            "epoch": epoch,
-            "files": files,
-            "rows": int(len(df)),
-            "watermark_us": int(watermark_us),
-        }
-        tmp = self._manifest_path(stream, epoch) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._manifest_path(stream, epoch))
-
-    def commit_files(self, stream: str, epoch: int, files: list[str], rows: int,
-                     watermark_us: int):
-        """Commit a manifest over files ALREADY staged by workers/shards
-        (distributed staging — the driver never touches the rows).
-        No-op if the epoch is committed."""
-        if self.is_committed(stream, epoch):
-            return
+    def _commit_manifest(self, stream: str, epoch: int, files: list[str], rows: int,
+                         watermark_us: int):
+        """The single commit point: fsync'd manifest JSON + atomic
+        os.replace. Callers must have made the listed data files
+        durable first (fsutil.fsync_file_and_dir) — the manifest must
+        never outlive the data it references."""
         manifest = {
             "stream": stream,
             "epoch": epoch,
@@ -92,6 +67,31 @@ class EpochSink:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path(stream, epoch))
+        fsync_dir(os.path.dirname(self._manifest_path(stream, epoch)))
+
+    def stage_and_commit(self, stream: str, epoch: int, df: pd.DataFrame, watermark_us: int):
+        """Write one epoch of one stream and commit it atomically.
+        No-op if the epoch is already committed."""
+        if self.is_committed(stream, epoch):
+            return
+        stage_dir = os.path.join(self.out_dir, "staging", stream, f"epoch={epoch}")
+        os.makedirs(stage_dir, exist_ok=True)
+        files = []
+        if len(df):
+            path = os.path.join(stage_dir, "part-00000.parquet")
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+            fsync_file_and_dir(path)
+            files.append(os.path.relpath(path, self.out_dir))
+        self._commit_manifest(stream, epoch, files, len(df), watermark_us)
+
+    def commit_files(self, stream: str, epoch: int, files: list[str], rows: int,
+                     watermark_us: int):
+        """Commit a manifest over files ALREADY staged (and fsync'd) by
+        workers/shards (distributed staging — the driver never touches
+        the rows). No-op if the epoch is committed."""
+        if self.is_committed(stream, epoch):
+            return
+        self._commit_manifest(stream, epoch, files, rows, watermark_us)
 
     # -- readers -----------------------------------------------------------
     def committed_epochs(self, stream: str) -> list[int]:

@@ -294,3 +294,67 @@ def test_asof_staged_watermarks_deterministic(ray_session, transcripts_path, tmp
     pd.testing.assert_frame_equal(
         _canon(res["asof"]), _canon(eng2.results()["asof"]), check_dtype=False
     )
+
+
+def test_resume_config_mismatch_raises(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.streaming.engine import StreamingEngine
+
+    out = tmp_path / "out"
+    _run_engine(transcripts_path, out, 3600, stop_after=1)
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        StreamingEngine(
+            str(transcripts_path), str(out), n_epochs=5, n_shards=3,
+            width_s=WIDTH_S, gap_s=GAP_S + 1, lateness_s=3600,
+        )
+
+
+def test_prepare_epoch_mismatch_raises(ray_session, transcripts_path):
+    from dataflow_mm_ray.streaming.engine import prepare_transcripts
+
+    with pytest.raises(ValueError, match="already prepared"):
+        prepare_transcripts(SF_TINY, str(transcripts_path), n_epochs=7)
+
+
+def test_checkpoints_pruned(ray_session, transcripts_path, tmp_path):
+    import os
+
+    eng = _run_engine(transcripts_path, tmp_path / "out", BIG_LATENESS)
+    names = os.listdir(eng.checkpoint_dir)
+    epochs = sorted({int(n.split("-")[1].removesuffix(".json")) for n in names if n.startswith("ckpt-")})
+    # only the latest checkpoint (plus one safety epoch) survives
+    assert epochs == [3, 4]
+    assert not any(n.startswith("state-0") or n.startswith("state-1") for n in names)
+
+
+def test_counter_key_collision_safe(ray_session, tmp_path):
+    """A real conversation literally named '__counter__' must flow
+    through the late stream untouched (counters ride a marker column,
+    not a magic key)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.streaming.engine import StreamingEngine
+
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    t = pd.DataFrame(
+        {
+            "conv_id": ["__counter__", "__counter__", "conv-x"],
+            "turn_idx": np.array([0, 1, 0], dtype=np.int32),
+            "role": ["user", "assistant", "user"],
+            "text": ["early", "late arrival", "other"],
+            "tool": [None, None, None],
+            "ts": pd.to_datetime([10**15, 1, 10**15], unit="us"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), tdir / "t.parquet")
+    eng = StreamingEngine(str(tdir), str(tmp_path / "out"), n_epochs=2, n_shards=2,
+                          width_s=WIDTH_S, gap_s=GAP_S, lateness_s=0)
+    eng.run()
+    res = eng.results()
+    n_late = len(res["late"])
+    applied = res["windows"]["n_turns"].sum()
+    assert n_late + applied == 3  # nothing swallowed by counter filtering
+    if n_late:
+        assert set(res["late"]["conv_id"]).issubset({"__counter__", "conv-x"})

@@ -87,7 +87,7 @@ def test_resume_shard_count_guard(ray_session, tmp_path):
     tp = prepare_transcripts("/root/testdata/sf0.001", str(tmp_path / "t"), n_epochs=2)
     eng = StreamingEngine(tp, str(tmp_path / "o"), n_epochs=2, n_shards=2, lateness_s=10**9)
     eng.run(stop_after=0)
-    with pytest.raises(AssertionError, match="shard count"):
+    with pytest.raises(ValueError, match="resume config mismatch"):
         StreamingEngine(tp, str(tmp_path / "o"), n_epochs=2, n_shards=3, lateness_s=10**9)
 
 
