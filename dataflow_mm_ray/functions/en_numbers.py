@@ -74,6 +74,7 @@ def _parse_group(tokens: list[str]) -> tuple[int | None, int, int | None]:
     total = 0
     current = 0
     i = 0
+    content_end = 0  # index just past the last numeric-content token
     consumed_any = False
     ordinal: int | None = None
     # grammar slots within the current sub-hundred group: a tens word
@@ -141,12 +142,18 @@ def _parse_group(tokens: list[str]) -> tuple[int | None, int, int | None]:
             break
         consumed_any = consumed_any or w not in ("and",)
         i += 1
+        if w != "and":
+            content_end = i
         if ord_here:
             ordinal = total + current
             break
     if not consumed_any:
         return None, 0, None
-    return total + current, i, ordinal
+    # roll back a trailing absorbed "and": it only belongs to the group
+    # when a joinable number actually follows ("one hundred and five");
+    # if the group ended right after it ("five and six"), the "and" is
+    # ordinary text and must not be consumed
+    return total + current, content_end, ordinal
 
 
 def _is_number_start(w: str) -> bool:

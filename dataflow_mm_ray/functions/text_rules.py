@@ -142,7 +142,7 @@ def rule_flags(text: str) -> list[bool]:
         r_bullet = nb / num_lines > BULLETPOINT_THRESHOLD
 
     r_js = False
-    norm_lines = [n for n in (_normalize(ln) for ln in _lines(text)) if n.strip()]
+    norm_lines = [n for n in (_normalize(ln) for ln in lines) if n.strip()]
     if norm_lines:
         n = len(norm_lines)
         js = sum("javascript" in ln for ln in norm_lines)

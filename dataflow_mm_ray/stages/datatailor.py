@@ -167,7 +167,10 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
     if ds is None:
         n_total = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     else:
-        n_total = ds.count()
+        # consumed by three passes (count, sample pick, score_assign) —
+        # materialize so a caller-supplied pipeline runs once
+        emb = emb.materialize()
+        n_total = emb.count()
     m = max(1, -(-n_total // max_train))
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
@@ -241,8 +244,17 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
                      "__cent": [feats.mean(axis=0)]}
                 )
             )
-        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-            {"vec_id": pd.Series([], dtype=np.int64)}
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        # empty partition (fewer clusters than P): full output schema,
+        # never a vec_id-only block (schema-invariant of partition_map)
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype=np.int64),
+             "cluster": pd.Series([], dtype=np.int64),
+             "informativeness": pd.Series([], dtype=np.float64),
+             "uniqueness": pd.Series([], dtype=np.float64),
+             "__w": pd.Series([], dtype=np.float64),
+             "__cent": pd.Series([], dtype=object)}
         )
 
     with_summaries = partition_map(

@@ -210,7 +210,7 @@ def hamming64(a: np.uint64, b: np.uint64) -> int:
 # distributed pipelines
 # ---------------------------------------------------------------------------
 
-def _band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
+def _band_rows(batch: pd.DataFrame) -> pd.DataFrame:
     """shingled doc row -> N_BANDS rows of (band_id, band_key, doc_id).
     Consumes the precomputed ``__sh`` column so the corpus is shingled
     exactly once; band keys are a vectorized splitmix-style fold of the
@@ -233,22 +233,21 @@ def _band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
         k ^= k >> np.uint64(27)
     k *= np.uint64(0x94D049BB133111EB)
     k ^= k >> np.uint64(31)
-    ids = np.repeat(batch[id_col].to_numpy().astype(np.int64), N_BANDS)
+    ids = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), N_BANDS)
     bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
     return pd.DataFrame(
         {"doc_id": ids, "band_id": bands, "band_key": k.reshape(-1).view(np.int64)}
     )
 
 
-def _candidate_pairs(ds_shingled, id_col: str, max_bucket: int = 1000,
+def _candidate_pairs(ds_shingled, max_bucket: int = 1000,
                      num_partitions: int = 16):
     """LSH banding -> candidate (lo, hi) doc pairs, deduplicated.
-    ``ds_shingled`` carries (doc_id, __sh)."""
+    ``ds_shingled`` carries the CANONICAL (doc_id, __sh) columns —
+    shingle_docs has already renamed any caller id column."""
     # small batches: signature computation is per-row CPU work, so
     # parallelism comes from concurrent tasks
-    bands = ds_shingled.map_batches(
-        lambda b: _band_rows(b, id_col), batch_format="pandas", batch_size=512
-    )
+    bands = ds_shingled.map_batches(_band_rows, batch_format="pandas", batch_size=512)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_lo, out_hi = [], []
@@ -359,8 +358,10 @@ def exact_collapse(sh_all, num_partitions: int = 16):
         # shingle bytes so fold collisions can never merge distinct
         # contents
         part = part.sort_values(["__sh", "doc_id"], kind="mergesort")
-        is_rep = ~part.duplicated(subset="__sh", keep="first")
-        rep_id = part["doc_id"].where(is_rep).ffill().astype(np.int64)
+        # rep = group min (first in sort order); transform('first') stays
+        # int64 — a where/ffill round-trips through float64 and corrupts
+        # ids above 2^53 (snowflake-scale ids)
+        rep_id = part.groupby("__sh", sort=False)["doc_id"].transform("first")
         out = part[["doc_id", "__sh"]].copy(deep=False)
         out["__rep"] = rep_id.to_numpy()
         out["__grp"] = part.groupby("__sh", sort=False)["doc_id"].transform("size").to_numpy().astype(np.int64)
@@ -395,7 +396,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
     membership = exact_collapse(sh_all, num_partitions)
     sh = collapse_reps(membership)
 
-    pairs = _candidate_pairs(sh, id_col, num_partitions=num_partitions)
+    pairs = _candidate_pairs(sh, num_partitions=num_partitions)
     # NOTE: a pair can surface from several bands/partitions; duplicate
     # candidates ride through the two joins (cheap — the pair table is
     # small) and are deduplicated inside `verify`, whose input blocks

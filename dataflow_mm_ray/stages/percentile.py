@@ -161,7 +161,13 @@ def _rank_shuffle(ds, col: str, tie_col: str, out_col: str, edges: np.ndarray,
             g = g.drop(columns="__bucket")
             g[out_col] = offsets[int(j)] + np.arange(len(g), dtype=np.int64)
             outs.append(g)
-        return pd.concat(outs, ignore_index=True) if outs else part.drop(columns="__bucket")
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        # empty partition: keep the full output schema incl. out_col
+        # (schema-invariant of partition_map)
+        empty = part.drop(columns="__bucket")
+        empty[out_col] = pd.Series([], dtype=np.int64)
+        return empty
 
     return partition_map(tagged, "__bucket", rank_part, num_partitions=min(num_partitions, n_buckets))
 

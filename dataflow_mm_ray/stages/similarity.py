@@ -84,6 +84,14 @@ def _batch_matrix(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, m / norms
 
 
+def _final_topk(part: pd.DataFrame, k: int) -> pd.DataFrame:
+    """The shared top-k reducer: (sim desc, vec_id asc) tie-break +
+    head(k) per query — the determinism contract pinned by the
+    ivf-at-full-probe == brute-force pytest, kept in ONE place."""
+    part = part.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+    return part.groupby("query_id", sort=False, group_keys=False).head(k)
+
+
 def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
     """For each query vector (vec_id < n_queries): top-k most similar
     other vectors by cosine. Returns query_id, vec_id, sim."""
@@ -118,13 +126,11 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(partial_topk, batch_format="pandas", batch_size=SIM_BATCH)
 
-    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
-        return part.groupby("query_id", sort=False, group_keys=False).head(k)
-
     from dataflow_mm_ray.partition import partition_map
 
-    return partition_map(partials, "query_id", final_topk, num_partitions=8)
+    return partition_map(
+        partials, "query_id", lambda p: _final_topk(p, k), num_partitions=8
+    )
 
 
 def knn_percentile_filter(sf_dir: str, k: int = 10, keep_ratio: float = 0.6):
@@ -282,10 +288,8 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=SIM_BATCH)
 
-    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
-        return part.groupby("query_id", sort=False, group_keys=False).head(k)
-
     from dataflow_mm_ray.partition import partition_map
 
-    return partition_map(partials, "query_id", final_topk, num_partitions=8)
+    return partition_map(
+        partials, "query_id", lambda p: _final_topk(p, k), num_partitions=8
+    )

@@ -65,3 +65,16 @@ def test_one_heads_numeric_expressions():
     assert nn("one percent") == "1%"
     assert nn("one dollars") == "$1"  # plural stub follows whisper's postfix rule
     assert nn("one of them") == "one of them"
+
+
+def test_trailing_and_not_consumed():
+    """'and' joins a group only when a joinable number follows
+    ('one hundred and five'); between two standalone numbers it is
+    ordinary text (reviewed bug: 'five and six' lost the 'and')."""
+    from dataflow_mm_ray.functions.en_numbers import normalize_number_words as n
+
+    assert n("five and six") == "5 and 6"
+    assert n("between one and two") == "between one and 2"  # solitary-one kept
+    assert n("one hundred and five") == "105"
+    assert n("one thousand and one") == "1001"
+    assert n("seven and a half") == "7 and a half"
