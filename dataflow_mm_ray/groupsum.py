@@ -66,7 +66,11 @@ def group_sum(keys: dict[str, np.ndarray], values: dict[str, np.ndarray]) -> pd.
     fused_card = 1
     for c in cards:
         fused_card *= c
-    if fused_card > _MAX_FUSED:  # pragma: no cover - astronomically wide keys
+    # NaN/None keys factorize to the -1 sentinel, which the fused
+    # arithmetic would treat as a real code (colliding groups and
+    # wrap-indexing uniques). Match the pandas fallback: take it.
+    has_null_key = any((codes < 0).any() for codes, _ in factored)
+    if fused_card > _MAX_FUSED or has_null_key:  # pragma: no cover - degenerate inputs
         df = pd.DataFrame({name: arr for name, arr in key_items + val_items})
         return df.groupby([n_ for n_, _ in key_items], as_index=False, sort=False).sum()
 

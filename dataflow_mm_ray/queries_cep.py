@@ -561,7 +561,7 @@ WITH a AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
   FROM a
 )
-SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+SELECT 'conv-' || printf('%06d', user_id) AS conv_id,
        event_id, ts,
        epoch_us(pm) - epoch_us(ts) - CAST({LATENESS_S} AS BIGINT) * 1000000 AS late_by_us
 FROM b
@@ -621,7 +621,7 @@ _ASOF_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 @register(
     "asof_enrich",
     """
-SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+SELECT 'conv-' || printf('%06d', user_id) AS conv_id,
        CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
        CAST(last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
             OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -655,7 +655,7 @@ WITH inc AS (
   FROM events WHERE event_type = 'error'
 ), t AS (
   SELECT user_id, ts,
-         'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         'conv-' || printf('%06d', user_id) AS conv_id,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER)
            AS turn_idx
   FROM events

@@ -72,7 +72,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    _LOADED = True
     from dataflow_mm_ray.serving import prompted_qa, templated_qa
     from dataflow_mm_ray.stages import filters, join, stats, windows
     from dataflow_mm_ray.stages.chunks import chunk_rows
@@ -105,3 +104,6 @@ def _ensure_loaded() -> None:
     ]
     for name, fn, desc, kind, inp, out, stateful in entries:
         _OPERATORS[name] = OpSpec(name, fn, desc, kind, tuple(inp), tuple(out), stateful)
+    # only mark loaded on success: a transient import failure above must
+    # surface again on the next call, not leave a silently empty registry
+    _LOADED = True

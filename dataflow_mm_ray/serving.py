@@ -234,6 +234,12 @@ class T2IGenerator:
 
     @staticmethod
     def safe_name(prompt: str) -> str:
+        # Reference-exact sanitization (image_gen.py:33-40) — and its
+        # reference-exact hazard: prompts sanitizing to the same string
+        # ("a.b" vs "a b", or long shared 120-char prefixes) share one
+        # rel_path and the later save overwrites the earlier, exactly
+        # as the reference's {prompt_safe}/{prompt_safe}_{idx}.png does.
+        # Parity beats fixing here; dedupe prompts upstream if needed.
         import re
 
         return re.sub(r"[^0-9a-zA-Z]+", "_", prompt).strip("_")[:120]

@@ -59,7 +59,10 @@ def read_page(root: str, pipeline_id: str, task_id: str,
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
     )
     if page_size is None:
-        return rd.read_parquet(files)
+        # rows-aware split (CLAUDE.md: never a single-task read_parquet)
+        total = sum(pq.read_metadata(f).num_rows for f in files)
+        nb = max(len(files), total // 32768) or 1
+        return rd.read_parquet(files, override_num_blocks=nb)
     offset = max(0, (page_num - 1)) * page_size
 
     frames = []
@@ -116,7 +119,11 @@ def write_task(ds, root: str, pipeline_id: str, task_id: str,
         b["pipeline_id"] = pipeline_id
         b["task_id"] = task_id
         if raw_id_col is not None:
-            b["raw_data_id"] = b[raw_id_col].to_numpy().astype(np.int64)
+            ids = b[raw_id_col].to_numpy()
+            # integer ids canonicalize to int64; any other key type
+            # (string/UUID) is stored as-is — a float->int cast would
+            # silently truncate distinct ids together
+            b["raw_data_id"] = ids.astype(np.int64) if ids.dtype.kind in "iu" else ids
         elif "raw_data_id" not in b.columns:
             b["raw_data_id"] = np.arange(len(b), dtype=np.int64)
         b["min_hashes"] = [[0]] * len(b)  # storage.py:289-291 hook default

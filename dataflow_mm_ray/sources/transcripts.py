@@ -50,7 +50,7 @@ WITH _ev_ranked AS (
   FROM events
 ), transcripts AS (
   SELECT
-    'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+    'conv-' || printf('%06d', user_id) AS conv_id,
     turn_idx,
     CASE turn_idx % 4 WHEN 0 THEN 'user' WHEN 2 THEN 'tool' ELSE 'assistant' END AS role,
     event_type || ' #' || CAST(event_id AS VARCHAR) || ' ' || props AS text,
@@ -64,27 +64,31 @@ _ROLE_CYCLE = np.array(["user", "assistant", "tool", "assistant"], dtype=object)
 
 
 def _events_to_turns(part: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized per-partition derivation (partition = hash(user_id))."""
+    """Vectorized per-partition derivation (partition = hash(user_id)).
+
+    NULL ``event_type``/``props`` propagate to NULL text/tool exactly
+    like the oracle's ``||`` concatenation (object-array ``+`` would
+    instead raise on None)."""
     part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    n = len(part)
     turn_idx = part.groupby("user_id", sort=False).cumcount().to_numpy().astype(np.int32)
     mod4 = turn_idx % 4
-    tool = np.where(
-        (mod4 == 1) | (mod4 == 2),
-        "tool_" + part["event_type"].to_numpy(dtype=object),
-        None,
-    )
+    et = part["event_type"].to_numpy(dtype=object)
+    pr = part["props"].to_numpy(dtype=object)
+    et_ok = ~pd.isna(et)
+    text_ok = et_ok & ~pd.isna(pr)
+    ids_str = part["event_id"].astype(str).to_numpy(dtype=object)
+    text = np.full(n, None, dtype=object)
+    text[text_ok] = et[text_ok] + " #" + ids_str[text_ok] + " " + pr[text_ok]
+    tool = np.full(n, None, dtype=object)
+    tool_m = ((mod4 == 1) | (mod4 == 2)) & et_ok
+    tool[tool_m] = "tool_" + et[tool_m]
     return pd.DataFrame(
         {
             "conv_id": "conv-" + part["user_id"].astype(str).str.zfill(6),
             "turn_idx": turn_idx,
             "role": _ROLE_CYCLE[mod4],
-            "text": (
-                part["event_type"].to_numpy(dtype=object)
-                + " #"
-                + part["event_id"].astype(str).to_numpy(dtype=object)
-                + " "
-                + part["props"].to_numpy(dtype=object)
-            ),
+            "text": text,
             "tool": tool,
             "ts": part["ts"].to_numpy(),
         }

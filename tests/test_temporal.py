@@ -137,3 +137,27 @@ def test_partition_independence(kernel):
             ["conv_id", "turn_idx"],
         )
         pd.testing.assert_frame_equal(got, ref, check_exact=True)
+
+
+def test_conv_id_parity_large_user_ids():
+    """printf('%06d') in the oracle == str.zfill(6) in the engine for
+    7+-digit user ids (lpad would TRUNCATE them, merging users >= 1e6
+    into shared conv_ids — the scale inputs shift user_id by millions)."""
+    from dataflow_mm_ray.sources.transcripts import TRANSCRIPTS_CTE, _events_to_turns
+
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": pd.to_datetime([1, 2, 3, 4], unit="us"),
+            "user_id": np.array([5, 999999, 1000000, 12345678], dtype=np.int64),
+            "event_type": ["click"] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    got = set(_events_to_turns(ev)["conv_id"])
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = set(
+        con.execute(TRANSCRIPTS_CTE + "SELECT conv_id FROM transcripts").df()["conv_id"]
+    )
+    assert got == want == {"conv-000005", "conv-999999", "conv-1000000", "conv-12345678"}
