@@ -1325,3 +1325,47 @@ def q_cot_qa(sf_dir: str):
         )
 
     return gen.map_batches(extract, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distinct counting: exact (oracled) + HyperLogLog sketch (engine addition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "distinct_props_exact",
+    """
+SELECT event_type, CAST(count(DISTINCT props) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1
+""",
+)
+def q_distinct_props_exact(sf_dir: str):
+    """Exact per-group distinct count: per-batch partial distinct
+    (combiner) then a keyed exchange of the distinct values only."""
+    from dataflow_mm_ray.partition import partition_map
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    partial = ev.map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas"
+    )
+
+    def count_distinct(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.drop_duplicates().groupby("event_type", sort=False).size()
+        return pd.DataFrame(
+            {"event_type": agg.index.to_numpy(dtype=object),
+             "n_distinct": agg.to_numpy(dtype=np.int64)}
+        )
+
+    return partition_map(partial, "event_type", count_distinct, num_partitions=8)
+
+
+@register("approx_distinct_props", None)  # sketch: pytest error-bound oracle
+def q_approx_distinct_props(sf_dir: str):
+    """HyperLogLog distinct-count sketch per event_type (p=14, ~0.8%
+    standard error) — mergeable registers, one combiner pass + a tiny
+    keyed exchange; never a shuffle of the raw values. The engine
+    addition SURVEY §2.8 notes the reference lacks; accuracy pinned in
+    tests/test_sketch.py against the exact oracled twin."""
+    from dataflow_mm_ray.stages.sketch import approx_distinct
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    return approx_distinct(ev, "event_type", "props")
