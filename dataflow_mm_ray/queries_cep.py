@@ -677,3 +677,85 @@ def q_range_join_incidents(sf_dir: str):
     return partition_map_parquet(
         table_path(sf_dir, "events"), _ASOF_EVENT_COLS, "user_id", incident_count_kernel
     )
+
+
+# --- windowed distinct counting: exact (oracled) + HLL sketch twin --------
+
+@register(
+    "window_distinct_convs_exact",
+    TRANSCRIPTS_CTE
+    + f"""
+SELECT make_timestamp(epoch_us(ts) // (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000)
+                      * (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000)) AS window_start,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM transcripts GROUP BY 1
+""",
+)
+def q_window_distinct_convs_exact(sf_dir: str):
+    """Exact distinct conversations per tumbling window. conv_id is the
+    shuffle key, so per-partition (window, conv) distinct counts are
+    over DISJOINT conv sets — the second exchange just sums partials."""
+    import numpy as np
+
+    from dataflow_mm_ray.partition import partition_map
+
+    us = TUMBLING_WIDTH_S * 1_000_000
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        ts = t["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        w = (ts // us) * us
+        pairs = pd.DataFrame({"w": w, "c": t["conv_id"].to_numpy()}).drop_duplicates()
+        agg = pairs.groupby("w", sort=False).size()
+        return pd.DataFrame({"window_start_us": agg.index.to_numpy(),
+                             "n_convs": agg.to_numpy().astype(np.int64)})
+
+    parts = transcripts_partitioned(sf_dir, partial)
+
+    def total(p: pd.DataFrame) -> pd.DataFrame:
+        agg = p.groupby("window_start_us", sort=False)["n_convs"].sum()
+        return pd.DataFrame(
+            {"window_start": agg.index.to_numpy().astype("datetime64[us]"),
+             "n_convs": agg.to_numpy().astype(np.int64)}
+        )
+
+    return partition_map(parts, "window_start_us", total, num_partitions=8)
+
+
+@register("window_distinct_convs", None)  # HLL sketch: pytest-oracled
+def q_window_distinct_convs(sf_dir: str):
+    """HLL sketch of distinct conversations per tumbling window — the
+    batch twin of the engine's streamed 'wdistinct' output (identical
+    registers at infinite lateness: max-merge is order-free), accuracy
+    pinned vs the exact oracled twin in tests/test_sketch.py."""
+    import numpy as np
+
+    from dataflow_mm_ray.partition import partition_map
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+    from dataflow_mm_ray.stages.sketch import (
+        hll_estimate,
+        hll_partials_by_group,
+        merge_register_frames,
+    )
+    from dataflow_mm_ray.state.store import _DCOUNT_P
+
+    us = TUMBLING_WIDTH_S * 1_000_000
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        w = (ts // us) * us
+        gs, regs = hll_partials_by_group(w, b["conv_id"].to_numpy(), _DCOUNT_P)
+        return pd.DataFrame({"window_start_us": np.asarray(gs, dtype=np.int64), "__regs": regs})
+
+    part = transcripts_from_events(sf_dir).map_batches(partials, batch_format="pandas")
+
+    def merge(p: pd.DataFrame) -> pd.DataFrame:
+        wk, wr = merge_register_frames(
+            p["window_start_us"].to_numpy(dtype=np.int64), p["__regs"], _DCOUNT_P
+        )
+        return pd.DataFrame(
+            {"window_start_us": wk.astype(np.int64),
+             "approx_distinct_convs": np.asarray(
+                 [hll_estimate(np.frombuffer(r, dtype=np.uint8)) for r in wr], dtype=np.int64)}
+        )
+
+    return partition_map(part, "window_start_us", merge, num_partitions=8)

@@ -81,6 +81,35 @@ def hll_estimate(regs: np.ndarray) -> int:
     return int(round(e))
 
 
+def hll_partials_by_group(group_vals: np.ndarray, values: np.ndarray,
+                          p: int) -> tuple[list, list[bytes]]:
+    """Per-group register partials for one batch: (group keys, register
+    bytes) — the combiner used by both the batch windowed-distinct
+    query and the streaming shard state (identical partials => the
+    streamed result is bit-equal to the batch twin)."""
+    df = pd.DataFrame({"g": group_vals, "v": values})
+    gs, regs = [], []
+    for g, sub in df.groupby("g", sort=False):
+        gs.append(g)
+        regs.append(hll_partial(sub["v"].to_numpy(dtype=object), p).tobytes())
+    return gs, regs
+
+
+def merge_register_frames(window_keys: np.ndarray, reg_bytes, p: int):
+    """Merge (key, registers) partial rows: per distinct key, the
+    elementwise max of its registers. Returns (keys array, list of
+    register bytes)."""
+    df = pd.DataFrame({"k": window_keys, "r": list(reg_bytes)})
+    ks, out = [], []
+    for k, sub in df.groupby("k", sort=True):
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for rb in sub["r"]:
+            regs = np.maximum(regs, np.frombuffer(rb, dtype=np.uint8))
+        ks.append(k)
+        out.append(regs.tobytes())
+    return np.asarray(ks), out
+
+
 def approx_distinct(ds, group_col: str, value_col: str, p: int = HLL_P,
                     num_partitions: int = 8):
     """Approximate COUNT(DISTINCT value) per group over a Dataset.

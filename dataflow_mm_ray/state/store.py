@@ -53,6 +53,7 @@ import ray
 from dataflow_mm_ray.groupsum import group_sum_df
 
 US = 1_000_000
+_DCOUNT_P = 12  # windowed-distinct HLL precision: 4 KiB/window, ~1.6% err
 
 _WIN_COLS = ["conv_id", "window_start_us", "n_turns", "n_user_turns", "n_tool_calls", "sum_chars"]
 _SLIDE_COLS = ["conv_id", "window_start_us", "n_turns", "sum_chars"]
@@ -98,6 +99,12 @@ class _ShardState:
         self.asof_pending = _empty_asof()
         self.asof_chunks: list[pd.DataFrame] = []
         self.asof_last: dict[str, tuple[int, int]] = {}
+        # windowed distinct-count sketch: per-open-window HLL register
+        # partials (this shard's conversations only — the driver merges
+        # shard partials at window close; registers merge by max, so
+        # the split is lossless)
+        self.dcount: dict[int, bytes] = {}
+        self.dcount_chunks: list[pd.DataFrame] = []
 
 
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -153,6 +160,7 @@ class StateShard:
         join_events: pd.DataFrame | None,
         sliding_partials: pd.DataFrame | None = None,
         asof_rows: pd.DataFrame | None = None,
+        dcount_partials: pd.DataFrame | None = None,
         apply_id=None,
     ) -> int:
         """Append one epoch's (pre-aggregated, non-late) rows — O(1);
@@ -181,6 +189,8 @@ class StateShard:
         if asof_rows is not None and len(asof_rows):
             n += len(asof_rows)
             st.asof_chunks.append(asof_rows[_ASOF_COLS])
+        if dcount_partials is not None and len(dcount_partials):
+            st.dcount_chunks.append(dcount_partials[["window_start_us", "__regs"]])
         if join_events is not None and len(join_events):
             n += len(join_events)
             inv = join_events[join_events["kind"] == "inv"]
@@ -401,6 +411,37 @@ class StateShard:
                 }
             )
 
+        # --- windowed distinct-count sketch: merge register partials,
+        # close windows the watermark has passed; closed registers are
+        # RETURNED (not staged) — the driver max-merges them across
+        # shards before estimating and committing.
+        from dataflow_mm_ray.stages.sketch import merge_register_frames
+
+        if st.dcount_chunks or st.dcount:
+            frames = st.dcount_chunks
+            st.dcount_chunks = []
+            keys = list(st.dcount.keys())
+            regs = list(st.dcount.values())
+            for f in frames:
+                keys.extend(int(w) for w in f["window_start_us"])
+                regs.extend(f["__regs"])
+            if keys:
+                mk, mr = merge_register_frames(np.asarray(keys, dtype=np.int64), regs,
+                                               _DCOUNT_P)
+            else:
+                mk, mr = np.empty(0, dtype=np.int64), []
+            closed_m = np.ones(len(mk), dtype=bool) if flush else (mk + st.width_us) <= wm_us
+            st.dcount = {int(k): r for k, r, c in zip(mk, mr, closed_m) if not c}
+            dcount_out = pd.DataFrame(
+                {"window_start_us": mk[closed_m].astype(np.int64),
+                 "__regs": [r for r, c in zip(mr, closed_m) if c]}
+            )
+        else:
+            dcount_out = pd.DataFrame(
+                {"window_start_us": pd.Series([], dtype=np.int64),
+                 "__regs": pd.Series([], dtype=object)}
+            )
+
         frames_out = {
             "windows": win_closed,
             "sessions": sessions_out,
@@ -409,6 +450,7 @@ class StateShard:
             "asof": asof_out,
         }
         if stage_root is None:
+            frames_out["wdistinct_partials"] = dcount_out
             return frames_out
 
         import os
@@ -431,6 +473,7 @@ class StateShard:
 
             fsync_file_and_dir(path)
             out["files"][stream] = [os.path.relpath(path, stage_root)]
+        out["wdistinct_partials"] = dcount_out  # small: merged driver-side
         return out
 
     # ------------------------------------------------------------------
@@ -464,4 +507,5 @@ class StateShard:
             "pending_inv": int(len(st.inv)) + sum(len(c) for c in st.inv_chunks),
             "pending_tool": int(len(st.tool)) + sum(len(c) for c in st.tool_chunks),
             "pending_asof": int(len(st.asof_pending)) + sum(len(c) for c in st.asof_chunks),
+            "open_dcount_windows": int(len(st.dcount)) + sum(len(c) for c in st.dcount_chunks),
         }

@@ -59,7 +59,7 @@ from dataflow_mm_ray.state.store import StateShard
 from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
-STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "late")
+STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "wdistinct", "late")
 
 
 def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
@@ -370,6 +370,17 @@ class StreamingEngine:
                         "is_click": g["is_click"].to_numpy(dtype=bool),
                     }
                 )
+                # windowed distinct-conversation sketch partials: a
+                # batch of any size reduces to <= windows x 4 KiB
+                from dataflow_mm_ray.stages.sketch import hll_partials_by_group
+                from dataflow_mm_ray.state.store import _DCOUNT_P
+
+                dk, dr = hll_partials_by_group(
+                    g["window_start_us"].to_numpy(), g["conv_id"].to_numpy(), _DCOUNT_P
+                )
+                dcount = pd.DataFrame(
+                    {"window_start_us": np.asarray(dk, dtype=np.int64), "__regs": dr}
+                )
                 inv = g[(g["role"] == "assistant") & g["tool"].notna()]
                 tool = g[g["role"] == "tool"]
                 join_events = pd.concat(
@@ -427,7 +438,7 @@ class StreamingEngine:
                 apply_id = (epoch, int(s), len(g), int(np.bitwise_xor.reduce(x)))
                 refs.append(
                     shards[int(s)].apply.remote(
-                        partials, turns, join_events, sliding, asof_rows,
+                        partials, turns, join_events, sliding, asof_rows, dcount,
                         apply_id=apply_id,
                     )
                 )
@@ -478,6 +489,32 @@ class StreamingEngine:
             rows = sum(e["rows"][stream] for e in emissions)
             emitted_counts[stream] = rows
             self.sink.commit_files(stream, epoch, files, rows, self.watermark_us)
+        # windowed distinct-conversation sketch: shards return their
+        # closed-window register partials (tiny); max-merge across
+        # shards, estimate, commit — a cross-shard aggregate the
+        # per-conv-keyed staging cannot express
+        from dataflow_mm_ray.stages.sketch import hll_estimate, merge_register_frames
+        from dataflow_mm_ray.state.store import _DCOUNT_P
+
+        dparts = [e["wdistinct_partials"] for e in emissions if len(e["wdistinct_partials"])]
+        if dparts:
+            alld = pd.concat(dparts, ignore_index=True)
+            wk, wr = merge_register_frames(
+                alld["window_start_us"].to_numpy(dtype=np.int64), alld["__regs"], _DCOUNT_P
+            )
+            wd = pd.DataFrame(
+                {"window_start_us": wk.astype(np.int64),
+                 "approx_distinct_convs": np.asarray(
+                     [hll_estimate(np.frombuffer(r, dtype=np.uint8)) for r in wr],
+                     dtype=np.int64)}
+            )
+        else:
+            wd = pd.DataFrame(
+                {"window_start_us": pd.Series([], dtype=np.int64),
+                 "approx_distinct_convs": pd.Series([], dtype=np.int64)}
+            )
+        emitted_counts["wdistinct"] = int(len(wd))
+        self.sink.stage_and_commit("wdistinct", epoch, wd, self.watermark_us)
         self.sink.stage_and_commit("late", epoch, late.reset_index(drop=True), self.watermark_us)
         self._record_metrics(epoch, {
             "epoch": epoch,

@@ -51,3 +51,42 @@ def test_query_tracks_exact_twin(ray_session):
     # determinism at a different parallelism
     approx2 = to_pandas(reg["approx_distinct_props"].fn(SF)).set_index("event_type")["approx_distinct"]
     assert approx.sort_index().tolist() == approx2.sort_index().tolist()
+
+
+def test_windowed_sketch_tracks_exact(ray_session):
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.testing import to_pandas
+
+    reg = registry()
+    exact = to_pandas(reg["window_distinct_convs_exact"].fn(SF))
+    exact["window_start_us"] = exact["window_start"].astype("datetime64[us]").astype("int64")
+    exact = exact.set_index("window_start_us")["n_convs"]
+    approx = to_pandas(reg["window_distinct_convs"].fn(SF)).set_index("window_start_us")[
+        "approx_distinct_convs"
+    ]
+    assert set(exact.index) == set(approx.index)
+    # p=12 -> ~1.6% stderr; these windows hold <= 15 convs, where HLL
+    # linear counting is essentially exact
+    for w in exact.index:
+        assert abs(int(approx[w]) - int(exact[w])) <= max(1, int(0.05 * exact[w]))
+
+
+def test_windowed_sketch_stream_equals_batch(ray_session, tmp_path):
+    """The streamed wdistinct output at infinite lateness equals the
+    batch HLL twin bit-for-bit (max-merge is order/partition-free and
+    the estimate is deterministic)."""
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
+    from dataflow_mm_ray.testing import to_pandas
+
+    tp = prepare_transcripts(SF, str(tmp_path / "t"), n_epochs=3)
+    eng = StreamingEngine(tp, str(tmp_path / "o"), n_epochs=3, n_shards=3,
+                          lateness_s=10**9)
+    eng.run()
+    got = eng.results()["wdistinct"].sort_values("window_start_us").reset_index(drop=True)
+    want = (
+        to_pandas(registry()["window_distinct_convs"].fn(SF))
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
