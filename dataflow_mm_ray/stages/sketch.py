@@ -81,18 +81,47 @@ def hll_estimate(regs: np.ndarray) -> int:
     return int(round(e))
 
 
+def hll_triples(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row sparse HLL updates: (register index int32, rank uint8).
+    A row costs 5 bytes on the wire instead of a dense 2^p-byte
+    register block per (group, batch) — the dense form is built only
+    where registers are MERGED (``registers_from_triples``). Identical
+    final registers either way (max over the same update multiset), so
+    streamed and batch results stay bit-equal."""
+    return hll_triples_from_hashes(stable_hash_array(values), p)
+
+
+def hll_triples_from_hashes(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """hll_triples over precomputed SipHash values — callers that
+    already hash the column (e.g. the streaming apply-id digest) reuse
+    the pass instead of hashing twice."""
+    idx, rank = _ranks(hashes, p)
+    return idx.astype(np.int32), rank.astype(np.uint8)
+
+
+def registers_from_triples(group_vals: np.ndarray, idx: np.ndarray,
+                           rank: np.ndarray, p: int):
+    """Densify sparse updates: per distinct group, the elementwise-max
+    register array. ONE vectorized maximum.at over a fused
+    (group code, register) key — no per-group Python loop. Returns
+    (sorted group keys, list of register bytes)."""
+    m = 1 << p
+    codes, uniq = pd.factorize(group_vals, sort=True)
+    regs = np.zeros(len(uniq) * m, dtype=np.uint8)
+    flat = codes.astype(np.int64) * m + idx.astype(np.int64)
+    np.maximum.at(regs, flat, rank)
+    regs = regs.reshape(len(uniq), m)
+    if isinstance(uniq, pd.Index):
+        uniq = uniq.to_numpy()
+    return uniq, [r.tobytes() for r in regs]
+
+
 def hll_partials_by_group(group_vals: np.ndarray, values: np.ndarray,
-                          p: int) -> tuple[list, list[bytes]]:
-    """Per-group register partials for one batch: (group keys, register
-    bytes) — the combiner used by both the batch windowed-distinct
-    query and the streaming shard state (identical partials => the
-    streamed result is bit-equal to the batch twin)."""
-    df = pd.DataFrame({"g": group_vals, "v": values})
-    gs, regs = [], []
-    for g, sub in df.groupby("g", sort=False):
-        gs.append(g)
-        regs.append(hll_partial(sub["v"].to_numpy(dtype=object), p).tobytes())
-    return gs, regs
+                          p: int) -> tuple[np.ndarray, list[bytes]]:
+    """Per-group dense register partials for one batch (triples +
+    densify) — used where a caller wants register blocks directly."""
+    idx, rank = hll_triples(values, p)
+    return registers_from_triples(group_vals, idx, rank, p)
 
 
 def merge_register_frames(window_keys: np.ndarray, reg_bytes, p: int):
@@ -121,11 +150,10 @@ def approx_distinct(ds, group_col: str, value_col: str, p: int = HLL_P,
     from dataflow_mm_ray.partition import partition_map
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
-        groups, regs = [], []
-        for g, sub in b.groupby(group_col, sort=False):
-            groups.append(g)
-            regs.append(hll_partial(sub[value_col].to_numpy(dtype=object), p).tobytes())
-        return pd.DataFrame({group_col: np.asarray(groups, dtype=object), "__regs": regs})
+        gs, regs = hll_partials_by_group(
+            b[group_col].to_numpy(), b[value_col].to_numpy(dtype=object), p
+        )
+        return pd.DataFrame({group_col: np.asarray(gs, dtype=object), "__regs": regs})
 
     part = ds.map_batches(partials, batch_format="pandas")
 

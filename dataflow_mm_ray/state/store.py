@@ -190,7 +190,7 @@ class StateShard:
             n += len(asof_rows)
             st.asof_chunks.append(asof_rows[_ASOF_COLS])
         if dcount_partials is not None and len(dcount_partials):
-            st.dcount_chunks.append(dcount_partials[["window_start_us", "__regs"]])
+            st.dcount_chunks.append(dcount_partials[["window_start_us", "reg_idx", "rank"]])
         if join_events is not None and len(join_events):
             n += len(join_events)
             inv = join_events[join_events["kind"] == "inv"]
@@ -411,30 +411,39 @@ class StateShard:
                 }
             )
 
-        # --- windowed distinct-count sketch: merge register partials,
+        # --- windowed distinct-count sketch: densify this epoch's
+        # sparse (window, register, rank) triples in ONE vectorized
+        # maximum.at, max-merge with the carried per-window registers,
         # close windows the watermark has passed; closed registers are
         # RETURNED (not staged) — the driver max-merges them across
         # shards before estimating and committing.
-        from dataflow_mm_ray.stages.sketch import merge_register_frames
+        from dataflow_mm_ray.stages.sketch import registers_from_triples
 
         if st.dcount_chunks or st.dcount:
             frames = st.dcount_chunks
             st.dcount_chunks = []
-            keys = list(st.dcount.keys())
-            regs = list(st.dcount.values())
-            for f in frames:
-                keys.extend(int(w) for w in f["window_start_us"])
-                regs.extend(f["__regs"])
-            if keys:
-                mk, mr = merge_register_frames(np.asarray(keys, dtype=np.int64), regs,
-                                               _DCOUNT_P)
+            if frames:
+                tri = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+                nk, nr = registers_from_triples(
+                    tri["window_start_us"].to_numpy(dtype=np.int64),
+                    tri["reg_idx"].to_numpy(), tri["rank"].to_numpy(), _DCOUNT_P,
+                )
             else:
-                mk, mr = np.empty(0, dtype=np.int64), []
+                nk, nr = np.empty(0, dtype=np.int64), []
+            merged = dict(st.dcount)
+            for k, r in zip(nk, nr):
+                k = int(k)
+                prev = merged.get(k)
+                merged[k] = r if prev is None else np.maximum(
+                    np.frombuffer(prev, dtype=np.uint8),
+                    np.frombuffer(r, dtype=np.uint8),
+                ).tobytes()
+            mk = np.asarray(sorted(merged), dtype=np.int64)
             closed_m = np.ones(len(mk), dtype=bool) if flush else (mk + st.width_us) <= wm_us
-            st.dcount = {int(k): r for k, r, c in zip(mk, mr, closed_m) if not c}
+            st.dcount = {int(k): merged[int(k)] for k, c in zip(mk, closed_m) if not c}
             dcount_out = pd.DataFrame(
-                {"window_start_us": mk[closed_m].astype(np.int64),
-                 "__regs": [r for r, c in zip(mr, closed_m) if c]}
+                {"window_start_us": mk[closed_m],
+                 "__regs": [merged[int(k)] for k, c in zip(mk, closed_m) if c]}
             )
         else:
             dcount_out = pd.DataFrame(

@@ -370,16 +370,22 @@ class StreamingEngine:
                         "is_click": g["is_click"].to_numpy(dtype=bool),
                     }
                 )
-                # windowed distinct-conversation sketch partials: a
-                # batch of any size reduces to <= windows x 4 KiB
-                from dataflow_mm_ray.stages.sketch import hll_partials_by_group
+                # windowed distinct-conversation sketch updates ride as
+                # SPARSE (window, register, rank) triples — 5 bytes/row
+                # instead of a dense 4 KiB block per (window, batch);
+                # shards densify at finalize (same final registers:
+                # max over the same update multiset). The conv hash is
+                # shared with the apply-id digest below — one SipHash
+                # pass per batch-group.
+                from dataflow_mm_ray.hashing import stable_hash_array
+                from dataflow_mm_ray.stages.sketch import hll_triples_from_hashes
                 from dataflow_mm_ray.state.store import _DCOUNT_P
 
-                dk, dr = hll_partials_by_group(
-                    g["window_start_us"].to_numpy(), g["conv_id"].to_numpy(), _DCOUNT_P
-                )
+                ch = stable_hash_array(g["conv_id"].to_numpy())
+                d_idx, d_rank = hll_triples_from_hashes(ch, _DCOUNT_P)
                 dcount = pd.DataFrame(
-                    {"window_start_us": np.asarray(dk, dtype=np.int64), "__regs": dr}
+                    {"window_start_us": g["window_start_us"].to_numpy(dtype=np.int64),
+                     "reg_idx": d_idx, "rank": d_rank}
                 )
                 inv = g[(g["role"] == "assistant") & g["tool"].notna()]
                 tool = g[g["role"] == "tool"]
@@ -422,9 +428,6 @@ class StreamingEngine:
                 # ties by event_id), and dropping a legitimate block as
                 # a "replay" would silently lose data. Mixing matters
                 # too: plain column sums are linear ({1,4} vs {2,3}).
-                from dataflow_mm_ray.hashing import stable_hash_array
-
-                ch = stable_hash_array(g["conv_id"].to_numpy())
                 ts = g["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)
                 ti = g["turn_idx"].to_numpy(dtype=np.int64).view(np.uint64)
                 x = ch ^ (ts * np.uint64(0x9E3779B97F4A7C15)) ^ (
