@@ -621,17 +621,24 @@ _ASOF_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 @register(
     "asof_enrich",
     """
-SELECT 'conv-' || printf('%06d', user_id) AS conv_id,
-       CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
-       CAST(last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
-         AS prior_click_event_id,
-       last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_value
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WITH s AS (
+  SELECT 'conv-' || printf('%06d', user_id) AS conv_id,
+         CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         -- one struct per prior click so id and value always come from
+         -- the SAME row even when a click's value is NULL (a bare
+         -- last_value(...value... IGNORE NULLS) would skip back to an
+         -- earlier click's value while id still points at the later one)
+         last_value(CASE WHEN event_type = 'click'
+                         THEN {'id': event_id, 'v': value} END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT conv_id, turn_idx,
+       CAST(pc.id AS DOUBLE) AS prior_click_event_id,
+       CAST(pc.v AS DOUBLE) AS prior_click_value
+FROM s
 """,
 )
 def q_asof_enrich(sf_dir: str):

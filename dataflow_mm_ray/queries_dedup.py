@@ -15,6 +15,12 @@ KNN_K = 10
 KNN_KEEP_RATIO = 0.6
 NEARDUP_THRESHOLD = 0.4
 
+# ASCII punctuation (== Python string.punctuation) and the engine's
+# whitespace set as an explicit SQL character class (RE2 \s excludes
+# \v, so oracles never use bare \s — see stages/neardup.py)
+_NGRAM_PUNCT = r"[\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]"
+_NGRAM_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
 _EMB_CTE = """
 WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 """
@@ -117,6 +123,52 @@ def q_simhash_dedup(sf_dir: str):
     return neardup.simhash_dedup(sf_dir)
 
 
+_SIMHASH_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+    regexp_replace(trim(lower(regexp_replace(text, '{_NGRAM_PUNCT}', '', 'g')), {_NGRAM_WS}),
+                   '[' || {_NGRAM_WS} || ']+', ' ', 'g') AS nt
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM norm WHERE nt <> ''
+), wh AS (
+  SELECT doc_id, md5(w) AS h FROM words WHERE w <> ''
+), bits AS (
+  SELECT doc_id, j,
+    ((strpos('0123456789abcdef', substr(h, 16 - j // 4, 1)) - 1) >> (j % 4)) & 1 AS bit
+  FROM wh, unnest(range(0, 64)) AS t(j)
+), votes AS (
+  SELECT doc_id, j, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id,
+    sum(CASE WHEN v > 0 AND j < 16 THEN (1 << j) ELSE 0 END) AS b0,
+    sum(CASE WHEN v > 0 AND j >= 16 AND j < 32 THEN (1 << (j - 16)) ELSE 0 END) AS b1,
+    sum(CASE WHEN v > 0 AND j >= 32 AND j < 48 THEN (1 << (j - 32)) ELSE 0 END) AS b2,
+    sum(CASE WHEN v > 0 AND j >= 48 THEN (1 << (j - 48)) ELSE 0 END) AS b3
+  FROM votes GROUP BY doc_id
+), sigs AS (
+  SELECT d.doc_id, coalesce(b0, 0) AS b0, coalesce(b1, 0) AS b1,
+         coalesce(b2, 0) AS b2, coalesce(b3, 0) AS b3
+  FROM documents d LEFT JOIN bands USING (doc_id)
+), near AS (
+  SELECT a.doc_id AS hi FROM sigs a JOIN sigs b ON b.doc_id < a.doc_id
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+)
+SELECT doc_id, doc_id NOT IN (SELECT hi FROM near) AS keep FROM sigs
+"""
+
+
+@register("simhash_dedup_exact", _SIMHASH_SQL)
+def q_simhash_dedup_exact(sf_dir: str):
+    """The SimHash banded pipeline under a full SQL oracle: md5 word
+    hashes (SQL-recomputable) instead of SipHash, same sign-aggregated
+    signature, same 4x16-bit pigeonhole banding + first-wins merge
+    (stages/neardup.py banded_first_wins — exact for max_hamming <= 3,
+    which the oracle checks as a complete pairwise Hamming self-join)."""
+    return neardup.simhash_md5_dedup(sf_dir)
+
+
 @register("datatailor_select", None)  # SVD entropy: pytest-oracled math
 def q_datatailor_select(sf_dir: str):
     """DataTailor collaborative selection (datatailor_filter.py:169-373):
@@ -158,8 +210,6 @@ def q_embedding_srp_neardup(sf_dir: str):
     return neardup.embedding_srp_neardup(sf_dir)
 
 
-_NGRAM_PUNCT = r"[\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]"
-_NGRAM_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 NGRAM_JACCARD_THRESHOLD = 0.5
 
 
@@ -169,7 +219,7 @@ NGRAM_JACCARD_THRESHOLD = 0.5
 WITH norm AS (
   SELECT doc_id,
     regexp_replace(trim(lower(regexp_replace(text, '{_NGRAM_PUNCT}', '', 'g')), {_NGRAM_WS}),
-                   '\\s+', ' ', 'g') AS nt
+                   '[' || {_NGRAM_WS} || ']+', ' ', 'g') AS nt
   FROM documents
 ), words AS (
   SELECT doc_id, string_split(nt, ' ') AS ws FROM norm WHERE nt <> ''

@@ -92,6 +92,65 @@ class PromptedGenerator:
             return answers, errors
 
 
+class StubJudgeServing(ServingBackend):
+    """Deterministic Yes/No judge stub (the shape VLM judge backends
+    take in ``visual_grounding_refiner.py:122-128``): 'Yes, it is.' when
+    the first nibble of md5(system + prompt) is < 8, else 'No.' —
+    SQL-expressible, so refine pipelines keep a DuckDB oracle."""
+
+    def __init__(self, system_prompt: str = ""):
+        self.system_prompt = system_prompt
+
+    def generate(self, prompts: Sequence[str]) -> list[str]:
+        out = []
+        for p in prompts:
+            h = hashlib.md5((self.system_prompt + str(p)).encode("utf-8")).hexdigest()
+            out.append("Yes, it is." if int(h[0], 16) < 8 else "No.")
+        return out
+
+
+class StubMCQServing(ServingBackend):
+    """Deterministic MCQ stub: 'Answer: <letter>' with the letter chosen
+    by the first nibble of md5(system + prompt) mod n_letters — the
+    answer distribution a real VLM would produce, collapsed to a
+    SQL-expressible rule (``visual_dependency_refiner.py:166-183``)."""
+
+    def __init__(self, system_prompt: str = "", n_letters: int = 4):
+        self.system_prompt = system_prompt
+        self.n_letters = n_letters
+
+    def generate(self, prompts: Sequence[str]) -> list[str]:
+        out = []
+        for p in prompts:
+            h = hashlib.md5((self.system_prompt + str(p)).encode("utf-8")).hexdigest()
+            out.append("Answer: " + "ABCDEF"[int(h[0], 16) % self.n_letters])
+        return out
+
+
+class StubBBoxServing(ServingBackend):
+    """Deterministic visual-grounding stub (``vlm_bbox_generator.py:
+    134-141`` response shape): 'not found' when the first nibble of
+    md5(system + prompt) is 15, else one '(x1, y1), (x2, y2)' box whose
+    per-mille coordinates derive from hash nibbles 2-9 (each coordinate
+    ``(hi*16 + lo) * 3 / 1000`` — exactly reproducible in SQL)."""
+
+    def __init__(self, system_prompt: str = ""):
+        self.system_prompt = system_prompt
+
+    def generate(self, prompts: Sequence[str]) -> list[str]:
+        out = []
+        for p in prompts:
+            h = hashlib.md5((self.system_prompt + str(p)).encode("utf-8")).hexdigest()
+            if int(h[0], 16) == 15:
+                out.append("The object was not found in the image.")
+                continue
+            n = [(int(h[1 + 2 * k], 16) * 16 + int(h[2 + 2 * k], 16)) * 3 for k in range(4)]
+            out.append(
+                "(0.%03d, 0.%03d), (0.%03d, 0.%03d)" % (n[0], n[1], n[2], n[3])
+            )
+        return out
+
+
 def build_prompt(template: str, need_fields, join_list_with: str = "\n", **kwargs) -> str:
     """``NamedPlaceholderPromptTemplate.build_prompt``
     (``dataflow/prompts/prompt_template.py:20-57``): missing fields ->

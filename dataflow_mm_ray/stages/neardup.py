@@ -96,10 +96,12 @@ def shingle_sets_batch(texts, w: int = SHINGLE_W) -> list[np.ndarray]:
     pass per batch, then numpy window combines. Measured ~6x faster on
     the 1M-doc corpus, where shingling dominated the dedup pipelines.
 
-    Tokenization is ASCII-whitespace (``[ \\t\\n\\r\\f\\v]``) — exactly
-    the RE2 ``\\s`` semantics of the DuckDB SQL oracle, so keep
-    decisions agree on any input: non-ASCII whitespace (e.g. U+00A0)
-    stays word-internal on BOTH sides."""
+    Tokenization is ASCII-whitespace (``[ \\t\\n\\r\\f\\v]``). NOTE this
+    is wider than RE2 ``\\s`` (which excludes ``\\v``), so the DuckDB
+    oracles use an explicit character class including ``chr(11)`` —
+    never bare ``\\s`` — to match; with that, keep decisions agree on
+    any input: non-ASCII whitespace (e.g. U+00A0) stays word-internal
+    on BOTH sides."""
     import itertools
 
     s = pd.Series(texts, dtype=object)
@@ -635,6 +637,54 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
     signed = docs.map_batches(sign, batch_format="pandas", batch_size=512).materialize()
     return banded_first_wins(signed, max_hamming=max_hamming, max_bucket=max_bucket,
                              num_partitions=num_partitions)
+
+
+def simhash64_md5(text: str) -> np.uint64:
+    """``simhash64`` with an md5-derived word hash (first 16 hex chars
+    as a 64-bit value) instead of SipHash — identical sign-aggregation
+    semantics, but reproducible in SQL, so the banded pipeline gets a
+    full DuckDB oracle (``simhash_dedup_exact``). The SipHash path
+    stays the production default (vectorized, no per-word digest)."""
+    import hashlib
+
+    words = normalize_basic(text).split()
+    if not words:
+        return np.uint64(0)
+    hs = np.asarray(
+        [int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16) for w in words],
+        dtype=np.uint64,
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return sig
+
+
+def simhash_md5_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_partitions: int = 16):
+    """simhash_dedup over the md5 word-hash signature (SQL-oracled
+    twin); same banded 4x16 pigeonhole first-wins (exact for k <= 3)."""
+    from dataflow_mm_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, source, columns=[id_col, text_col])
+
+    def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.asarray(
+            [simhash64_md5(t if isinstance(t, str) else "") for t in batch[text_col]],
+            dtype=np.uint64,
+        )
+        return pd.DataFrame(
+            {"doc_id": batch[id_col].to_numpy().astype(np.int64),
+             "simhash": sigs.astype(np.int64)}
+        )
+
+    signed = docs.map_batches(sign, batch_format="pandas", batch_size=512).materialize()
+    out = banded_first_wins(signed, max_hamming=max_hamming, num_partitions=num_partitions)
+    return out.map_batches(lambda b: b[["doc_id", "keep"]], batch_format="pandas")
 
 
 def banded_first_wins(signed, max_hamming: int = 3, max_bucket: int = 4096,

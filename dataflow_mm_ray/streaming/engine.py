@@ -294,8 +294,12 @@ class StreamingEngine:
                     "role": b["role"].to_numpy(),
                     "tool": b["tool"].to_numpy(),
                     "ts_us": ts_us,
-                    "text_len": b["text"].str.len().to_numpy(dtype=np.int64),
-                    "is_click": b["text"].str.startswith("click ").to_numpy(dtype=bool),
+                    # NULL text contributes 0 chars / not-a-click (the
+                    # batch twins' SQL sums skip NULL lengths and a NULL
+                    # prefix test is falsy) — without the fills a NaN
+                    # would cast to an arbitrary int64 silently
+                    "text_len": b["text"].str.len().fillna(0).to_numpy(dtype=np.int64),
+                    "is_click": b["text"].str.startswith("click ").fillna(False).to_numpy(dtype=bool),
                 }
             )
             out["late"] = out["ts_us"] < wm_us

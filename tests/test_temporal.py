@@ -18,13 +18,17 @@ def _events(n=400, users=7, seed=3):
     # force some exact-tie timestamps (ordering must fall back to event_id)
     ts[1] = ts[0]
     ts[5] = ts[4]
+    value = rng.rand(n) * 100
+    # NULL values on some clicks: the enrichment must report the prior
+    # click's (id, NaN) pair, never skip back to an earlier click's value
+    value[rng.rand(n) < 0.25] = np.nan
     return pd.DataFrame(
         {
             "event_id": np.arange(n, dtype=np.int64),
             "ts": ts.astype("datetime64[us]"),
             "user_id": rng.randint(0, users, size=n).astype(np.int64),
             "event_type": rng.choice(["click", "error", "view"], size=n),
-            "value": rng.rand(n) * 100,
+            "value": value,
         }
     )
 
@@ -36,15 +40,16 @@ def _oracle(df, sql):
 
 
 ASOF_SQL = """
-SELECT user_id,
-       CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
-       CAST(last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE) AS pid,
-       last_value(CASE WHEN event_type='click' THEN value END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pval
-FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WITH s AS (
+  SELECT user_id,
+         CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         last_value(CASE WHEN event_type='click'
+                         THEN {'id': event_id, 'v': value} END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, turn_idx, CAST(pc.id AS DOUBLE) AS pid, CAST(pc.v AS DOUBLE) AS pval FROM s
 """
 
 RANGE_SQL = """
