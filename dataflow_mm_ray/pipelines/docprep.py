@@ -28,12 +28,18 @@ from dataflow_mm_ray.sources.tables import read_table
 
 
 def docprep_pipeline(sf_dir: str, neardup_threshold: float = 0.7,
-                     max_punct_ratio: float = 0.5, num_partitions: int = 16):
+                     max_punct_ratio: float = 0.5, num_partitions: int = 16,
+                     neardup: str = "minhash"):
+    """``neardup`` picks the near-dup stage: 'minhash' (the scale
+    default: banded LSH candidates + exact verify) or 'exact' (the
+    distributed inverted-index n-gram Jaccard path — same keep
+    semantics, no probabilistic candidate recall, fully SQL-oracled
+    as ``docprep_pipeline_exact``)."""
     from dataflow_mm_ray.functions.text_rules import rule_flags_batch
     from dataflow_mm_ray.functions.textstats import textstats_batch
     from dataflow_mm_ray.partition import hash_join
     from dataflow_mm_ray.stages.dedup import dedup_first_wins
-    from dataflow_mm_ray.stages.neardup import minhash_lsh_dedup
+    from dataflow_mm_ray.stages.neardup import minhash_lsh_dedup, ngram_jaccard_dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -45,6 +51,12 @@ def docprep_pipeline(sf_dir: str, neardup_threshold: float = 0.7,
                 {c: pd.Series([], dtype=d) for c, d in _ANNOT_SCHEMA.items()}
             )
         stats = textstats_batch(kept["text"])
+        # the repo-wide float convention (CLAUDE.md): ratio columns are
+        # rounded once at the producing stage, same as stages/
+        # text_analysis.text_stats, so any consumer (or oracle)
+        # compares identical doubles
+        for c in ("stopword_ratio", "punct_ratio"):
+            stats[c] = stats[c].round(6)
         out = pd.DataFrame(
             {
                 "doc_id": kept["doc_id"].to_numpy().astype(np.int64),
@@ -69,10 +81,16 @@ def docprep_pipeline(sf_dir: str, neardup_threshold: float = 0.7,
 
     # near-dup keep decisions over the exact-dedup survivors, then a
     # partitioned join to apply them (both sides keyed by doc_id)
-    keep = minhash_lsh_dedup(
-        sf_dir, threshold=neardup_threshold,
-        ds=exact_deduped, num_partitions=num_partitions,
-    )
+    if neardup == "exact":
+        keep = ngram_jaccard_dedup(
+            sf_dir, threshold=neardup_threshold,
+            ds=exact_deduped, num_partitions=num_partitions,
+        )
+    else:
+        keep = minhash_lsh_dedup(
+            sf_dir, threshold=neardup_threshold,
+            ds=exact_deduped, num_partitions=num_partitions,
+        )
 
     def keep_only(b: pd.DataFrame) -> pd.DataFrame:
         return b.loc[b["keep"].to_numpy(), ["doc_id"]] if len(b) else b[["doc_id"]]

@@ -201,6 +201,65 @@ def q_docprep_pipeline(sf_dir: str):
     return docprep_pipeline(sf_dir)
 
 
+def _docprep_exact_sql() -> str:
+    """The whole docprep chain as one composed oracle: the rule-filter
+    and textstats stage SQL builders (already individually oracled)
+    feed first-wins fingerprint dedup, then the exact n-gram Jaccard
+    near-dup at 0.7 over the survivors, then the punct-ratio cut."""
+    from dataflow_mm_ray.functions.text_rules_sql import rule_filter_sql
+    from dataflow_mm_ray.functions.textstats_sql import textstats_sql
+
+    return f"""
+WITH rf AS (SELECT doc_id, keep FROM ({rule_filter_sql(source="documents")}) ),
+ts AS (SELECT doc_id, norm_text, n_ws_tokens, punct_ratio, stopword_ratio, lang_pred, fingerprint
+       FROM ({textstats_sql(source="documents")}) ),
+ann AS (
+  SELECT d.doc_id, d.text, ts.norm_text, CAST(ts.n_ws_tokens AS BIGINT) AS n_tokens,
+         ts.punct_ratio, ts.stopword_ratio, ts.lang_pred, ts.fingerprint
+  FROM documents d JOIN rf USING (doc_id) JOIN ts USING (doc_id)
+  WHERE rf.keep
+), ex AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM ann
+), surv AS (SELECT doc_id, text, norm_text, n_tokens, punct_ratio, stopword_ratio, lang_pred
+            FROM ex WHERE rn = 1),
+nnorm AS (
+  SELECT doc_id,
+    regexp_replace(trim(lower(regexp_replace(text, '{_NGRAM_PUNCT}', '', 'g')), {_NGRAM_WS}),
+                   '[' || {_NGRAM_WS} || ']+', ' ', 'g') AS nt
+  FROM surv
+), nwords AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM nnorm WHERE nt <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_transform(range(1, len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sh
+    FROM nwords)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT hi FROM pairs JOIN sizes sa ON sa.doc_id = lo JOIN sizes sb ON sb.doc_id = hi
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7
+)
+SELECT doc_id, text, norm_text, n_tokens, punct_ratio, stopword_ratio, lang_pred
+FROM surv
+WHERE doc_id NOT IN (SELECT hi FROM near) AND punct_ratio <= 0.5
+"""
+
+
+@register("docprep_pipeline_exact", _docprep_exact_sql())
+def q_docprep_pipeline_exact(sf_dir: str):
+    """docprep with the exact n-gram-Jaccard near-dup stage — the whole
+    composed chain (rule filter -> annotate -> fingerprint dedup ->
+    exact near-dup -> quality cut) under ONE end-to-end SQL oracle."""
+    from dataflow_mm_ray.pipelines.docprep import docprep_pipeline
+
+    return docprep_pipeline(sf_dir, neardup="exact")
+
+
 @register("embedding_srp_neardup", None)  # LSH-probabilistic: pytest-pinned
 def q_embedding_srp_neardup(sf_dir: str):
     """Embedding-cosine near-dup SCALE path: sign-random-projection

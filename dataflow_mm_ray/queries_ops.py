@@ -301,8 +301,146 @@ def q_answer_reward_exact(sf_dir: str):
     return scored.map_batches(keep, batch_format="pandas")
 
 
-@register("answer_reward", None)  # WER/ROUGE branches: pytest-oracled
+_RW_WS = "' \t\n\r\f' || chr(11)"  # Python str.split() whitespace (ASCII)
+
+
+def _answer_reward_sql() -> str:
+    """Full-evaluator oracle incl. the WER and ROUGE branches:
+
+    - WER: word-level edit distance via ``levenshtein`` over sequences
+      char-mapped through the pair's word vocabulary (<= 12 words ->
+      one ASCII letter each), divided by max(1, len(ref));
+    - ROUGE-1/2: clipped n-gram counter intersections via grouped
+      joins; ROUGE-L: LCS by maximizing bit_count over all (ref mask,
+      hyp mask) subsequence pairs that extract equal word lists (every
+      sequence is <= 6 words, so <= 4096 mask pairs per row);
+    - float composition mirrors functions/rewards.py op-for-op
+      (2*p*r/(p+r), (r1+r2+rl)/3, clamp, round 6) so the doubles are
+      bit-equal.
+    """
+    return f"""
+WITH f0 AS (
+  SELECT doc_id,
+    ['multiple choice', 'numerical', 'OCR', 'free-form', 'regression'][(doc_id % 5) + 1] AS problem_type,
+    doc_id % 3 AS k,
+    list_filter(string_split_regex(text, '[' || {_RW_WS} || ']+'), w -> w <> '')[1:6] AS w6,
+    chr(65 + CAST(doc_id % 4 AS INTEGER)) AS mc_gt,
+    chr(65 + CAST((doc_id + 1) % 4 AS INTEGER)) AS mc_alt,
+    CAST(doc_id % 1000 AS VARCHAR) AS numbase,
+    CAST((doc_id % 100 + 1) * 10 AS VARCHAR) AS reg_gt,
+    CAST((doc_id % 100 + 1) * 11 AS VARCHAR) AS reg_alt
+  FROM documents
+), fx AS (
+  SELECT doc_id, problem_type, k, w6,
+    CASE problem_type
+      WHEN 'multiple choice' THEN mc_gt
+      WHEN 'numerical' THEN numbase || '.25'
+      WHEN 'regression' THEN reg_gt
+      ELSE coalesce(array_to_string(w6, ' '), '')
+    END AS gt_ans,
+    CASE problem_type
+      WHEN 'multiple choice' THEN CASE WHEN k = 0 THEN mc_gt ELSE mc_alt END
+      WHEN 'numerical' THEN CASE k WHEN 0 THEN numbase || '.25' WHEN 1 THEN numbase || '.254' ELSE numbase || '.26' END
+      WHEN 'regression' THEN CASE WHEN k = 0 THEN reg_gt ELSE reg_alt END
+      WHEN 'OCR' THEN CASE k WHEN 0 THEN coalesce(array_to_string(w6, ' '), '')
+                             WHEN 1 THEN coalesce(array_to_string(list_slice(w6, 1, greatest(len(w6) - 1, 0)), ' '), '')
+                             ELSE coalesce(array_to_string(list_reverse(w6), ' '), '') END
+      ELSE CASE k WHEN 0 THEN coalesce(array_to_string(w6, ' '), '')
+                  WHEN 1 THEN coalesce(array_to_string(list_slice(w6, 1, greatest(len(w6) - 2, 0)), ' '), '')
+                  ELSE 'completely different answer text' END
+    END AS out_ans
+  FROM f0
+), seqs AS (
+  SELECT doc_id, problem_type, gt_ans, out_ans,
+    list_filter(string_split_regex(gt_ans, '[' || {_RW_WS} || ']+'), w -> w <> '') AS ref,
+    list_filter(string_split_regex(out_ans, '[' || {_RW_WS} || ']+'), w -> w <> '') AS hyp
+  FROM fx
+), wer AS (
+  SELECT doc_id,
+    CAST(levenshtein(
+      coalesce(array_to_string(list_transform(ref, w -> chr(64 + list_position(list_distinct(ref || hyp), w))), ''), ''),
+      coalesce(array_to_string(list_transform(hyp, w -> chr(64 + list_position(list_distinct(ref || hyp), w))), ''), '')
+    ) AS DOUBLE) / greatest(1, len(ref)) AS wv
+  FROM seqs WHERE problem_type = 'OCR'
+), ug AS (
+  SELECT doc_id, side, g, count(*) AS c FROM (
+    SELECT doc_id, 'r' AS side, unnest(ref) AS g FROM seqs WHERE problem_type = 'free-form'
+    UNION ALL
+    SELECT doc_id, 'h' AS side, unnest(hyp) AS g FROM seqs WHERE problem_type = 'free-form'
+  ) GROUP BY 1, 2, 3
+), bg AS (
+  SELECT doc_id, side, g, count(*) AS c FROM (
+    SELECT doc_id, 'r' AS side,
+           unnest(list_transform(range(1, len(ref)), i -> ref[i] || chr(31) || ref[i + 1])) AS g
+    FROM seqs WHERE problem_type = 'free-form'
+    UNION ALL
+    SELECT doc_id, 'h' AS side,
+           unnest(list_transform(range(1, len(hyp)), i -> hyp[i] || chr(31) || hyp[i + 1])) AS g
+    FROM seqs WHERE problem_type = 'free-form'
+  ) GROUP BY 1, 2, 3
+), m1 AS (
+  SELECT a.doc_id, sum(least(a.c, b.c)) AS m
+  FROM (SELECT * FROM ug WHERE side = 'r') a
+  JOIN (SELECT * FROM ug WHERE side = 'h') b USING (doc_id, g) GROUP BY 1
+), m2 AS (
+  SELECT a.doc_id, sum(least(a.c, b.c)) AS m
+  FROM (SELECT * FROM bg WHERE side = 'r') a
+  JOIN (SELECT * FROM bg WHERE side = 'h') b USING (doc_id, g) GROUP BY 1
+), lcs AS (
+  SELECT s.doc_id, max(bit_count(ma)) AS l
+  FROM seqs s,
+       unnest(range(0, 1 << len(s.ref))) AS ta(ma),
+       unnest(range(0, 1 << len(s.hyp))) AS tb(mb)
+  WHERE s.problem_type = 'free-form'
+    AND list_transform(list_filter(range(1, len(s.ref) + 1), i -> ((ma >> (i - 1)) & 1) = 1), i -> s.ref[i])
+      = list_transform(list_filter(range(1, len(s.hyp) + 1), i -> ((mb >> (i - 1)) & 1) = 1), i -> s.hyp[i])
+  GROUP BY 1
+), rouge AS (
+  SELECT s.doc_id,
+    CASE WHEN len(s.ref) = 0 OR len(s.hyp) = 0 THEN 0.0 ELSE (
+      CASE WHEN coalesce(m1.m, 0) = 0 THEN 0.0
+           ELSE 2 * (CAST(m1.m AS DOUBLE) / len(s.hyp)) * (CAST(m1.m AS DOUBLE) / len(s.ref))
+                / ((CAST(m1.m AS DOUBLE) / len(s.hyp)) + (CAST(m1.m AS DOUBLE) / len(s.ref))) END
+      +
+      CASE WHEN len(s.ref) < 2 OR len(s.hyp) < 2 OR coalesce(m2.m, 0) = 0 THEN 0.0
+           ELSE 2 * (CAST(m2.m AS DOUBLE) / (len(s.hyp) - 1)) * (CAST(m2.m AS DOUBLE) / (len(s.ref) - 1))
+                / ((CAST(m2.m AS DOUBLE) / (len(s.hyp) - 1)) + (CAST(m2.m AS DOUBLE) / (len(s.ref) - 1))) END
+      +
+      CASE WHEN coalesce(lcs.l, 0) = 0 THEN 0.0
+           ELSE 2 * (CAST(lcs.l AS DOUBLE) / len(s.hyp)) * (CAST(lcs.l AS DOUBLE) / len(s.ref))
+                / ((CAST(lcs.l AS DOUBLE) / len(s.hyp)) + (CAST(lcs.l AS DOUBLE) / len(s.ref))) END
+    ) / 3 END AS rv
+  FROM seqs s LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id) LEFT JOIN lcs USING (doc_id)
+  WHERE s.problem_type = 'free-form'
+)
+SELECT s.doc_id, s.problem_type,
+  '<answer>' || s.gt_ans || '</answer>' AS solution,
+  '<answer>' || s.out_ans || '</answer>' AS model_output,
+  round(CASE s.problem_type
+    WHEN 'multiple choice' THEN CASE WHEN s.out_ans = s.gt_ans THEN 1.0 ELSE 0.0 END
+    WHEN 'numerical' THEN CASE
+        WHEN (contains(s.gt_ans, '.') OR contains(s.gt_ans, ',')) <> (contains(s.out_ans, '.') OR contains(s.out_ans, ','))
+          THEN 0.0
+        WHEN round(CAST(replace(s.gt_ans, ',', '') AS DOUBLE), 2) = round(CAST(replace(s.out_ans, ',', '') AS DOUBLE), 2)
+          THEN 1.0 ELSE 0.0 END
+    WHEN 'regression' THEN
+        1 - least(1.0, greatest(0.0,
+            (abs(CAST(s.out_ans AS DOUBLE) - CAST(s.gt_ans AS DOUBLE)) + 1e-9)
+            / (abs(CAST(s.gt_ans AS DOUBLE)) + 1e-9)))
+    WHEN 'OCR' THEN greatest(0.0, least(1.0, 1 - wer.wv))
+    ELSE greatest(0.0, least(1.0, rouge.rv))
+  END, 6) AS reward
+FROM seqs s LEFT JOIN wer USING (doc_id) LEFT JOIN rouge USING (doc_id)
+"""
+
+
+@register("answer_reward", _answer_reward_sql())
 def q_answer_reward(sf_dir: str):
+    """GeneralTextAnswerEvaluator, ALL five branches under one SQL
+    oracle (general_text_answer_evaluator.py:152-206): the WER branch
+    oracled as char-mapped levenshtein, ROUGE-1/2 as clipped gram
+    joins, ROUGE-L as a mask-enumeration LCS (see _answer_reward_sql).
+    """
     from dataflow_mm_ray.stages.rewards import derive_eval_fixture, reward_eval
 
     fixture = _documents(sf_dir).map_batches(derive_eval_fixture, batch_format="pandas")

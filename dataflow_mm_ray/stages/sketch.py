@@ -171,3 +171,47 @@ def approx_distinct(ds, group_col: str, value_col: str, p: int = HLL_P,
         )
 
     return partition_map(part, group_col, merge, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracle-exact HLL twin (md5 hashes + exact-integer register sum)
+# ---------------------------------------------------------------------------
+
+def md5_hash64(values: np.ndarray) -> np.ndarray:
+    """64-bit hashes from the first 16 hex chars of md5(str(v)) —
+    SQL-recomputable stand-in for SipHash, used only by the oracled
+    sketch twin (the SipHash path stays the production default: one
+    vectorized pass, no per-value digest)."""
+    import hashlib
+
+    return np.asarray(
+        [int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:16], 16) for v in values],
+        dtype=np.uint64,
+    )
+
+
+def hll_estimate_sqlexact(regs: np.ndarray) -> int:
+    """``hll_estimate`` with the register sum carried as an EXACT
+    integer (sum of 2^(51-reg), reg <= 51) before one float division —
+    the same double DuckDB computes from HUGEINT, so the estimate is
+    bit-reproducible in SQL (numpy's pairwise float sum is not).
+    Differs from hll_estimate by <= 1 ulp of the harmonic mean; int()
+    truncation like the paper's floor."""
+    import math
+
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    counts = np.bincount(regs.astype(np.int64), minlength=52)
+    s = 0
+    for r in range(52):
+        c = int(counts[r])
+        if c:
+            s += c << (51 - r)
+    e = (alpha * m * m) / (float(s) * 2.0 ** -51)
+    if e <= 2.5 * m:
+        zeros = int(counts[0])
+        if zeros:
+            e = m * math.log(m / zeros)
+    elif e > (1 << 64) / 30.0:
+        e = -(2.0 ** 64) * math.log1p(-e / 2.0 ** 64)
+    return int(e)
