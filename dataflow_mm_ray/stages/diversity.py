@@ -37,30 +37,77 @@ def _cosine(a: dict[str, float], b: dict[str, float]) -> float:
     return dot / (na * nb) if na and nb else 0.0
 
 
+class _KeptIndex:
+    """Inverted index over the kept cache for vectorized cosine: word ->
+    (vec ids, counts). TF counts are INTEGERS, so every dot product is
+    an exact integer in float64 no matter the accumulation order — the
+    vectorized scan returns bit-identical cosines (and therefore keep
+    decisions) to the per-pair dict loop it replaces."""
+
+    def __init__(self):
+        self.postings: dict[str, tuple[list, list]] = {}
+        self.norms: list[float] = []
+
+    def __len__(self):
+        return len(self.norms)
+
+    def add(self, terms: dict[str, int]) -> None:
+        vid = len(self.norms)
+        for w, v in terms.items():
+            p = self.postings.get(w)
+            if p is None:
+                p = ([], [])
+                self.postings[w] = p
+            p[0].append(vid)
+            p[1].append(float(v))
+        self.norms.append(float(np.sqrt(sum(v * v for v in terms.values()))))
+
+    def max_cosine_exceeds(self, terms: dict[str, int], threshold: float) -> bool:
+        n = len(self.norms)
+        if not n or not terms:
+            return False
+        na = float(np.sqrt(sum(v * v for v in terms.values())))
+        if not na:
+            return False
+        dots = np.zeros(n, dtype=np.float64)
+        for w, v in terms.items():
+            p = self.postings.get(w)
+            if p is not None:
+                # vec ids are unique within a posting list: fancy += safe
+                dots[np.asarray(p[0], dtype=np.int64)] += v * np.asarray(p[1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # a cached vector with zero norm yields 0/0 = NaN here and
+            # 0.0 in the scalar _cosine — both compare False vs threshold
+            sims = dots / (na * np.asarray(self.norms))
+        return bool((sims >= threshold).any())
+
+
 def diversity_filter(ds, id_col: str = "doc_id", text_col: str = "text",
                      threshold: float = 0.8, max_cache: int = 10_000) -> pd.DataFrame:
     """Returns (id, keep) under the sequential first-wins scan.
 
     TF weighting only (the reference fits TF-IDF incrementally on the
     kept cache; with the cache-reset behavior the engine uses plain TF
-    cosine — the order/threshold semantics are identical)."""
+    cosine — the order/threshold semantics are identical).
+
+    Memory is bounded: term vectors are built distributed, the Dataset
+    is sorted by id, and the driver consumes it one batch at a time
+    (``iter_batches``) holding only the current batch plus the
+    ``max_cache``-capped kept index — never the whole corpus."""
 
     def vecs(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[id_col]].copy(deep=False)
         out["__terms"] = [_term_counts(t if isinstance(t, str) else "") for t in batch[text_col]]
         return out
 
-    collected = ds.map_batches(vecs, batch_format="pandas").to_pandas()
-    collected = collected.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-    kept_vecs: list[dict] = []
-    keep = np.zeros(len(collected), dtype=bool)
-    for i, terms in enumerate(collected["__terms"]):
-        ok = True
-        for kv in kept_vecs:
-            if _cosine(terms, kv) >= threshold:
-                ok = False
-                break
-        keep[i] = ok
-        if ok and len(kept_vecs) < max_cache:
-            kept_vecs.append(terms)
-    return pd.DataFrame({id_col: collected[id_col].to_numpy(), "keep": keep})
+    vec_ds = ds.map_batches(vecs, batch_format="pandas").sort(id_col)
+    kept = _KeptIndex()
+    ids, keeps = [], []
+    for batch in vec_ds.iter_batches(batch_size=4096, batch_format="pandas"):
+        for rid, terms in zip(batch[id_col].to_numpy(), batch["__terms"]):
+            ok = not kept.max_cosine_exceeds(terms, threshold)
+            ids.append(rid)
+            keeps.append(ok)
+            if ok and len(kept) < max_cache:
+                kept.add(terms)
+    return pd.DataFrame({id_col: np.asarray(ids), "keep": np.asarray(keeps, dtype=bool)})

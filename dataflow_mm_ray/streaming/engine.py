@@ -343,6 +343,9 @@ class StreamingEngine:
         # (idempotence under intra-epoch task retry, not just
         # commutativity).
         shards = self.shards
+        out_dir = self.out_dir
+
+        from dataflow_mm_ray.hashing import stable_hash_array
 
         def apply_and_collect(b: pd.DataFrame) -> pd.DataFrame:
             if not len(b):
@@ -381,7 +384,6 @@ class StreamingEngine:
                 # max over the same update multiset). The conv hash is
                 # shared with the apply-id digest below — one SipHash
                 # pass per batch-group.
-                from dataflow_mm_ray.hashing import stable_hash_array
                 from dataflow_mm_ray.stages.sketch import hll_triples_from_hashes
                 from dataflow_mm_ray.state.store import _DCOUNT_P
 
@@ -450,29 +452,55 @@ class StreamingEngine:
                     )
                 )
             ray.get(refs)  # barrier within the task: applies land before it reports
-            out = late_b.drop(
-                columns=["late", "shard", "window_start_us", "text_len", "is_click"]
-            ).copy()
-            out["__applied"] = np.int64(0)
-            out["__max_ts"] = np.int64(0)
-            out["__ctr"] = False
-            # per-task counter rides a dedicated marker column — never a
-            # magic conv_id that could collide with real input keys
-            head = pd.DataFrame(
+            # late rows are STAGED by this task (never shipped to the
+            # driver — at 100x disorder a tight watermark makes them
+            # big): deterministic content-derived file name, atomic
+            # tmp+rename, fsync — a retried task overwrites the same
+            # path with identical bytes, so commit_files never
+            # double-counts
+            late_file, late_rows = "", np.int64(0)
+            if len(late_b):
+                out = late_b.drop(
+                    columns=["late", "shard", "window_start_us", "text_len", "is_click"]
+                ).reset_index(drop=True)
+                lh = stable_hash_array(out["conv_id"].to_numpy())
+                lts = out["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)
+                lti = out["turn_idx"].to_numpy(dtype=np.int64).view(np.uint64)
+                lx = lh ^ (lts * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                    lti + np.uint64(0x94D049BB133111EB)
+                )
+                lx ^= lx >> np.uint64(30)
+                lx *= np.uint64(0xBF58476D1CE4E5B9)
+                lx ^= lx >> np.uint64(31)
+                digest = int(np.bitwise_xor.reduce(lx))
+                stage_dir = os.path.join(out_dir, "staging", "late", f"epoch={epoch}")
+                os.makedirs(stage_dir, exist_ok=True)
+                path = os.path.join(
+                    stage_dir, f"part-{len(out)}-{digest:016x}.parquet"
+                )
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                from dataflow_mm_ray.fsutil import fsync_file_and_dir
+
+                tmp = path + f".tmp-{os.getpid()}"
+                pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+                os.replace(tmp, path)
+                fsync_file_and_dir(path)
+                late_file = os.path.relpath(path, out_dir)
+                late_rows = np.int64(len(out))
+            return pd.DataFrame(
                 {
-                    "conv_id": [""], "turn_idx": [np.int32(-1)], "role": [""],
-                    "tool": [None],
-                    "ts_us": [np.int64(0)],
                     "__applied": [np.int64(len(cur_b))],
                     "__max_ts": [np.int64(cur_b["ts_us"].max()) if len(cur_b) else np.int64(-(1 << 62))],
-                    "__ctr": [True],
+                    "late_file": [late_file],
+                    "late_rows": [late_rows],
                 }
             )
-            return pd.concat([head, out], ignore_index=True)
 
-        collected = extracted.map_batches(apply_and_collect, batch_format="pandas").to_pandas()
-        counters = collected[collected["__ctr"]]
-        late = collected[~collected["__ctr"]].drop(columns=["__applied", "__max_ts", "__ctr"])
+        counters = extracted.map_batches(apply_and_collect, batch_format="pandas").to_pandas()
+        late_files = [f for f in counters["late_file"] if f]
+        n_late = int(counters["late_rows"].sum())
         n_applied = int(counters["__applied"].sum())
 
         # advance watermark (pure function of data seen)
@@ -522,11 +550,13 @@ class StreamingEngine:
             )
         emitted_counts["wdistinct"] = int(len(wd))
         self.sink.stage_and_commit("wdistinct", epoch, wd, self.watermark_us)
-        self.sink.stage_and_commit("late", epoch, late.reset_index(drop=True), self.watermark_us)
+        # late rows were staged by the map tasks (distributed, like the
+        # six shard-staged streams); the driver commits the manifest only
+        self.sink.commit_files("late", epoch, late_files, n_late, self.watermark_us)
         self._record_metrics(epoch, {
             "epoch": epoch,
-            "input_rows": int(n_applied + len(late)),
-            "late_rows": int(len(late)),
+            "input_rows": int(n_applied + n_late),
+            "late_rows": n_late,
             "applied_rows": n_applied,
             "emitted": emitted_counts,
             "watermark_us": int(self.watermark_us),
@@ -569,7 +599,15 @@ class StreamingEngine:
 
     # -- results -----------------------------------------------------------
     def results(self) -> dict[str, pd.DataFrame]:
+        """Driver-side pandas results (test/verification convenience)."""
         return {s: self.sink.read_committed(s) for s in STREAMS}
+
+    def results_ds(self) -> dict:
+        """Committed outputs as lazy Datasets (manifest-listed
+        ``read_parquet``) — the consumer path that never funnels rows
+        through the driver. Streams with no committed files map to
+        None."""
+        return {s: self.sink.read_committed_ds(s) for s in STREAMS}
 
 
 _EXTRACT_SCHEMA = {
@@ -586,12 +624,8 @@ _EXTRACT_SCHEMA = {
 }
 
 _APPLY_OUT_SCHEMA = {
-    "conv_id": object,
-    "turn_idx": np.int32,
-    "role": object,
-    "tool": object,
-    "ts_us": np.int64,
     "__applied": np.int64,
     "__max_ts": np.int64,
-    "__ctr": bool,
+    "late_file": object,
+    "late_rows": np.int64,
 }

@@ -102,14 +102,33 @@ class EpochSink:
                 out.append(int(name[len("epoch-") : -len(".json")]))
         return sorted(out)
 
-    def read_committed(self, stream: str) -> pd.DataFrame:
-        """Union of manifest-listed files only (never stray staging)."""
-        frames = []
+    def committed_files(self, stream: str) -> list[str]:
+        """Absolute paths of every manifest-listed file, commit order."""
+        out = []
         for epoch in self.committed_epochs(stream):
             with open(self._manifest_path(stream, epoch)) as f:
                 manifest = json.load(f)
-            for rel in manifest["files"]:
-                frames.append(pq.read_table(os.path.join(self.out_dir, rel)).to_pandas())
+            out.extend(os.path.join(self.out_dir, rel) for rel in manifest["files"])
+        return out
+
+    def read_committed(self, stream: str) -> pd.DataFrame:
+        """Union of manifest-listed files only (never stray staging).
+
+        Driver-side pandas — a test/verification convenience for small
+        results; scale consumers use ``read_committed_ds``."""
+        frames = [pq.read_table(p).to_pandas() for p in self.committed_files(stream)]
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)
+
+    def read_committed_ds(self, stream: str):
+        """The scale reader: a lazy ``ray.data.Dataset`` over exactly
+        the manifest-listed files — committed rows stream through
+        downstream stages without ever landing on the driver. Returns
+        None when no epoch has committed any file yet."""
+        import ray.data as rd
+
+        files = self.committed_files(stream)
+        if not files:
+            return None
+        return rd.read_parquet(files)

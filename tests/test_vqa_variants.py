@@ -190,3 +190,28 @@ def test_mathgen_reference_formatting():
         | cplx["question"].str.contains("minimum value")
         | cplx["question"].str.contains("monotonically")
     ).all()
+
+
+def test_kept_index_matches_scalar_cosine():
+    """The vectorized diversity scan must reproduce the per-pair
+    _cosine loop bit-for-bit (integer TF dots are exact in float64)."""
+    import random
+
+    from dataflow_mm_ray.stages.diversity import _KeptIndex, _cosine, _term_counts
+
+    random.seed(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [
+        " ".join(random.choice(vocab) for _ in range(random.randint(0, 12)))
+        for _ in range(120)
+    ]
+    idx = _KeptIndex()
+    cache = []
+    for t in texts:
+        terms = _term_counts(t)
+        want = any(_cosine(terms, kv) >= 0.8 for kv in cache)
+        got = idx.max_cosine_exceeds(terms, 0.8)
+        assert got == want, (t, got, want)
+        if not want and len(cache) < 40:
+            cache.append(terms)
+            idx.add(terms)
