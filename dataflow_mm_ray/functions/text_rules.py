@@ -154,13 +154,129 @@ def rule_flags(text: str) -> list[bool]:
     ]
 
 
+def _heavy_regex_batch(clean: list[str]):
+    """The four expensive scans (ID-card count, HTML entity, special
+    chars, watermark) for a whole batch in ONE vectorized DuckDB/RE2
+    pass — the same pattern strings the SQL oracle runs, so batch
+    results match the oracle by construction. ~5x over Python re on
+    these alternation-heavy patterns (they dominated the rule_filter
+    stage in BENCH_r02). Python re and RE2 agree on them except inside
+    ``\\s{{0,10}}`` gaps containing \\v or non-ASCII whitespace (the
+    repo-wide documented whitespace caveat). Returns None when DuckDB
+    is unavailable (callers fall back to the per-row scalar kernel)."""
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover - duckdb is a baked-in dep
+        return None
+    from dataflow_mm_ray.functions.text_rules_sql import (
+        _HTML_PATTERN,
+        _ID_PATTERN,
+        _SPECIAL_PATTERN,
+    )
+
+    df_in = pd.DataFrame({"t": clean})
+    return duckdb.execute(
+        f"""
+SELECT length(regexp_extract_all(t, '{_ID_PATTERN}', 0, 'i')) AS idc,
+       regexp_matches(t, '{_HTML_PATTERN}') AS html,
+       regexp_matches(t, '{_SPECIAL_PATTERN}') AS special,
+       regexp_matches(t, 'Copyright|Watermark|Confidential') AS water
+FROM df_in
+"""
+    ).df()
+
+
+def _rule_flags_light(text: str, n_id: int, r_html: bool, r_special: bool,
+                      r_water: bool) -> list[bool]:
+    """``rule_flags`` with the four heavy regex results precomputed
+    (``_heavy_regex_batch``); everything else identical."""
+    if not text or not text.strip():
+        return [True] + [False] * 15
+
+    words = text.split()
+    num_words = len(words)
+    lines = _lines(text)
+    num_lines = len(lines)
+
+    r_colon = text.endswith(":")
+
+    r_ellipsis = False
+    if num_lines > 0:
+        ell = sum(ln.rstrip().endswith(("...", "…")) for ln in lines)
+        r_ellipsis = ell / num_lines >= ELLIPSIS_THRESHOLD
+
+    r_mwl = False
+    if num_words > 0:
+        mean_len = sum(map(len, words)) / num_words
+        r_mwl = mean_len < MEAN_WORD_LEN_MIN or mean_len >= MEAN_WORD_LEN_MAX
+
+    r_sym = False
+    if num_words > 0:
+        n_sym = float(text.count("#") + text.count("...") + text.count("…"))
+        r_sym = n_sym / num_words >= SYMBOL_WORD_RATIO
+
+    r_id = n_id >= ID_CARD_THRESHOLD
+
+    max_words = 0
+    for sent in _SENT_SPLIT_RE.split(text):
+        wc = len(sent.split())
+        if wc > max_words:
+            max_words = wc
+    r_nopunct = max_words > NO_PUNC_THRESHOLD
+
+    r_curly = (text.count("{") + text.count("}")) / len(text) >= CURLY_BRACKET_THRESHOLD
+
+    r_caps = False
+    if num_words > 0:
+        n_caps = sum(map(str.isupper, words))
+        r_caps = n_caps / num_words > CAPITAL_WORDS_THRESHOLD
+
+    lorem_count = text.lower().count("lorem ipsum")
+    r_lorem = lorem_count / len(text) > LOREM_IPSUM_THRESHOLD
+
+    r_unique = False
+    if num_words > 0:
+        lower_words = text.lower().split()
+        r_unique = len(set(lower_words)) / len(lower_words) <= UNIQUE_WORDS_THRESHOLD
+
+    r_bullet = False
+    if num_lines > 0:
+        nb = sum(ln.lstrip().startswith(BULLET_CHARS) for ln in lines)
+        r_bullet = nb / num_lines > BULLETPOINT_THRESHOLD
+
+    r_js = False
+    norm_lines = [n for n in (_normalize(ln) for ln in lines) if n.strip()]
+    if norm_lines:
+        n = len(norm_lines)
+        js = sum("javascript" in ln for ln in norm_lines)
+        r_js = not (n <= 3 or (n - js) >= JAVASCRIPT_THRESHOLD)
+
+    return [
+        False, r_colon, r_ellipsis, r_mwl, r_sym, bool(r_html), r_id, r_nopunct,
+        bool(r_special), bool(r_water), r_curly, r_caps, r_lorem, r_unique,
+        r_bullet, r_js,
+    ]
+
+
 def rule_flags_batch(texts) -> pd.DataFrame:
-    """Batch kernel: one bool column per rule + ``keep``. Regexes are
-    compiled once at import; the per-row body is pure C-regex work."""
+    """Batch kernel: one bool column per rule + ``keep``. The four
+    alternation-heavy regexes run as ONE vectorized DuckDB/RE2 pass
+    over the batch (the same pattern strings as the SQL oracle); the
+    remaining rules are cheap C-regex/str work per row."""
     n = len(texts)
+    clean = [t if isinstance(t, str) else "" for t in texts]
+    heavy = _heavy_regex_batch(clean)
     mat = np.empty((n, len(RULE_NAMES)), dtype=bool)
-    for i, t in enumerate(texts):
-        mat[i] = rule_flags(t if isinstance(t, str) else "")
+    if heavy is None:
+        for i, t in enumerate(clean):
+            mat[i] = rule_flags(t)
+    else:
+        idc = heavy["idc"].to_numpy()
+        html = heavy["html"].to_numpy()
+        special = heavy["special"].to_numpy()
+        water = heavy["water"].to_numpy()
+        for i, t in enumerate(clean):
+            mat[i] = _rule_flags_light(t, int(idc[i]), html[i], special[i], water[i])
     df = pd.DataFrame(mat, columns=RULE_NAMES)
     df["keep"] = ~mat.any(axis=1)
     return df
