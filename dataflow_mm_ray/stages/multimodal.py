@@ -63,6 +63,37 @@ def _stub_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
     return ((base.astype(np.int32) + wave) // 2).astype(np.uint8)
 
 
+def decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL decode for RIFF/WAV payloads via the stdlib ``wave`` module
+    (the dependency-free slice of the reference's librosa loaders,
+    ``dataflow/utils/audio.py:15-33``; like their ``DEFAULT_SR = None``
+    no resampling happens): PCM 16/32-bit or 8-bit unsigned -> float32
+    in [-1, 1), channels mean-mixed to mono. None on any parse failure
+    (callers quarantine, like the reference's None rows)."""
+    import io
+    import wave as wavmod
+
+    try:
+        with wavmod.open(io.BytesIO(data)) as w:
+            sr = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif width == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            return None
+        if n_ch > 1:
+            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return x.astype(np.float32), sr
+    except Exception:
+        return None
+
+
 def _stub_decode_audio(data: bytes, sr: int = 16000, seconds: float = 4.0) -> np.ndarray:
     """STUB: deterministic waveform with speech-like energy bursts."""
     seed = int.from_bytes(hashlib.md5(data).digest()[:4], "little")
@@ -101,8 +132,20 @@ class ImageDecoder:
     def _decode(self, data: bytes) -> np.ndarray | None:
         if data is None or len(data) == 0:
             return None  # quarantined by caller (utils.py:27-50 returns None)
-        if self._real:  # pragma: no cover
-            raise NotImplementedError("real decode path requires PIL")
+        if self._real:  # pragma: no cover - PIL absent in this container
+            # the reference's _load_image (utils.py:27-50): bytes ->
+            # RGB PIL image, None on any failure; the stats layout here
+            # is single-channel, so luminance + fixed resize follow
+            import io
+
+            from PIL import Image
+
+            try:
+                img = Image.open(io.BytesIO(data)).convert("RGB")
+            except Exception:
+                return None
+            img = img.convert("L").resize((self.width, self.height))
+            return np.asarray(img, dtype=np.uint8)
         return _stub_decode_image(data, self.width, self.height)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -259,8 +302,23 @@ class AudioVAD:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         starts, ends, counts = [], [], []
         for data in batch[self.audio_col]:
-            wave = _stub_decode_audio(data, self.sr)
-            segs = vad_segments(self._frame_probs(wave), self.frame_s, **self.params)
+            # REAL decode for RIFF/WAV payloads (stdlib, no resample);
+            # synthetic non-WAV payloads keep the deterministic stub
+            sr = self.sr
+            if isinstance(data, bytes) and data[:4] == b"RIFF":
+                decoded = decode_wav_bytes(data)
+            else:
+                decoded = None
+            if decoded is not None:
+                wave, sr = decoded
+                n = int(sr * self.frame_s)
+                usable = len(wave) - len(wave) % n
+                frames = wave[:usable].reshape(-1, n) if usable else wave[:0].reshape(0, n)
+                probs = np.clip(np.sqrt((frames**2).mean(axis=1)) / 0.2, 0, 1)
+            else:
+                wave = _stub_decode_audio(data, self.sr)
+                probs = self._frame_probs(wave)
+            segs = vad_segments(probs, self.frame_s, **self.params)
             starts.append(np.asarray([s for s, _ in segs], dtype=np.float64))
             ends.append(np.asarray([e for _, e in segs], dtype=np.float64))
             counts.append(len(segs))

@@ -138,3 +138,77 @@ def test_media_sideeffect_sink_atomic_idempotent(ray_session, tmp_path):
     assert list(again["path"]) == list(out["path"])
     # no stray temp files
     assert all(not p.endswith(".tmp") for p in os.listdir(tmp_path / "media"))
+
+
+def test_real_wav_decode_drives_vad():
+    """The REAL decode path: a PCM WAV built with the stdlib wave module
+    (speech burst then silence) must decode to its true samples and
+    produce a VAD segment covering the burst."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+    import pandas as pd
+
+    from dataflow_mm_ray.stages.multimodal import AudioVAD, decode_wav_bytes
+
+    sr = 16000
+    t = np.arange(sr * 2, dtype=np.float64) / sr
+    sig = np.where(t < 1.0, 0.5 * np.sin(2 * np.pi * 220 * t), 0.0)
+    pcm = (sig * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    data = buf.getvalue()
+
+    decoded = decode_wav_bytes(data)
+    assert decoded is not None
+    wave_arr, got_sr = decoded
+    assert got_sr == sr and len(wave_arr) == sr * 2
+    np.testing.assert_allclose(wave_arr[:100], pcm[:100] / 32768.0, atol=1e-6)
+
+    vad = AudioVAD()
+    out = vad(pd.DataFrame({"audio": [data]}))
+    assert out["n_segments"].iloc[0] >= 1
+    # the detected speech covers roughly the first second only
+    assert out["seg_starts"].iloc[0][0] < 0.2
+    assert out["seg_ends"].iloc[0][-1] < 1.6
+
+    # stereo mean-mix + failure quarantine
+    buf2 = io.BytesIO()
+    with wavmod.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.stack([pcm, -pcm], axis=1).tobytes())
+    stereo = decode_wav_bytes(buf2.getvalue())
+    assert stereo is not None and abs(float(stereo[0][:sr].mean())) < 1e-3
+    assert decode_wav_bytes(b"RIFFgarbage") is None
+
+
+def test_real_pil_decode_when_available():
+    """Availability-gated: when PIL exists, ImageDecoder must decode
+    real PNG bytes into the fixed stats layout (skipped where absent)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from dataflow_mm_ray.stages.multimodal import ImageDecoder
+
+    img = Image.new("RGB", (100, 40), (200, 30, 90))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    dec = ImageDecoder(width=64, height=64)
+    out = dec(pd.DataFrame({"image": [buf.getvalue(), b"not an image"]}))
+    assert bool(out["decode_ok"].iloc[0]) is True
+    assert bool(out["decode_ok"].iloc[1]) is False
+    assert out["pixels"].iloc[0].shape == (64 * 64,)
+    assert out["pixels"].iloc[0].dtype == np.uint8
