@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     # composed end-to-end document prep (filter -> annotate -> exact
     # dedup -> near-dup -> quality cut)
     "docprep_pipeline",
+    # round-3 operators: rotation/dual-branch MCQ refine (16 prompts per
+    # doc), deterministic math QA synthesis, full 5-branch reward eval
+    "visual_dependency_refine",
+    "multimodal_math",
+    "answer_reward",
 ]
 
 CEP_QUERIES = {

@@ -729,46 +729,18 @@ def q_window_distinct_convs_exact(sf_dir: str):
 
 
 def _hll_md5_sql() -> str:
-    """SQL reproducing the md5-backed HLL: 64-bit value from the first
-    16 md5 hex chars, register = top 14 bits, rank = leading zeros of
-    the low 50 bits + 1 (51 when zero), estimate via the exact HUGEINT
-    register sum (stages/sketch.py hll_estimate_sqlexact)."""
-    nib = lambda i: f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"  # noqa: E731
-    idx = f"({nib(0)} * 1024 + {nib(1)} * 64 + {nib(2)} * 4 + {nib(3)} // 4)"
-    low_terms = [f"({nib(3)} % 4) * {1 << 48}"]
-    low_terms += [f"{nib(i)} * {1 << (4 * (15 - i))}" if i < 15 else nib(i) for i in range(4, 16)]
-    low = "(" + " + ".join(f"CAST({t} AS BIGINT)" for t in low_terms) + ")"
+    """SQL reproducing the md5-backed HLL over tumbling windows
+    (functions/hll_sql.py — register/rank/exact-sum construction
+    matching stages/sketch.py hll_estimate_sqlexact)."""
+    from dataflow_mm_ray.functions.hll_sql import hll_md5_estimate_sql
+
     us = TUMBLING_WIDTH_S * 1_000_000
-    return TRANSCRIPTS_CTE + f"""
-, wc AS (
-  SELECT DISTINCT epoch_us(ts) // {us} * {us} AS w_us, conv_id FROM transcripts
-), hv AS (SELECT w_us, md5(conv_id) AS h FROM wc),
-vi AS (SELECT w_us, {idx} AS idx, {low} AS low FROM hv),
-m1 AS (SELECT *, CASE WHEN low >= CAST({1 << 32} AS BIGINT) THEN 32 ELSE 0 END AS p1 FROM vi),
-m2 AS (SELECT *, p1 + CASE WHEN (low >> p1) >= 65536 THEN 16 ELSE 0 END AS p2 FROM m1),
-m3 AS (SELECT *, p2 + CASE WHEN (low >> p2) >= 256 THEN 8 ELSE 0 END AS p3 FROM m2),
-m4 AS (SELECT *, p3 + CASE WHEN (low >> p3) >= 16 THEN 4 ELSE 0 END AS p4 FROM m3),
-m5 AS (SELECT *, p4 + CASE WHEN (low >> p4) >= 4 THEN 2 ELSE 0 END AS p5 FROM m4),
-m6 AS (SELECT *, p5 + CASE WHEN (low >> p5) >= 2 THEN 1 ELSE 0 END AS msb FROM m5),
-ranked AS (SELECT w_us, idx, CASE WHEN low = 0 THEN 51 ELSE 50 - msb END AS rank FROM m6),
-regs AS (SELECT w_us, idx, max(rank) AS r FROM ranked GROUP BY 1, 2),
-agg AS (
-  SELECT w_us, CAST(16384 - count(*) AS BIGINT) AS zeros,
-         CAST(sum(CAST(CAST(1 AS BIGINT) << (51 - r) AS HUGEINT))
-              + CAST(16384 - count(*) AS HUGEINT) * CAST(CAST(1 AS BIGINT) << 51 AS HUGEINT)
-              AS DOUBLE) AS sd
-  FROM regs GROUP BY 1
-), fin AS (
-  SELECT w_us, zeros,
-    (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0 / (sd * power(2.0, -51)) AS e
-  FROM agg
-)
-SELECT make_timestamp(w_us) AS window_start,
-  CAST(trunc(CASE WHEN e <= 2.5 * 16384.0 AND zeros > 0
-                  THEN 16384.0 * ln(16384.0 / zeros) ELSE e END) AS BIGINT)
-    AS approx_distinct_convs
-FROM fin
-"""
+    pairs = (
+        f"SELECT DISTINCT epoch_us(ts) // {us} * {us} AS g, conv_id AS v FROM transcripts"
+    )
+    return TRANSCRIPTS_CTE + ", " + hll_md5_estimate_sql(
+        pairs, "make_timestamp(g)", "window_start", "approx_distinct_convs"
+    )
 
 
 @register("window_distinct_convs_md5", _hll_md5_sql())

@@ -1496,6 +1496,34 @@ def q_distinct_props_exact(sf_dir: str):
     return partition_map(partial, "event_type", count_distinct, num_partitions=8)
 
 
+def _approx_props_md5_sql() -> str:
+    from dataflow_mm_ray.functions.hll_sql import hll_md5_estimate_sql
+
+    return "WITH " + hll_md5_estimate_sql(
+        "SELECT DISTINCT event_type AS g, props AS v FROM events",
+        "g", "event_type", "approx_distinct",
+    )
+
+
+@register("approx_distinct_props_md5", _approx_props_md5_sql())
+def q_approx_distinct_props_md5(sf_dir: str):
+    """The generic approx-COUNT(DISTINCT) sketch under a FULL SQL
+    oracle: md5 hashes + the exact-integer-register-sum estimate
+    (stages/sketch.py approx_distinct(hasher=md5_hash64,
+    estimator=hll_estimate_sqlexact); SQL twin functions/hll_sql.py).
+    The SipHash twin below stays the production path."""
+    from dataflow_mm_ray.stages.sketch import (
+        approx_distinct,
+        hll_estimate_sqlexact,
+        md5_hash64,
+    )
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    return approx_distinct(
+        ev, "event_type", "props", hasher=md5_hash64, estimator=hll_estimate_sqlexact
+    )
+
+
 @register("approx_distinct_props", None)  # sketch: pytest error-bound oracle
 def q_approx_distinct_props(sf_dir: str):
     """HyperLogLog distinct-count sketch per event_type (p=14, ~0.8%

@@ -81,14 +81,15 @@ def hll_estimate(regs: np.ndarray) -> int:
     return int(round(e))
 
 
-def hll_triples(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+def hll_triples(values: np.ndarray, p: int, hasher=stable_hash_array) -> tuple[np.ndarray, np.ndarray]:
     """Per-row sparse HLL updates: (register index int32, rank uint8).
     A row costs 5 bytes on the wire instead of a dense 2^p-byte
     register block per (group, batch) — the dense form is built only
     where registers are MERGED (``registers_from_triples``). Identical
     final registers either way (max over the same update multiset), so
-    streamed and batch results stay bit-equal."""
-    return hll_triples_from_hashes(stable_hash_array(values), p)
+    streamed and batch results stay bit-equal. ``hasher`` defaults to
+    SipHash; pass ``md5_hash64`` for the SQL-oracled twin."""
+    return hll_triples_from_hashes(hasher(values), p)
 
 
 def hll_triples_from_hashes(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
@@ -117,10 +118,10 @@ def registers_from_triples(group_vals: np.ndarray, idx: np.ndarray,
 
 
 def hll_partials_by_group(group_vals: np.ndarray, values: np.ndarray,
-                          p: int) -> tuple[np.ndarray, list[bytes]]:
+                          p: int, hasher=stable_hash_array) -> tuple[np.ndarray, list[bytes]]:
     """Per-group dense register partials for one batch (triples +
     densify) — used where a caller wants register blocks directly."""
-    idx, rank = hll_triples(values, p)
+    idx, rank = hll_triples(values, p, hasher=hasher)
     return registers_from_triples(group_vals, idx, rank, p)
 
 
@@ -140,18 +141,24 @@ def merge_register_frames(window_keys: np.ndarray, reg_bytes, p: int):
 
 
 def approx_distinct(ds, group_col: str, value_col: str, p: int = HLL_P,
-                    num_partitions: int = 8):
+                    num_partitions: int = 8, hasher=stable_hash_array,
+                    estimator=None):
     """Approximate COUNT(DISTINCT value) per group over a Dataset.
 
     One combiner pass (per-batch registers) + one tiny keyed exchange of
     ``groups x 2^p`` bytes — never a shuffle of the raw values. Returns
     (group_col, approx_distinct:int64), deterministic at any
-    parallelism."""
+    parallelism. ``hasher``/``estimator`` default to the SipHash
+    production pair; pass ``md5_hash64`` + ``hll_estimate_sqlexact``
+    for the fully SQL-oracled twin."""
     from dataflow_mm_ray.partition import partition_map
+
+    estimator = estimator or hll_estimate
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         gs, regs = hll_partials_by_group(
-            b[group_col].to_numpy(), b[value_col].to_numpy(dtype=object), p
+            b[group_col].to_numpy(), b[value_col].to_numpy(dtype=object), p,
+            hasher=hasher,
         )
         return pd.DataFrame({group_col: np.asarray(gs, dtype=object), "__regs": regs})
 
@@ -164,7 +171,7 @@ def approx_distinct(ds, group_col: str, value_col: str, p: int = HLL_P,
             for rb in sub["__regs"]:
                 regs = hll_merge(regs, np.frombuffer(rb, dtype=np.uint8))
             out_g.append(g)
-            out_n.append(hll_estimate(regs))
+            out_n.append(estimator(regs))
         return pd.DataFrame(
             {group_col: np.asarray(out_g, dtype=object),
              "approx_distinct": np.asarray(out_n, dtype=np.int64)}
