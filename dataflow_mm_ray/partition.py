@@ -77,45 +77,93 @@ def resolve_num_partitions(num_partitions: int, n_rows: int | None = None) -> in
 
 
 def _split_block(block, key: str, num_partitions: int):
-    # blocks arrive as zero-copy Arrow tables; the pandas conversion
-    # happens here, inside the (parallel) split task, never on the driver
+    # blocks arrive as zero-copy Arrow tables and are split AS Arrow:
+    # one C++ take + P zero-copy slices. The sub-tables travel through
+    # the object store as raw Arrow buffers (no per-string pickling —
+    # measured a large chunk of the exchange cost on string-heavy
+    # transcript blocks); the single pandas conversion happens at the
+    # reduce. pandas inputs (map_batches upstreams) keep the frame path.
     import numpy as np
 
     if isinstance(block, pd.DataFrame):
         df = block
+        if len(df) == 0:
+            parts = [df] * num_partitions
+        else:
+            pid = partition_ids(df[key].to_numpy(), num_partitions)
+            # stable sort by partition id, then contiguous slices —
+            # much cheaper than num_partitions boolean-mask copies, and
+            # keeps the original row order within each partition
+            order = np.argsort(pid, kind="stable")
+            sdf = df.iloc[order]
+            bounds = np.searchsorted(pid[order], np.arange(num_partitions + 1))
+            parts = [sdf.iloc[bounds[p] : bounds[p + 1]] for p in range(num_partitions)]
     else:
+        import pyarrow as pa
+
         # strip the pandas schema metadata: blocks that round-tripped
         # through Ray's pandas->Arrow conversion can carry dtype strings
         # (e.g. "numpy.ndarray(shape=..)" for object ndarray columns)
         # that pyarrow's metadata-driven to_pandas cannot parse
         if hasattr(block, "replace_schema_metadata"):
             block = block.replace_schema_metadata(None)
-        df = block.to_pandas()
-    if len(df) == 0:
-        parts = [df] * num_partitions
-    else:
-        pid = partition_ids(df[key].to_numpy(), num_partitions)
-        # stable sort by partition id, then contiguous slices — much
-        # cheaper than num_partitions boolean-mask copies, and keeps
-        # the original row order within each partition
-        order = np.argsort(pid, kind="stable")
-        sdf = df.iloc[order]
-        bounds = np.searchsorted(pid[order], np.arange(num_partitions + 1))
-        parts = [sdf.iloc[bounds[p] : bounds[p + 1]] for p in range(num_partitions)]
+        if block.num_rows == 0:
+            parts = [block] * num_partitions
+        else:
+            pid = partition_ids(block.column(key).to_numpy(zero_copy_only=False),
+                                num_partitions)
+            order = np.argsort(pid, kind="stable")
+            stbl = block.take(pa.array(order))
+            bounds = np.searchsorted(pid[order], np.arange(num_partitions + 1))
+            parts = [
+                stbl.slice(bounds[p], bounds[p + 1] - bounds[p])
+                for p in range(num_partitions)
+            ]
     if num_partitions == 1:
         return parts[0]
     return tuple(parts)
 
 
-def _reduce_partition(fn, sort_by, *pieces: pd.DataFrame) -> pd.DataFrame:
-    frames = [p for p in pieces if len(p)]
+def _pieces_to_frames(pieces) -> list[pd.DataFrame]:
+    """Non-empty pieces as pandas frames, order preserved; consecutive
+    Arrow sub-tables are concatenated at the Arrow level first so the
+    (usual) all-Arrow case pays ONE to_pandas."""
+    import pyarrow as pa
+
+    frames: list[pd.DataFrame] = []
+    run: list = []
+
+    def flush():
+        if run:
+            t = run[0] if len(run) == 1 else pa.concat_tables(run)
+            frames.append(t.to_pandas())
+            run.clear()
+
+    for p in pieces:
+        if isinstance(p, pd.DataFrame):
+            flush()
+            if len(p):
+                frames.append(p)
+        elif p.num_rows:
+            run.append(p)
+    flush()
+    return frames
+
+
+def _reduce_partition(fn, sort_by, *pieces) -> pd.DataFrame:
+    frames = _pieces_to_frames(pieces)
     if not frames:
         # empty partition (fewer distinct keys than P): still run fn on
         # a correctly-columned empty frame (the split pieces carry the
         # input schema) so every output block has fn's schema — a
         # column-less block would KeyError downstream kernels and break
         # Dataset schema unification
-        empty = pieces[0].iloc[:0] if len(pieces) else pd.DataFrame()
+        if pieces:
+            p0 = pieces[0]
+            empty = p0 if isinstance(p0, pd.DataFrame) else p0.to_pandas()
+            empty = empty.iloc[:0]
+        else:
+            empty = pd.DataFrame()
         return fn(empty.reset_index(drop=True))
     df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0].reset_index(drop=True)
     if sort_by:
@@ -191,17 +239,18 @@ def partition_map_parquet(
     return _assemble(pieces, fn, sort_by, num_partitions)
 
 
-def _join_reduce(key, how, suffixes, n_left, *pieces: pd.DataFrame) -> pd.DataFrame:
-    lf = [p for p in pieces[:n_left] if len(p)]
-    rf = [p for p in pieces[n_left:] if len(p)]
+def _join_reduce(key, how, suffixes, n_left, *pieces) -> pd.DataFrame:
+    lf = _pieces_to_frames(pieces[:n_left])
+    rf = _pieces_to_frames(pieces[n_left:])
 
     def side_empty(side):
         # empty sides keep their input schema where a piece carries one
         # (upstream empty blocks can be column-less), so the merged
         # block has the full joined schema whenever it is knowable
         for p in side:
-            if key in p.columns:
-                return p.iloc[:0]
+            pdf = p if isinstance(p, pd.DataFrame) else p.to_pandas()
+            if key in pdf.columns:
+                return pdf.iloc[:0]
         return pd.DataFrame({key: []})
 
     left = pd.concat(lf, ignore_index=True) if lf else side_empty(pieces[:n_left])
