@@ -171,10 +171,35 @@ def _reduce_partition(fn, sort_by, *pieces) -> pd.DataFrame:
     return fn(df)
 
 
-def _assemble(split_pieces, fn, sort_by, num_partitions: int):
-    reduce = ray.remote(_reduce_partition)
+def _reduce_partition_arrow(fn, *pieces):
+    """Arrow-table reduce: pieces stay Arrow end-to-end (concat + the
+    caller's Table->Table kernel) — no pandas block is ever built, so
+    string-heavy outputs avoid Python-object materialization entirely."""
+    import pyarrow as pa
+
+    tables = []
+    for p in pieces:
+        if isinstance(p, pd.DataFrame):
+            tables.append(pa.Table.from_pandas(p, preserve_index=False))
+        elif p.num_rows or not tables:
+            tables.append(p)
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(
+        [t for t in tables if t.num_rows] or tables[:1]
+    )
+    return fn(t)
+
+
+def _assemble(split_pieces, fn, sort_by, num_partitions: int,
+              arrow_output: bool = False):
+    reduce = ray.remote(_reduce_partition_arrow if arrow_output else _reduce_partition)
     if num_partitions == 1:
         split_pieces = [[p] for p in split_pieces]
+    if arrow_output:
+        out_refs = [
+            reduce.remote(fn, *[split_pieces[b][p] for b in range(len(split_pieces))])
+            for p in range(num_partitions)
+        ]
+        return rd.from_arrow_refs(out_refs)
     out_refs = [
         reduce.remote(fn, sort_by, *[split_pieces[b][p] for b in range(len(split_pieces))])
         for p in range(num_partitions)
@@ -221,11 +246,14 @@ def partition_map_parquet(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     sort_by: Sequence[str] | None = None,
     target_rows_per_task: int = 500_000,
+    arrow_output: bool = False,
 ):
     """partition_map reading directly from a parquet file: the split
     stage decodes row-group ranges in parallel tasks (no Dataset read,
     no driver-side barrier — the fastest path for keyed pipelines that
-    start at a table scan)."""
+    start at a table scan). With ``arrow_output=True`` the reduce
+    applies an Arrow Table->Table ``fn`` and the result Dataset holds
+    Arrow blocks — no pandas materialization anywhere."""
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(path)
@@ -236,7 +264,7 @@ def partition_map_parquet(
     chunks = [list(range(i, min(i + rg_per_task, n_rg))) for i in range(0, n_rg, rg_per_task)]
     split = ray.remote(num_returns=num_partitions)(_split_parquet_chunk)
     pieces = [split.remote(path, rgs, columns, key, num_partitions) for rgs in chunks]
-    return _assemble(pieces, fn, sort_by, num_partitions)
+    return _assemble(pieces, fn, sort_by, num_partitions, arrow_output=arrow_output)
 
 
 def _join_reduce(key, how, suffixes, n_left, *pieces) -> pd.DataFrame:

@@ -26,7 +26,10 @@ SCORE_MIN, SCORE_MAX = 50.0, 150.0
     TRANSCRIPTS_CTE + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
 )
 def q_transcripts(sf_dir: str):
-    return transcripts_from_events(sf_dir)
+    """The canonical derivation, Arrow end-to-end (sources/transcripts
+    _events_to_turns_arrow): the full 6-column transcript table is the
+    product here, so blocks stay Arrow — zero Python-object strings."""
+    return transcripts_from_events(sf_dir, arrow=True)
 
 
 @register(
@@ -46,7 +49,7 @@ GROUP BY 1, 2
 )
 def q_tumbling(sf_dir: str):
     return transcripts_partitioned(
-        sf_dir, lambda t: windows.tumbling_window_kernel(t, TUMBLING_WIDTH_S)
+        sf_dir, lambda t: windows.tumbling_window_kernel(t, TUMBLING_WIDTH_S), fast=True
     )
 
 
@@ -67,7 +70,8 @@ FROM slid GROUP BY 1, 2
 )
 def q_sliding(sf_dir: str):
     return transcripts_partitioned(
-        sf_dir, lambda t: windows.sliding_window_kernel(t, SLIDING_WIDTH_S, SLIDING_SLIDE_S)
+        sf_dir, lambda t: windows.sliding_window_kernel(t, SLIDING_WIDTH_S, SLIDING_SLIDE_S),
+        fast=True,
     )
 
 
@@ -95,7 +99,7 @@ FROM sess GROUP BY 1, 2
 )
 def q_session(sf_dir: str):
     return transcripts_partitioned(
-        sf_dir, lambda t: windows.session_window_kernel(t, SESSION_GAP_S)
+        sf_dir, lambda t: windows.session_window_kernel(t, SESSION_GAP_S), fast=True
     )
 
 
@@ -494,7 +498,7 @@ QUALIFY row_number() OVER (PARTITION BY i.conv_id, i.turn_idx ORDER BY r.turn_id
 """,
 )
 def q_tool_join(sf_dir: str):
-    return transcripts_partitioned(sf_dir, join.join_kernel)
+    return transcripts_partitioned(sf_dir, join.join_kernel, fast=True)
 
 
 @register(
@@ -546,7 +550,7 @@ def q_hot_conversations(sf_dir: str):
     # per-partition counts fused with a local top-k (each partition holds
     # all turns of its convs): the driver only sees P*10 candidate rows
     local = transcripts_partitioned(
-        sf_dir, lambda t: stats.topk_counts(stats.conv_count_kernel(t), 10)
+        sf_dir, lambda t: stats.topk_counts(stats.conv_count_kernel(t), 10), fast=True
     )
     return stats.topk_counts(local.to_pandas(), k=10)
 
@@ -604,7 +608,8 @@ def q_top_turns_per_conv(sf_dir: str):
 
     def kernel(t):
         out = t[["conv_id", "turn_idx"]].copy(deep=False)
-        out["n_chars"] = t["text"].str.len().astype(np.int64)
+        out["n_chars"] = (t["text_len"].astype(np.int64) if "text_len" in t.columns
+                          else t["text"].str.len().astype(np.int64))
         out = out.sort_values(
             ["conv_id", "n_chars", "turn_idx"], ascending=[True, False, True], kind="mergesort"
         )
@@ -716,7 +721,7 @@ def q_window_distinct_convs_exact(sf_dir: str):
         return pd.DataFrame({"window_start_us": agg.index.to_numpy(),
                              "n_convs": agg.to_numpy().astype(np.int64)})
 
-    parts = transcripts_partitioned(sf_dir, partial)
+    parts = transcripts_partitioned(sf_dir, partial, fast=True)
 
     def total(p: pd.DataFrame) -> pd.DataFrame:
         agg = p.groupby("window_start_us", sort=False)["n_convs"].sum()

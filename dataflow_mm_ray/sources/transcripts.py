@@ -110,17 +110,163 @@ def _events_to_turns(part: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _events_to_turns_arrow(tbl):
+    """``_events_to_turns`` as a pure Arrow Table -> Table kernel: sort
+    via sort_indices+take (keys are unique per row — event_id — so
+    stability is moot), cumcount from int64 run boundaries (zero-copy
+    numpy view), role as a dictionary take cast to string, all string
+    assembly in pyarrow.compute. NOTHING materializes Python objects —
+    the full-derivation ``transcripts`` output stays Arrow end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+    )
+    t = tbl.take(idx)
+    uid = t.column("user_id").to_numpy()
+    n = len(uid)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    turn_idx = (np.arange(n) - starts[run_id]).astype(np.int32)
+    mod4 = (turn_idx % 4).astype(np.int8)
+    role = pc.cast(
+        pa.DictionaryArray.from_arrays(
+            pa.array(mod4), pa.array(["user", "assistant", "tool", "assistant"])
+        ),
+        pa.string(),
+    )
+    et = pc.cast(t.column("event_type"), pa.string())
+    pr = pc.cast(t.column("props"), pa.string())
+    ids = pc.cast(t.column("event_id"), pa.string())
+    text = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(et, ids, " #", null_handling="emit_null"),
+        pr, " ", null_handling="emit_null",
+    )
+    conv = pc.binary_join_element_wise(
+        pa.scalar("conv-"), pc.utf8_lpad(pc.cast(t.column("user_id"), pa.string()), 6, "0"),
+        "", null_handling="emit_null",
+    )
+    tool = pc.if_else(
+        pa.array((mod4 == 1) | (mod4 == 2)),
+        pc.binary_join_element_wise(pa.scalar("tool_"), et, "", null_handling="emit_null"),
+        pa.scalar(None, type=pa.string()),
+    )
+    return pa.table(
+        {
+            "conv_id": conv,
+            "turn_idx": pa.array(turn_idx),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": t.column("ts"),
+        }
+    )
+
+
 _EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "props"]
 
 
-def transcripts_from_events(sf_dir: str, num_partitions: int = DEFAULT_NUM_PARTITIONS):
-    """events.parquet -> canonical transcript Dataset (lazy)."""
+def transcripts_from_events(sf_dir: str, num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                            arrow: bool = False):
+    """events.parquet -> canonical transcript Dataset (lazy).
+
+    ``arrow=True`` keeps the derivation Arrow end-to-end (Arrow blocks
+    out, zero Python-object strings) — the right mode when the
+    transcript table itself is the product (write_parquet / count /
+    Arrow-consuming downstream); the pandas mode feeds the fused
+    per-partition kernels."""
     from dataflow_mm_ray.partition import partition_map_parquet
     from dataflow_mm_ray.sources.tables import table_path
 
     return partition_map_parquet(
-        table_path(sf_dir, "events"), _EVENT_COLS, "user_id", _events_to_turns,
-        num_partitions=num_partitions,
+        table_path(sf_dir, "events"), _EVENT_COLS, "user_id",
+        _events_to_turns_arrow if arrow else _events_to_turns,
+        num_partitions=num_partitions, arrow_output=arrow,
+    )
+
+
+def _events_to_turns_fast(part: pd.DataFrame) -> pd.DataFrame:
+    """Derivation for TEXT-FREE kernels: same rows/order/values as
+    ``_events_to_turns`` except the ``text`` column is replaced by an
+    int64 ``text_len`` (NULL text -> 0, matching the SQL oracles' NULL-
+    skipping sums). String columns are INTERNED — conv_id/tool strings
+    are built once per distinct conversation / event type and fanned
+    out by pointer fancy-indexing — so a 10M-row partition allocates
+    ~n_convs strings instead of ~3*n_rows. Measured ~4x on the fused
+    window/session/join reduce tasks (the scaling pipeline's hot
+    path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    n = len(part)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype=np.int32),
+                "role": pd.Series([], dtype=object),
+                "text_len": pd.Series([], dtype=np.int64),
+                "tool": pd.Series([], dtype=object),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+    uid = part["user_id"].to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    turn_idx = (np.arange(n) - starts[run_id]).astype(np.int32)
+    mod4 = turn_idx % 4
+    conv_unique = np.array(
+        [f"conv-{str(int(u)).zfill(6)}" for u in uid[starts]], dtype=object
+    )
+    conv = conv_unique[run_id]
+    # text_len = len(et) + len(' #') + len(id) + len(' ') + len(props);
+    # NULL et/props -> 0 (the oracle's sum(length(text)) skips NULLs)
+    et = pa.array(part["event_type"], type=pa.string())
+    pr = pa.array(part["props"], type=pa.string())
+    ids_len = np.char.str_len(part["event_id"].to_numpy().astype("U20")).astype(np.int64)
+    etl = pc.fill_null(pc.utf8_length(et), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    prl = pc.fill_null(pc.utf8_length(pr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = (~np.asarray(pc.is_null(et))) & (~np.asarray(pc.is_null(pr)))
+    text_len = np.where(valid, etl + ids_len + prl + 3, 0).astype(np.int64)
+    # tool strings interned per distinct event_type
+    denc = pc.dictionary_encode(et)
+    codes = np.asarray(denc.indices.to_numpy(zero_copy_only=False))
+    tool_unique = np.array(
+        ["tool_" + s for s in denc.dictionary.to_pylist()], dtype=object
+    )
+    tool = np.full(n, None, dtype=object)
+    tool_m = ((mod4 == 1) | (mod4 == 2)) & (~np.asarray(pc.is_null(et)))
+    if tool_m.any():
+        tool[tool_m] = tool_unique[codes[tool_m].astype(np.int64)]
+    return pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": turn_idx,
+            "role": _ROLE_CYCLE[mod4],
+            "text_len": text_len,
+            "tool": tool,
+            "ts": part["ts"].to_numpy(),
+        }
     )
 
 
@@ -128,6 +274,7 @@ def transcripts_partitioned(
     sf_dir: str,
     kernel,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    fast: bool = False,
 ):
     """Fused single-shuffle path: derive the transcript turns AND apply
     a per-partition ``kernel`` in the same reduce task, reading
@@ -138,12 +285,18 @@ def transcripts_partitioned(
     user-hash partitions — this halves the shuffles of
     ``kernel(transcripts_from_events(...))``. The kernel receives the
     partition sorted by (conv_id, turn_idx).
+
+    ``fast=True`` feeds the kernel the ``_events_to_turns_fast`` frame
+    (interned strings, ``text_len`` instead of ``text``) — only for
+    kernels that never read raw text.
     """
     from dataflow_mm_ray.partition import partition_map_parquet
     from dataflow_mm_ray.sources.tables import table_path
 
+    derive = _events_to_turns_fast if fast else _events_to_turns
+
     def fused(part: pd.DataFrame) -> pd.DataFrame:
-        t = _events_to_turns(part)  # already (user, ts)-sorted = (conv, turn) order
+        t = derive(part)  # already (user, ts)-sorted = (conv, turn) order
         return kernel(t.reset_index(drop=True))
 
     return partition_map_parquet(

@@ -44,6 +44,14 @@ def _ts_us(ts: pd.Series) -> np.ndarray:
     return ts.to_numpy(dtype="datetime64[us]").astype(np.int64)
 
 
+def _text_chars(batch: pd.DataFrame) -> np.ndarray:
+    """Per-turn text length: the precomputed ``text_len`` column when
+    the fast fused derivation provided one, else len(text)."""
+    if "text_len" in batch.columns:
+        return batch["text_len"].to_numpy(dtype=np.int64)
+    return batch["text"].str.len().to_numpy(dtype=np.int64)
+
+
 def _partial_window_counts(batch: pd.DataFrame, width_s: int) -> pd.DataFrame:
     """Per-batch combiner: one partial row per (conv_id, window_start)."""
     us = _ts_us(batch["ts"])
@@ -60,7 +68,7 @@ def _partial_window_counts(batch: pd.DataFrame, width_s: int) -> pd.DataFrame:
             "n_tool_calls": (
                 (batch["role"].to_numpy() == "assistant") & batch["tool"].notna().to_numpy()
             ).astype(np.int64),
-            "sum_chars": batch["text"].str.len().to_numpy(dtype=np.int64),
+            "sum_chars": _text_chars(batch),
         },
     )
 
@@ -99,7 +107,7 @@ def _partial_sliding(batch: pd.DataFrame, width_s: int, slide_s: int) -> pd.Data
     us = _ts_us(batch["ts"])
     slide_us = slide_s * US
     bucket = (us // slide_us) * slide_us
-    chars = batch["text"].str.len().to_numpy(dtype=np.int64)
+    chars = _text_chars(batch)
     conv = batch["conv_id"].to_numpy()
     n = len(batch)
     # replicate as flat arrays (k shifted copies), not k DataFrames
