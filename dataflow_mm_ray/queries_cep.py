@@ -738,13 +738,15 @@ def _hll_md5_sql() -> str:
     (functions/hll_sql.py — register/rank/exact-sum construction
     matching stages/sketch.py hll_estimate_sqlexact)."""
     from dataflow_mm_ray.functions.hll_sql import hll_md5_estimate_sql
+    from dataflow_mm_ray.state.store import _DCOUNT_P
 
     us = TUMBLING_WIDTH_S * 1_000_000
     pairs = (
         f"SELECT DISTINCT epoch_us(ts) // {us} * {us} AS g, conv_id AS v FROM transcripts"
     )
     return TRANSCRIPTS_CTE + ", " + hll_md5_estimate_sql(
-        pairs, "make_timestamp(g)", "window_start", "approx_distinct_convs"
+        pairs, "make_timestamp(g)", "window_start", "approx_distinct_convs",
+        p=_DCOUNT_P,
     )
 
 

@@ -1498,10 +1498,11 @@ def q_distinct_props_exact(sf_dir: str):
 
 def _approx_props_md5_sql() -> str:
     from dataflow_mm_ray.functions.hll_sql import hll_md5_estimate_sql
+    from dataflow_mm_ray.stages.sketch import HLL_P
 
     return "WITH " + hll_md5_estimate_sql(
         "SELECT DISTINCT event_type AS g, props AS v FROM events",
-        "g", "event_type", "approx_distinct",
+        "g", "event_type", "approx_distinct", p=HLL_P,
     )
 
 

@@ -90,3 +90,37 @@ def test_windowed_sketch_stream_equals_batch(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
+
+
+def test_hll_md5_sql_matches_engine_at_any_p():
+    """The SQL builder must track the engine precision exactly — at
+    p=12 two values can share a 12-bit register while splitting at
+    p=14 (the sf0.01 regression), so the estimate is p-sensitive."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from dataflow_mm_ray.functions.hll_sql import hll_md5_estimate_sql
+    from dataflow_mm_ray.stages.sketch import (
+        _ranks,
+        hll_estimate_sqlexact,
+        md5_hash64,
+    )
+
+    vals = np.array([f"conv-{i:06d}" for i in range(300)], dtype=object)
+    groups = np.array([f"g{i % 7}" for i in range(300)], dtype=object)
+    con = duckdb.connect()
+    df = pd.DataFrame({"g": groups, "v": vals})
+    con.register("pairs", df)
+    for p in (10, 12, 14):
+        want = {}
+        for g in sorted(set(groups)):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            idx, rank = _ranks(md5_hash64(vals[groups == g]), p)
+            np.maximum.at(regs, idx, rank.astype(np.uint8))
+            want[g] = hll_estimate_sqlexact(regs)
+        sql = "WITH " + hll_md5_estimate_sql(
+            "SELECT DISTINCT g, v FROM pairs", "g", "grp", "est", p=p
+        )
+        got = dict(con.execute(sql).fetchall())
+        assert got == want, (p, got, want)
