@@ -356,9 +356,54 @@ def run_scaling() -> dict:
     }
 
 
+def _pool_time(fn, arg, procs: int, tasks: int = 8) -> float:
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(fn, [arg] * tasks)
+    return time.perf_counter() - t0
+
+
+def _spin(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _stream(n: int) -> float:
+    import numpy as np
+
+    a = np.ones(n, dtype=np.float64)
+    b = np.empty_like(a)
+    for _ in range(8):
+        np.copyto(b, a)
+        a += 1.0
+    return float(b[0])
+
+
+def run_ceilings(lo: int = 1, hi: int = 4) -> dict:
+    """Host capacity ceilings for the (lo, hi) CPU pair: pure-CPU
+    (register-resident spin) and memory-bandwidth (array copy sweep).
+    A scaling measurement below EITHER ceiling reflects the host, not
+    the engine — round 3 observed cpu=0.97 with bandwidth=0.69 in one
+    window (co-tenant memory traffic the spin test cannot see), which
+    capped a bandwidth-heavy engine run at 0.58."""
+    cpu = (min(_pool_time(_spin, 30_000_000, lo), _pool_time(_spin, 30_000_000, lo))
+           / min(_pool_time(_spin, 30_000_000, hi), _pool_time(_spin, 30_000_000, hi))) / (hi / lo)
+    bw = (min(_pool_time(_stream, 20_000_000, lo), _pool_time(_stream, 20_000_000, lo))
+          / min(_pool_time(_stream, 20_000_000, hi), _pool_time(_stream, 20_000_000, hi))) / (hi / lo)
+    return {"metric": f"host capacity ceilings {lo}->{hi}",
+            "cpu_ceiling": round(cpu, 3), "bandwidth_ceiling": round(bw, 3)}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ceilings" in sys.argv:
+        lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "1,4").split(","))
+        print(json.dumps(run_ceilings(lo, hi)))
     elif os.environ.get("BENCH_MODE") == "cep_scale":
         print(json.dumps(run_cep_scale()))
     else:
