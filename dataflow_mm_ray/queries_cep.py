@@ -376,80 +376,305 @@ def q_video_luminance_filter(sf_dir: str):
     return chunks.map_batches(mark, batch_format="pandas", batch_size=None)
 
 
-AES_MIN, OCR_MAX = 4.0, 0.3
-MOTION_MIN, MOTION_MAX = 2.0, 14.0
+# ---------------------------------------------------------------------------
+# Video scorer family (aesthetic / OCR / motion) — stages/videoscore.py.
+# Frame-level stub scores with reference-exact aggregation + filter rules;
+# the SQL fragments below are generated from the SAME constants.
+# ---------------------------------------------------------------------------
+from dataflow_mm_ray.stages import videoscore as _vsc
 
-
-@register(
-    "video_score_filter",
-    _SCENE_CHUNKS_SQL
-    + f"""
+_CLIP_PROBE_SQL = """
 , probe AS (
   SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) AS uid,
          row_number() OVER (PARTITION BY conv_id ORDER BY session_id, chunk_id) - 1 AS clip_idx,
          chunk_start_us // 1000000 AS s_sec, chunk_end_us // 1000000 AS e_sec
   FROM chunks
-), m AS (
+)
+"""
+
+# clip aesthetic = MEAN of LOAD_NUM frame scores (integer sum, one division)
+_AES_SCORE_SQL = (
+    f"CASE WHEN (uid + clip_idx) % {_vsc._AES_MISSING_MOD} = 0 THEN NULL ELSE 3.0 + CAST(("
+    + " + ".join(f"(uid*7 + clip_idx*13 + {j * 29}) % 60" for j in range(_vsc.LOAD_NUM))
+    + f") AS DOUBLE) / {_vsc.LOAD_NUM * 10.0} END"
+)
+
+# clip OCR = MAX of LOAD_NUM frame text-area ratios
+_OCR_SCORE_SQL = (
+    f"CASE WHEN (uid + clip_idx) % {_vsc._OCR_MISSING_MOD} = 0 THEN NULL ELSE CAST(greatest("
+    + ", ".join(f"(uid*11 + clip_idx*7 + {j * 31}) % 400" for j in range(_vsc.LOAD_NUM))
+    + ") AS DOUBLE) / 1000.0 END"
+)
+
+# prior clip mark carried into the per-op filters: the VideoClipFilter
+# frames/resolution gate (same stub metadata as q_video_clip_filter)
+_PRIOR_PASS_SQL = f"""
+((e_sec - s_sec) * CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT)
+   >= {CLIP_FRAMES_MIN}
+ AND CAST(320 + (uid % 10) * 160 AS BIGINT) * CAST(240 + (uid % 7) * 120 AS BIGINT)
+   <= {CLIP_RES_MAX})
+"""
+
+
+def _motion_sum_sql(n_expr: str, salt_expr: str = "0") -> str:
+    """SQL twin of stages.videoscore.motion_flow_sum (closed-form
+    period-1200 decomposition; remainder < 1200 terms)."""
+    b = f"((uid*13 + {salt_expr}) % 1200)"
+    return (
+        f"(uid % 7 + 1) * ((({n_expr}) // 1200) * 719400"
+        f" + coalesce(list_sum(list_transform(range(({n_expr}) % 1200),"
+        f" q -> ({b} + 7*q) % 1200)), 0))"
+    )
+
+
+# per-clip motion pipeline: total frames -> sampling step -> flow pairs
+_CLIP_MOTION_CTES = f"""
+, mf AS (
+  SELECT *, (e_sec - s_sec)
+            * CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT) AS total_frames,
+         CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT) // 2 AS step_raw
+  FROM probe
+), mn AS (
+  SELECT *, CASE WHEN total_frames <= 0 THEN 0
+                 ELSE (total_frames + greatest(least(step_raw, total_frames - 1), 1) - 1)
+                      // greatest(least(step_raw, total_frames - 1), 1) - 1 END AS n_flows
+  FROM mf
+), ms AS (
+  SELECT *, CASE WHEN uid % {_vsc._MOTION_BROKEN_MOD} = 0 OR n_flows <= 0 THEN -1.0
+                 ELSE CAST({_motion_sum_sql("n_flows", "clip_idx*37")} AS DOUBLE)
+                      / (n_flows * 100.0) END AS motion_score
+  FROM mn
+)
+"""
+
+
+def _clip_probe(b: pd.DataFrame):
+    """(conv_id, uid, clip_idx, s_sec, e_sec) arrays for a scene-chunk
+    block. Blocks come out of the conv-keyed reduce holding WHOLE
+    conversations (batch_size=None), so the per-conv cumcount equals
+    the oracle's row_number() over (session_id, chunk_id)."""
+    import numpy as np
+
+    idx = b.groupby("conv_id", sort=False).cumcount().to_numpy().astype(np.int64)
+    uid = pd.Series(b["conv_id"]).str[5:].astype(np.int64).to_numpy()
+    s_sec = b["chunk_start_us"].to_numpy(dtype=np.int64) // 1_000_000
+    e_sec = b["chunk_end_us"].to_numpy(dtype=np.int64) // 1_000_000
+    return b["conv_id"].to_numpy(), uid, idx, s_sec, e_sec
+
+
+def _scene_chunks(sf_dir: str):
+    from dataflow_mm_ray.stages.scenes import scene_segments
+
+    return scene_segments(
+        sf_dir, gap_s=SESSION_GAP_S, start_remove_s=SCENE_SR_S, end_remove_s=SCENE_ER_S,
+        min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
+    )
+
+
+def _prior_pass(uid, s_sec, e_sec):
+    """VideoClipFilter frames/resolution mark (the carry-through input
+    of the per-op aesthetic/OCR filters)."""
+    import numpy as np
+
+    fps = np.choose(uid % 3, [24, 30, 60]).astype(np.int64)
+    px = (320 + (uid % 10) * 160) * (240 + (uid % 7) * 120)
+    return ((e_sec - s_sec) * fps >= CLIP_FRAMES_MIN) & (px <= CLIP_RES_MAX)
+
+
+@register(
+    "video_aesthetic_filter",
+    _SCENE_CHUNKS_SQL + _CLIP_PROBE_SQL
+    + f"""
+, scored AS (
   SELECT conv_id, conv_id || '_' || CAST(clip_idx AS VARCHAR) AS clip_id,
-         (e_sec - s_sec) * CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT)
-           AS num_frames,
+         {_PRIOR_PASS_SQL} AS prior_pass,
+         {_AES_SCORE_SQL} AS aesthetic_score
+  FROM probe
+)
+SELECT conv_id, clip_id, aesthetic_score,
+       prior_pass AND coalesce(aesthetic_score >= {_vsc.AES_MIN}, FALSE) AS passed
+FROM scored
+""",
+)
+def q_video_aesthetic_filter(sf_dir: str):
+    """VideoAestheticFilter (video_aesthetic_filter.py:32-86 +
+    eval/video_aesthetic_evaluator.py:125-142): clip score = MEAN of
+    load_num frame scores from the CLIP+MLP head (deterministic stub
+    here); carry-through filtering — clips already marked by the
+    upstream VideoClipFilter stay marked, still-passing clips fail on a
+    missing score or score < aes_min. Non-destructive (every clip kept,
+    ``passed`` marks the decision)."""
+    import numpy as np
+
+    def mark(b):
+        conv, uid, idx, s_sec, e_sec = _clip_probe(b)
+        aes = _vsc.clip_aesthetic_score(uid, idx)
+        passed = _vsc.aesthetic_gate(_prior_pass(uid, s_sec, e_sec), aes)
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "clip_id": pd.Series(conv).astype(str) + "_" + pd.Series(idx).astype(str),
+                "aesthetic_score": aes,
+                "passed": passed,
+            }
+        )
+
+    return _scene_chunks(sf_dir).map_batches(mark, batch_format="pandas", batch_size=None)
+
+
+@register(
+    "video_ocr_filter",
+    _SCENE_CHUNKS_SQL + _CLIP_PROBE_SQL
+    + f"""
+, scored AS (
+  SELECT conv_id, conv_id || '_' || CAST(clip_idx AS VARCHAR) AS clip_id,
+         {_PRIOR_PASS_SQL} AS prior_pass,
+         {_OCR_SCORE_SQL} AS ocr_score
+  FROM probe
+)
+SELECT conv_id, clip_id, ocr_score,
+       prior_pass AND coalesce(ocr_score >= {_vsc.OCR_MIN} AND ocr_score <= {_vsc.OCR_MAX}, FALSE)
+         AS passed
+FROM scored
+""",
+)
+def q_video_ocr_filter(sf_dir: str):
+    """VideoOCRFilter (video_ocr_filter.py:32-96 +
+    eval/video_ocr_evaluator.py:246-299): clip score = MAX over frames
+    of (total text-bbox area / frame area) (PaddleOCR stubbed);
+    carry-through filtering — still-passing clips fail on a missing
+    score, score < ocr_min or score > ocr_max."""
+    import numpy as np
+
+    def mark(b):
+        conv, uid, idx, s_sec, e_sec = _clip_probe(b)
+        ocr = _vsc.clip_ocr_score(uid, idx)
+        passed = _vsc.ocr_gate(_prior_pass(uid, s_sec, e_sec), ocr)
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "clip_id": pd.Series(conv).astype(str) + "_" + pd.Series(idx).astype(str),
+                "ocr_score": ocr,
+                "passed": passed,
+            }
+        )
+
+    return _scene_chunks(sf_dir).map_batches(mark, batch_format="pandas", batch_size=None)
+
+
+@register(
+    "video_motion_filter",
+    TRANSCRIPTS_CTE
+    + f"""
+, conv AS (
+  SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) AS uid,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+  FROM transcripts GROUP BY 1, 2
+), mf AS (
+  SELECT *, duration_s * CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT)
+              AS total_frames,
+         CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT) // 2 AS step_raw
+  FROM conv
+), mn AS (
+  SELECT *, CASE WHEN total_frames <= 0 THEN 0
+                 ELSE (total_frames + greatest(least(step_raw, total_frames - 1), 1) - 1)
+                      // greatest(least(step_raw, total_frames - 1), 1) - 1 END AS n_flows
+  FROM mf
+), ms AS (
+  SELECT conv_id, uid, n_flows,
+         CASE WHEN uid % {_vsc._MOTION_BROKEN_MOD} = 0 OR n_flows <= 0 THEN -1.0
+              ELSE CAST({_motion_sum_sql("n_flows")} AS DOUBLE) / (n_flows * 100.0)
+         END AS video_motion_score
+  FROM mn
+)
+SELECT conv_id, video_motion_score,
+       CASE WHEN uid % {_vsc._MOTION_BROKEN_MOD} = 0 OR n_flows <= 0 THEN FALSE
+            ELSE video_motion_score >= {_vsc.MOTION_MIN}
+                 AND video_motion_score <= {_vsc.MOTION_MAX} END AS passed_filter
+FROM ms
+""",
+)
+def q_video_motion_filter(sf_dir: str):
+    """VideoMotionScoreFilter (video_motion_score_filter.py:189-236,
+    254-265): row-level per video — frames sampled at round(fps /
+    min(sampling_fps, fps)) clamped to [1, total_frames-1], per-pair
+    Farneback flow magnitude mean (stubbed, closed-form O(1) sum),
+    video score = mean over pairs, -1.0 sentinel for unopenable /
+    zero-pair videos, passed_filter = min <= score <= max. Exceptions
+    map to (-1.0, False) like the reference row loop."""
+    import numpy as np
+
+    def kernel(t: pd.DataFrame) -> pd.DataFrame:
+        g = t.groupby("conv_id", sort=False)["ts"]
+        mn, mx = g.min(), g.max()
+        conv = mn.index.to_numpy()
+        uid = pd.Series(conv).str[5:].astype(np.int64).to_numpy()
+        dur = (mx.to_numpy() - mn.to_numpy()).astype("timedelta64[us]").astype(np.int64) // 1_000_000
+        score, passed = _vsc.motion_score(uid, dur)
+        return pd.DataFrame(
+            {"conv_id": conv, "video_motion_score": score, "passed_filter": passed}
+        )
+
+    return transcripts_partitioned(sf_dir, kernel, fast=True)
+
+
+@register(
+    "video_score_filter",
+    _SCENE_CHUNKS_SQL + _CLIP_PROBE_SQL + _CLIP_MOTION_CTES
+    + f"""
+, m AS (
+  SELECT conv_id, conv_id || '_' || CAST(clip_idx AS VARCHAR) AS clip_id,
+         total_frames AS num_frames,
          CASE WHEN (uid + clip_idx) % 19 = 0 THEN NULL
               ELSE CAST((uid * 31 + clip_idx * 17) % 256 AS DOUBLE) END AS luminance_mean,
-         3.0 + CAST((uid * 7 + clip_idx * 13) % 50 AS DOUBLE) / 10.0 AS aesthetic_score,
-         CAST((uid * 3 + clip_idx) % 100 AS DOUBLE) / 100.0 AS ocr_score,
-         CAST((uid + clip_idx * 5) % 200 AS DOUBLE) / 10.0 AS motion_score
-  FROM probe
+         {_AES_SCORE_SQL} AS aesthetic_score,
+         {_OCR_SCORE_SQL} AS ocr_score,
+         motion_score
+  FROM ms
 )
 SELECT conv_id, clip_id, num_frames, luminance_mean, aesthetic_score,
        ocr_score, motion_score,
-       NOT (luminance_mean IS NULL OR luminance_mean < {LUM_MIN} OR luminance_mean > {LUM_MAX}
-            OR num_frames < {CLIP_FRAMES_MIN}
-            OR aesthetic_score < {AES_MIN} OR ocr_score > {OCR_MAX}
-            OR motion_score < {MOTION_MIN} OR motion_score > {MOTION_MAX}) AS passed
+       coalesce(luminance_mean >= {LUM_MIN} AND luminance_mean <= {LUM_MAX}, FALSE)
+       AND num_frames >= {CLIP_FRAMES_MIN}
+       AND coalesce(aesthetic_score >= {_vsc.AES_MIN}, FALSE)
+       AND coalesce(ocr_score >= {_vsc.OCR_MIN} AND ocr_score <= {_vsc.OCR_MAX}, FALSE)
+       AND motion_score >= {_vsc.MOTION_MIN} AND motion_score <= {_vsc.MOTION_MAX} AS passed
 FROM m
 """,
 )
 def q_video_score_filter(sf_dir: str):
     """VideoScoreFilter (video_score_filter.py:9-160): the multi-metric
-    clip gate — frames / aesthetic / OCR / luminance / motion
-    thresholds with carry-through semantics (a clip already marked by
-    an earlier filter, here the luminance NULL/range mark, stays
-    marked; later checks only run while still passing). Metric probes
-    are deterministic stubs for the model/codec evaluators; the gate
-    logic is exact."""
+    clip gate — frames / luminance / aesthetic / OCR / motion range
+    thresholds over the metric columns produced by the per-op
+    evaluators (clip aesthetic = frame MEAN, clip OCR = frame MAX,
+    clip motion = sampled-flow mean with the -1.0 sentinel — the same
+    kernels as video_aesthetic_filter / video_ocr_filter /
+    video_motion_filter, stages/videoscore.py). Missing scores fail
+    their check; the gate is one conjunction."""
     import numpy as np
 
-    from dataflow_mm_ray.stages.scenes import scene_segments
-
-    chunks = scene_segments(
-        sf_dir, gap_s=SESSION_GAP_S, start_remove_s=SCENE_SR_S, end_remove_s=SCENE_ER_S,
-        min_s=SCENE_MIN_S, max_s=SCENE_MAX_S,
-    )
-
     def gate(b):
-        import pandas as pd
-
-        idx = b.groupby("conv_id", sort=False).cumcount().to_numpy().astype(np.int64)
-        uid = pd.Series(b["conv_id"]).str[5:].astype(np.int64).to_numpy()
-        s_sec = b["chunk_start_us"].to_numpy(dtype=np.int64) // 1_000_000
-        e_sec = b["chunk_end_us"].to_numpy(dtype=np.int64) // 1_000_000
-        fps = np.choose(uid % 3, [24, 30, 60]).astype(np.int64)
+        conv, uid, idx, s_sec, e_sec = _clip_probe(b)
+        fps = _vsc.motion_fps(uid)
         num_frames = (e_sec - s_sec) * fps
         missing = (uid + idx) % 19 == 0
         lum = np.where(missing, np.nan, ((uid * 31 + idx * 17) % 256).astype(np.float64))
-        aes = 3.0 + ((uid * 7 + idx * 13) % 50).astype(np.float64) / 10.0
-        ocr = ((uid * 3 + idx) % 100).astype(np.float64) / 100.0
-        motion = ((uid + idx * 5) % 200).astype(np.float64) / 10.0
-        # carry-through: the luminance mark first, then the gate
-        passed = ~(missing | (lum < LUM_MIN) | (lum > LUM_MAX))
-        passed &= ~(
-            (num_frames < CLIP_FRAMES_MIN) | (aes < AES_MIN) | (ocr > OCR_MAX)
-            | (motion < MOTION_MIN) | (motion > MOTION_MAX)
+        aes = _vsc.clip_aesthetic_score(uid, idx)
+        ocr = _vsc.clip_ocr_score(uid, idx)
+        motion, _ = _vsc.motion_score(uid, e_sec - s_sec, salt=idx * 37)
+        lum_ok = ~missing & (np.nan_to_num(lum) >= LUM_MIN) & (np.nan_to_num(lum) <= LUM_MAX)
+        passed = (
+            lum_ok
+            & (num_frames >= CLIP_FRAMES_MIN)
+            & _vsc.aesthetic_gate(np.ones(len(uid), dtype=bool), aes)
+            & _vsc.ocr_gate(np.ones(len(uid), dtype=bool), ocr)
+            & (motion >= _vsc.MOTION_MIN)
+            & (motion <= _vsc.MOTION_MAX)
         )
         return pd.DataFrame(
             {
-                "conv_id": b["conv_id"].to_numpy(),
-                "clip_id": pd.Series(b["conv_id"]).astype(str) + "_" + pd.Series(idx).astype(str),
+                "conv_id": conv,
+                "clip_id": pd.Series(conv).astype(str) + "_" + pd.Series(idx).astype(str),
                 "num_frames": num_frames,
                 "luminance_mean": lum,
                 "aesthetic_score": aes,
@@ -459,7 +684,7 @@ def q_video_score_filter(sf_dir: str):
             }
         )
 
-    return chunks.map_batches(gate, batch_format="pandas", batch_size=None)
+    return _scene_chunks(sf_dir).map_batches(gate, batch_format="pandas", batch_size=None)
 
 
 @register(
