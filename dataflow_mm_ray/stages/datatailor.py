@@ -25,10 +25,10 @@ math, reproduced here Ray-Data-first:
   the ASSIGNED clusters consistently.)
 - **uniqueness** (``:241-287``, eq. 4): within each cluster,
   ``sum_j ||p_j - p_i|| * (inf_j / sum inf)`` — one keyed exchange on
-  the cluster label, vectorized pairwise distances per cluster. (Like
-  the reference, per-cluster work is O(c^2); a degenerate giant
-  cluster inherits the reference's cost — cluster count scales with n
-  so average c stays ~1/clustering_threshold.)
+  the cluster label; per-cluster distances via the Gram identity in
+  bounded row chunks (``cluster_uniqueness``), so a degenerate giant
+  cluster costs O(c^2) compute like the reference but only
+  O(chunk * c) memory — never the naive (c, c, d) broadcast.
 - **representativeness** (``:289-345``, eqs. 5-6):
   ``tau_c = mean_over_other_clusters(exp(sim(centroid_c, centroid_k)))``
   from per-cluster centroid partial sums (tiny driver combine), times
@@ -152,6 +152,33 @@ def _batch_embed(b: pd.DataFrame) -> np.ndarray:
     return np.stack(b["embedding"].to_numpy()).astype(np.float64)
 
 
+_UNI_CHUNK_BYTES = 64 << 20  # peak distance-block size per task
+
+
+def cluster_uniqueness(feats: np.ndarray, w: np.ndarray,
+                       chunk_bytes: int = _UNI_CHUNK_BYTES) -> np.ndarray:
+    """Eq. 4 uniqueness ``uni_i = sum_j ||x_i - x_j|| * w_j`` without the
+    (g, g, d) broadcast-subtract intermediate: Euclidean distances via
+    the Gram identity ``d^2 = ||x||^2 + ||y||^2 - 2 x.y`` (one matmul),
+    computed in row chunks so peak memory is O(chunk * g) — a
+    100k-member skewed cluster peaks at ``chunk_bytes`` instead of the
+    ~10 TB (g, g, d) array the naive form allocates."""
+    g = len(feats)
+    if g <= 1:
+        return np.zeros(g)
+    s = np.einsum("ij,ij->i", feats, feats)
+    chunk = max(1, min(g, chunk_bytes // (8 * g)))
+    uni = np.empty(g)
+    for lo in range(0, g, chunk):
+        hi = min(lo + chunk, g)
+        d2 = s[lo:hi, None] + s[None, :] - 2.0 * (feats[lo:hi] @ feats.T)
+        np.maximum(d2, 0.0, out=d2)
+        d = np.sqrt(d2, out=d2)
+        d[np.arange(hi - lo), np.arange(lo, hi)] = 0.0  # self-distance
+        uni[lo:hi] = d @ w
+    return uni
+
+
 def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
                       clustering_threshold: float = 0.1,
                       max_train: int = 1024, num_partitions: int = 16, ds=None):
@@ -223,12 +250,7 @@ def datatailor_select(sf_dir: str, keep_ratio: float = 0.8,
                 w = inf / inf.sum()
             else:
                 w = np.ones(len(inf)) / len(inf)
-            if len(g) <= 1:
-                uni = np.zeros(len(g))
-            else:
-                d = np.linalg.norm(feats[:, None, :] - feats[None, :, :], axis=2)
-                np.fill_diagonal(d, 0.0)
-                uni = d @ w
+            uni = cluster_uniqueness(feats, w)
             outs.append(
                 pd.DataFrame(
                     {"vec_id": g["vec_id"].to_numpy(), "cluster": np.int64(c),

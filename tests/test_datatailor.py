@@ -137,3 +137,62 @@ def test_uniqueness_representativeness_formulas(ray_session):
     np.testing.assert_allclose(out["informativeness"].to_numpy(), inf, rtol=0, atol=1e-12)
     np.testing.assert_allclose(out["uniqueness"].to_numpy(), uni, rtol=0, atol=1e-9)
     np.testing.assert_allclose(out["representativeness"].to_numpy(), rep, rtol=0, atol=1e-12)
+
+
+def test_cluster_uniqueness_matches_naive_broadcast():
+    """Gram-identity chunked kernel == the naive (g, g, d)
+    broadcast-subtract form (the pre-fix implementation)."""
+    from dataflow_mm_ray.stages.datatailor import cluster_uniqueness
+
+    rng = np.random.default_rng(11)
+    for g, d in [(1, 8), (2, 8), (37, 16), (300, 64)]:
+        feats = rng.normal(size=(g, d))
+        w = rng.random(g)
+        w = w / w.sum()
+        got = cluster_uniqueness(feats, w, chunk_bytes=1 << 12)  # force many chunks
+        if g <= 1:
+            naive = np.zeros(g)
+        else:
+            dist = np.linalg.norm(feats[:, None, :] - feats[None, :, :], axis=2)
+            np.fill_diagonal(dist, 0.0)
+            naive = dist @ w
+        np.testing.assert_allclose(got, naive, rtol=0, atol=1e-9)
+
+
+def test_cluster_uniqueness_giant_cluster_bounded_memory():
+    """A 30k-member, 128-dim cluster: the naive broadcast would allocate
+    a (30k, 30k, 128) float64 array (~900 TB); the chunked Gram kernel
+    peaks at chunk_bytes. Verify a row sample against brute force."""
+    from dataflow_mm_ray.stages.datatailor import cluster_uniqueness
+
+    rng = np.random.default_rng(5)
+    g, d = 30_000, 128
+    feats = rng.normal(size=(g, d)).astype(np.float64)
+    w = np.full(g, 1.0 / g)
+    uni = cluster_uniqueness(feats, w, chunk_bytes=16 << 20)
+    assert uni.shape == (g,) and np.isfinite(uni).all()
+    for i in (0, 123, g - 1):
+        brute = (np.linalg.norm(feats - feats[i], axis=1) * w).sum()
+        np.testing.assert_allclose(uni[i], brute, rtol=0, atol=1e-9)
+
+
+def test_datatailor_select_skewed_half_cluster(ray_session):
+    """VERDICT r3 item 2: one cluster holding ~50% of the vectors at 10x
+    the tiny sf must complete without a worker OOM and with correct
+    uniqueness on the hot cluster."""
+    import ray as _ray
+
+    from dataflow_mm_ray.stages.datatailor import datatailor_select
+
+    rng = np.random.default_rng(3)
+    n, d = 5_000, 32
+    hot = rng.normal(loc=0.0, scale=0.01, size=(n // 2, d)) + np.eye(d)[0] * 10
+    rest = rng.normal(size=(n - n // 2, d))
+    mat = np.vstack([hot, rest])
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(mat)})
+    ds = _ray.data.from_pandas(df)
+    out = datatailor_select(None, keep_ratio=0.5, ds=ds).to_pandas()
+    assert len(out) == n
+    assert int(out["selected"].sum()) == n // 2
+    assert np.isfinite(out["uniqueness"]).all()
