@@ -96,6 +96,77 @@ def q_nli_complexity(sf_dir: str):
     return kept.map_batches(lambda b: b[["doc_id", "caps_detected"]], batch_format="pandas")
 
 
+from dataflow_mm_ray.stages.nli import (  # noqa: E402
+    CAT_ACTION_HYPOTHESIS,
+    CAT_CAPS_HYPOTHESES,
+    CAT_OCR_ONLY_HYPOTHESIS,
+)
+
+# stripped-caption premise (ImageCatFilter._entail_prob strips, 105-109)
+_CAT_PREM = f"trim(text, '{_WS}')"
+
+_CAT_CAPS_TERMS = " + ".join(
+    "(CASE WHEN elig AND "
+    + _sql_score("cap", hyp)
+    + " >= (0.4 * 4294967296.0) THEN 1 ELSE 0 END)"
+    for hyp in CAT_CAPS_HYPOTHESES
+)
+
+_CAT_NLI_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_CAT_PREM} AS cap,
+         regexp_extract_all(lower(text), '[a-z'']+') AS cap_toks,
+         regexp_extract_all(lower(substr(text, 1, 40)), '[a-z'']+') AS ocr_toks
+  FROM documents
+  WHERE text IS NOT NULL AND length({_CAT_PREM}) > 0
+), g AS (
+  SELECT doc_id, cap, length(cap) >= 5 AS elig,
+         len(list_distinct(ocr_toks)) AS n_ocr,
+         len(list_intersect(list_distinct(ocr_toks), list_distinct(cap_toks))) AS n_inter,
+         len(list_distinct(ocr_toks || cap_toks)) AS n_union
+  FROM s
+), sc AS (
+  SELECT doc_id, n_ocr, n_inter, n_union,
+         CAST({_CAT_CAPS_TERMS} AS BIGINT) AS caps_detected,
+         {_sql_score("cap", CAT_ACTION_HYPOTHESIS)} AS action_u32,
+         {_sql_score("cap", CAT_OCR_ONLY_HYPOTHESIS)} AS ocr_nli_u32
+  FROM g
+)
+SELECT doc_id, caps_detected FROM sc
+WHERE caps_detected >= 2
+  AND action_u32 >= (0.4 * 4294967296.0)
+  AND NOT (n_ocr > 0 AND n_inter * 1.0 / n_union >= 0.2
+           AND ocr_nli_u32 >= (0.6 * 4294967296.0))
+"""
+
+
+@register("nli_cat_filter", _CAT_NLI_SQL)
+def q_nli_cat_filter(sf_dir: str):
+    """ImageCatFilter (image_cat_filter.py:105-171): the fourth NLI rule
+    — >= min_caps of five capability hypotheses entailed at >= 0.4, the
+    action hypothesis at >= 0.4, and not OCR-only (token Jaccard >= 0.2
+    combined with the OCR-only hypothesis at >= 0.6 drops the row). OCR
+    text is the first-40-chars surrogate (same convention as
+    cat_filter); NLI premises are the STRIPPED caption."""
+    from dataflow_mm_ray.stages.nli import CatNLIFilter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_ocr(b):
+        b = b.copy(deep=False)
+        b["ocr_text"] = b["text"].astype(str).str.slice(0, 40)
+        return b
+
+    kept = docs.map_batches(add_ocr, batch_format="pandas").map_batches(
+        CatNLIFilter,
+        fn_constructor_kwargs={"caption_key": "text", "ocr_key": "ocr_text"},
+        batch_format="pandas",
+        concurrency=(1, 2),
+        batch_size=4096,
+    )
+    return kept.map_batches(lambda b: b[["doc_id", "caps_detected"]], batch_format="pandas")
+
+
 _QUESTION = "What does this text describe?"
 
 _CONSISTENCY_SQL = f"""

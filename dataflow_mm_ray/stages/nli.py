@@ -169,6 +169,98 @@ class ComplexityFilter:
         return out[caps >= self.min_k]
 
 
+# image_cat_filter.py:17-28 — capability / action / OCR-only hypotheses.
+CAT_CAPS_HYPOTHESES: list[str] = [
+    "The caption describes what people or objects are doing.",
+    "The caption describes interactions between multiple people or objects.",
+    "The caption provides rich details about the scene.",
+    "The caption mentions spatial relationships or positions of objects in the scene.",
+    "The caption describes multiple aspects of the image rather than a single short fact.",
+]
+CAT_ACTION_HYPOTHESIS = "The caption clearly describes an action happening in the scene."
+CAT_OCR_ONLY_HYPOTHESIS = (
+    "The caption mainly transcribes the visible text in the image instead of describing the visual scene."
+)
+
+class CatNLIFilter:
+    """Actor-pool callable for the ImageCatFilter decision rule
+    (``image_cat_filter.py:105-171``): keep a row iff
+
+    - the caption is non-empty after strip (``is_consistent``, 165-166);
+    - >= ``min_caps`` of the five capability hypotheses are entailed at
+      >= ``complexity_thresh`` — captions shorter than 5 chars after
+      strip detect nothing (``_count_capabilities``, 122-130);
+    - the action hypothesis is entailed at >= ``action_thresh`` (136-138);
+    - the caption is not OCR-only (``is_not_ocr_only``, 140-162): when
+      the OCR-token/caption-token Jaccard (token sets from
+      ``[A-Za-z']+`` over lowered text) is >= ``ocr_overlap_threshold``
+      AND the OCR-only hypothesis is entailed at >= ``ocr_nli_thresh``,
+      drop; empty OCR text trivially passes.
+
+    ``_entail_prob`` (105-120) STRIPS the premise and returns 0.0 for an
+    empty premise/hypothesis — so all stub scores here hash the stripped
+    caption. Emits ``caps_detected`` evidence."""
+
+    def __init__(self, caption_key: str, ocr_key: str,
+                 complexity_thresh: float = 0.4, min_caps: int = 2,
+                 action_thresh: float = 0.4, ocr_overlap_threshold: float = 0.2,
+                 ocr_nli_thresh: float = 0.6,
+                 backend_cls=StubNLIBackend, backend_kwargs=None):
+        import re
+
+        self.backend = backend_cls(**(backend_kwargs or {}))  # once per actor
+        self.caption_key = caption_key
+        self.ocr_key = ocr_key
+        self.complexity_thresh = complexity_thresh
+        self.min_caps = min_caps
+        self.action_thresh = action_thresh
+        self.ocr_thresh = ocr_overlap_threshold
+        self.ocr_nli_thresh = ocr_nli_thresh
+        self.token_re = re.compile(r"[A-Za-z']+")  # image_cat_filter.py:153-154
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        raw = _clean_texts(batch[self.caption_key])
+        prem = [c.strip() for c in raw]
+        nonempty = np.array([len(p) > 0 for p in prem])
+        elig = np.array([len(p) >= 5 for p in prem])
+
+        caps = np.zeros(n, dtype=np.int64)
+        for hyp in CAT_CAPS_HYPOTHESES:
+            u32 = stub_entail_u32(prem, [hyp] * n)
+            u32[~nonempty] = 0  # _entail_prob: empty premise -> 0.0
+            caps += ((u32 >= self.complexity_thresh * 4294967296.0) & elig).astype(np.int64)
+
+        action = stub_entail_u32(prem, [CAT_ACTION_HYPOTHESIS] * n)
+        action[~nonempty] = 0
+
+        ocr_raw = _clean_texts(batch[self.ocr_key])
+        ocr_nli = stub_entail_u32(prem, [CAT_OCR_ONLY_HYPOTHESIS] * n)
+        ocr_nli[~nonempty] = 0
+        ocr_only = np.zeros(n, dtype=bool)
+        if self.ocr_thresh > 0:
+            for i, (o, c) in enumerate(zip(ocr_raw, raw)):
+                ot = set(self.token_re.findall(o.lower()))
+                if not ot:
+                    continue
+                ct = set(self.token_re.findall(c.lower()))
+                jac = len(ot & ct) / len(ot | ct)
+                ocr_only[i] = (
+                    jac >= self.ocr_thresh
+                    and ocr_nli[i] >= self.ocr_nli_thresh * 4294967296.0
+                )
+
+        keep = (
+            nonempty
+            & (caps >= self.min_caps)
+            & (action >= self.action_thresh * 4294967296.0)
+            & ~ocr_only
+        )
+        out = batch.copy(deep=False)
+        out["caps_detected"] = caps
+        return out[keep]
+
+
 class ConsistencyFilter:
     """Actor-pool callable for the ImageConsistencyFilter rule: NLI
     entailment of answer given caption+question; keep iff >= threshold."""

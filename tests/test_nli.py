@@ -99,3 +99,96 @@ def test_consistency_empty_answer_dropped_and_strip_semantics():
     assert 1 not in set(out["doc_id"])  # empty answer -> score 0 < 1e-9
     # premise strip parity: "  cap  " and "cap" produce the same premise
     assert list(out["entail_u32"]) == [_score("cap q?", "ans")]
+
+
+# ---------------------------------------------------------------------------
+# ImageCatFilter (image_cat_filter.py:105-171)
+# ---------------------------------------------------------------------------
+
+
+def _cat_ref_is_consistent(caption, ocr_text, *, complexity_thresh=0.4, min_caps=2,
+                           action_thresh=0.4, ocr_thresh=0.2, ocr_nli_thresh=0.6):
+    """Transcription of the reference decision methods with the stub
+    entailment in place of the MNLI model (premise stripped, empty -> 0,
+    exactly _entail_prob's contract at image_cat_filter.py:105-120)."""
+    import re
+
+    from dataflow_mm_ray.stages.nli import (
+        CAT_ACTION_HYPOTHESIS,
+        CAT_CAPS_HYPOTHESES,
+        CAT_OCR_ONLY_HYPOTHESIS,
+    )
+
+    def entail(premise, hypothesis):
+        premise = (premise or "").strip()
+        hypothesis = (hypothesis or "").strip()
+        if not premise or not hypothesis:
+            return 0.0
+        return _score(premise, hypothesis) / 4294967296.0
+
+    # is_consistent (164-171)
+    if not caption or not caption.strip():
+        return False
+    # _count_capabilities (122-130) + is_complex_caption (132-134)
+    if not caption or len(caption.strip()) < 5:
+        cnt = 0
+    else:
+        cnt = sum(1 for h in CAT_CAPS_HYPOTHESES if entail(caption, h) >= complexity_thresh)
+    if cnt < min_caps:
+        return False
+    # has_action_verb (136-138)
+    if entail(caption, CAT_ACTION_HYPOTHESIS) < action_thresh:
+        return False
+    # is_not_ocr_only (140-162)
+    if ocr_thresh <= 0:
+        return True
+    ocr_tokens = set(re.findall(r"[A-Za-z']+", (ocr_text or "").lower()))
+    cap_tokens = set(re.findall(r"[A-Za-z']+", (caption or "").lower()))
+    if not ocr_tokens:
+        return True
+    jaccard = len(ocr_tokens & cap_tokens) / len(ocr_tokens | cap_tokens)
+    if jaccard >= ocr_thresh:
+        if entail(caption, CAT_OCR_ONLY_HYPOTHESIS) >= ocr_nli_thresh:
+            return False
+    return True
+
+
+def test_cat_nli_filter_matches_reference_loop():
+    from dataflow_mm_ray.stages.nli import CatNLIFilter
+
+    rng = np.random.default_rng(17)
+    words = ["cat", "dog", "runs", "jumps", "table", "red", "sign", "text", "'s"]
+    captions = []
+    for i in range(400):
+        k = int(rng.integers(0, 12))
+        cap = " ".join(rng.choice(words, size=k)) if k else ""
+        if i % 13 == 0:
+            cap = "  " + cap + "\t"
+        if i % 29 == 0:
+            cap = ""
+        if i % 31 == 0:
+            cap = "abc"  # < 5 chars after strip
+        captions.append(cap)
+    # OCR: sometimes the caption prefix (high overlap), sometimes junk
+    ocr = [c[:40] if i % 2 == 0 else "zzz qqq" for i, c in enumerate(captions)]
+    df = pd.DataFrame({"doc_id": np.arange(400), "text": captions, "ocr_text": ocr})
+    stage = CatNLIFilter(caption_key="text", ocr_key="ocr_text")
+    kept = stage(df)
+    want = {i for i, (c, o) in enumerate(zip(captions, ocr)) if _cat_ref_is_consistent(c, o)}
+    assert set(kept["doc_id"]) == want
+    assert (want == set()) is False  # non-degenerate
+    assert len(want) < 400
+
+
+def test_cat_nli_ocr_disabled_threshold_zero():
+    # is_not_ocr_only returns True when ocr_thresh <= 0 (line 141-142)
+    from dataflow_mm_ray.stages.nli import CatNLIFilter
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["cat runs fast over table"],
+                       "ocr_text": ["cat runs fast over table"]})
+    with_gate = CatNLIFilter("text", "ocr_text")(df.copy())
+    without = CatNLIFilter("text", "ocr_text", ocr_overlap_threshold=0.0)(df.copy())
+    ref_keep = _cat_ref_is_consistent(df["text"][0], df["ocr_text"][0])
+    ref_keep_no = _cat_ref_is_consistent(df["text"][0], df["ocr_text"][0], ocr_thresh=0.0)
+    assert (len(with_gate) == 1) == ref_keep
+    assert (len(without) == 1) == ref_keep_no
