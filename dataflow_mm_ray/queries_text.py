@@ -38,3 +38,66 @@ def q_text_stats(sf_dir: str):
     normalizer audio_text_normalizer.py:145-160; quality heuristics
     rule_base_filter.py helpers; IDF corpus stats utils.py:161-181)."""
     return text_stats(_documents(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# full RuleBaseFilter: 15 text rules + image basic checks + NSFW threshold
+
+_WS = " " + "".join(chr(c) for c in (9, 10, 13, 11, 12))  # Python str.strip set
+
+
+def _img_u32(tag: str) -> str:
+    """SQL twin of stages.nsfw._u32 over the synthetic image key ``k``."""
+    return f"('0x'||substr(md5(k || chr(31) || '{tag}'),1,8))::BIGINT"
+
+
+def _rule_filter_full_sql() -> str:
+    from dataflow_mm_ray.stages.nsfw import ALLOWED_FORMATS, STUB_FORMATS
+
+    fmts = ", ".join(f"'{f}'" for f in STUB_FORMATS)
+    allowed = ", ".join(f"'{f}'" for f in ALLOWED_FORMATS)
+    return f"""
+WITH _flags AS ({rule_filter_sql(source="documents")}),
+_img AS (
+  SELECT doc_id, text, source || '/' || doc_id || '.img' AS k FROM documents
+), _meta AS (
+  SELECT doc_id, text, k,
+    ({_img_u32("exists")} % 31) <> 0 AS exists_ok,
+    1 + ({_img_u32("w")} % 20000) AS width,
+    1 + ({_img_u32("h")} % 20000) AS height,
+    ([{fmts}])[1 + ({_img_u32("fmt")} % {len(STUB_FORMATS)})] AS img_format,
+    {_img_u32("nsfw")} AS nsfw_u32
+  FROM _img
+)
+SELECT m.doc_id, m.width, m.height, m.img_format, m.nsfw_u32
+FROM _meta m JOIN _flags f ON m.doc_id = f.doc_id
+WHERE (m.text IS NULL OR length(trim(m.text, '{_WS}')) = 0 OR f.keep)
+  AND m.exists_ok
+  AND m.img_format IN ({allowed})
+  AND m.width BETWEEN 16 AND 8192 AND m.height BETWEEN 16 AND 8192
+  AND (CAST(m.width AS DOUBLE) / m.height) BETWEEN 0.001 AND 1000.0
+  AND NOT (m.nsfw_u32 / 4294967296.0 > 0.5)
+"""
+
+
+@register("rule_filter_full", _rule_filter_full_sql())
+def q_rule_filter_full(sf_dir: str):
+    """COMPLETE RuleBaseFilter: the 15 text rules composed with the
+    image half (_check_image_basic rule_base_filter.py:204-222,
+    _check_nsfw_content :225-241, composition :357-378) over the md5
+    stub probe/classifier. Image key is the synthetic per-row path
+    source || '/' || doc_id || '.img'."""
+    import pandas as pd
+
+    from dataflow_mm_ray.stages.nsfw import rule_base_full
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
+        b.loc[b["source"].isna(), "image_key"] = None
+        return b
+
+    keyed = docs.map_batches(add_key, batch_format="pandas")
+    return rule_base_full(keyed)
