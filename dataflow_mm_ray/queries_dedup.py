@@ -68,6 +68,36 @@ def q_knn_percentile(sf_dir: str):
 
 
 @register(
+    "ivf_knn_percentile",
+    _EMB_CTE
+    + f"""
+, pair AS (
+  SELECT a.vec_id, c.vec_id AS other,
+         CAST(round(list_cosine_similarity(a.e, c.e) * 1e9) AS BIGINT) AS sim_e9
+  FROM b a, b c WHERE a.vec_id <> c.vec_id
+), topk AS (
+  SELECT vec_id, sim_e9 FROM pair
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim_e9 DESC, other) <= {KNN_K}
+), s AS (
+  SELECT vec_id, CAST(sum(sim_e9) AS BIGINT) AS sum_knn_sim_e9 FROM topk GROUP BY 1
+)
+SELECT vec_id, sum_knn_sim_e9 FROM s
+WHERE sum_knn_sim_e9 < (SELECT quantile_cont(sum_knn_sim_e9, {KNN_KEEP_RATIO}) FROM s)
+""",
+)
+def q_ivf_knn_percentile(sf_dir: str):
+    """The bucketed (no full-matrix broadcast) twin of knn_percentile at
+    nprobe == n_clusters: centroid broadcast + per-cluster keyed
+    exchange + partial-top-k merge must reproduce the brute-force
+    KNNSimilarityFilter exactly, so the whole scale path is held to the
+    same SQL oracle. Partial probe (the 100-TB config) is pytest-pinned
+    for recall in tests/test_similarity.py."""
+    return similarity.ivf_knn_percentile(
+        sf_dir, k=KNN_K, keep_ratio=KNN_KEEP_RATIO, n_clusters=16, nprobe=16
+    )
+
+
+@register(
     "embedding_neardup",
     _EMB_CTE
     + f"""

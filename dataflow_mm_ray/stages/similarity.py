@@ -293,3 +293,108 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     return partition_map(
         partials, "query_id", lambda p: _final_topk(p, k), num_partitions=8
     )
+
+
+def ivf_knn_percentile(sf_dir: str, k: int = 10, keep_ratio: float = 0.6,
+                       n_clusters: int = 16, nprobe: int | None = None,
+                       query_chunk: int = 1024):
+    """Bucketed twin of ``knn_percentile_filter`` with the SAME output
+    contract (vec_id, sum_knn_sim_e9 of kept rows) but no full-matrix
+    broadcast — the 100-TB shape for KNNSimilarityFilter
+    (knn_similarity_filter.py:112-141).
+
+    Shape: centroids are trained on the bounded ``training_sample`` and
+    broadcast; each vector emits one row per probed cluster (its
+    ``nprobe`` nearest centroids, nearest-first so the row for its OWN
+    cluster doubles as the membership row); ONE keyed exchange on
+    ``cluster`` co-locates each bucket, where a chunked matmul takes the
+    per-bucket top-k; a second keyed exchange on ``vec_id`` merges the
+    per-bucket partials into the global top-k sum; the global threshold
+    comes from the existing distributed ``exact_quantile``. Memory per
+    task is O(bucket x dim + query_chunk x bucket), never O(n x d).
+
+    With ``nprobe == n_clusters`` every bucket sees every vector, so the
+    result is pytest-pinned bit-equal to ``knn_percentile_filter``;
+    smaller nprobe trades KNN recall for a 1/nprobe candidate scan. The
+    data expansion through the first exchange is nprobe x — the price of
+    bucketing, paid in shuffle bytes instead of per-node matrix memory.
+    """
+    if nprobe is None:
+        nprobe = max(1, n_clusters // 4)
+    cent = ivf_centroids(training_sample(sf_dir), n_clusters=n_clusters)
+    nprobe = min(nprobe, len(cent))
+    cent_ref = ray.put(cent)
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = ray.get(cent_ref)
+        ids, m = _batch_matrix(batch)
+        # nearest-first probe list; column 0 is the assignment cluster
+        probes = np.argsort(-(m @ ct.T), axis=1, kind="stable")[:, :nprobe]
+        n, d = m.shape
+        return pd.DataFrame(
+            {
+                "cluster": probes.reshape(-1),
+                "vec_id": np.repeat(ids, nprobe),
+                "is_member": np.tile(
+                    np.arange(nprobe) == 0, n
+                ),
+                "embedding": list(np.repeat(m, nprobe, axis=0)),
+            }
+        )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    expanded = ds.map_batches(expand, batch_format="pandas", batch_size=SIM_BATCH)
+
+    def bucket_topk(part: pd.DataFrame) -> pd.DataFrame:
+        # all probe rows of every cluster hashed here; process clusters
+        # one at a time, queries in chunks, so peak memory is bounded
+        out = []
+        for _, grp in part.groupby("cluster", sort=False):
+            mem = grp[grp["is_member"].to_numpy()]
+            if not len(mem):
+                continue
+            mem_ids = mem["vec_id"].to_numpy(dtype=np.int64)
+            mem_m = np.stack(mem["embedding"].to_numpy())
+            q_ids = grp["vec_id"].to_numpy(dtype=np.int64)
+            q_m = np.stack(grp["embedding"].to_numpy())
+            for lo in range(0, len(q_ids), query_chunk):
+                qi = q_ids[lo:lo + query_chunk]
+                sims = q_m[lo:lo + query_chunk] @ mem_m.T
+                sims[qi[:, None] == mem_ids[None, :]] = -np.inf  # self
+                take = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, take - 1, axis=1)[:, :take] \
+                    if take < sims.shape[1] else np.tile(np.arange(sims.shape[1]), (len(qi), 1))
+                top = np.take_along_axis(sims, idx, axis=1)
+                finite = np.isfinite(top)
+                out.append(pd.DataFrame({
+                    "vec_id": np.repeat(qi, take)[finite.reshape(-1)],
+                    "sim": top.reshape(-1)[finite.reshape(-1)],
+                }))
+        if not out:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64),
+                                 "sim": np.array([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    from dataflow_mm_ray.partition import partition_map
+
+    partials = partition_map(expanded, "cluster", bucket_topk)
+
+    def merge_topk(part: pd.DataFrame) -> pd.DataFrame:
+        # global top-k per vec_id over the per-bucket partials (raw
+        # float sims, same tie-insensitivity argument as knn_sum: equal
+        # raw values give equal nano contributions)
+        part = part.sort_values(["vec_id", "sim"], ascending=[True, False],
+                                kind="mergesort")
+        top = part.groupby("vec_id", sort=False).head(k)
+        nano = np.rint(top["sim"].to_numpy() * 1e9).astype(np.int64)
+        agg = pd.DataFrame({"vec_id": top["vec_id"].to_numpy(), "nano": nano}) \
+            .groupby("vec_id", sort=False, as_index=False)["nano"].sum()
+        return agg.rename(columns={"nano": "sum_knn_sim_e9"})
+
+    scored = partition_map(partials, "vec_id", merge_topk).materialize()
+    from dataflow_mm_ray.stages.percentile import exact_quantile
+
+    thr = exact_quantile(scored, "sum_knn_sim_e9", keep_ratio)
+    return scored.map_batches(
+        lambda b, thr=thr: b[b["sum_knn_sim_e9"] < thr], batch_format="pandas"
+    )

@@ -32,6 +32,40 @@ def test_ivf_partial_probe_recall(ray_session):
     # exactness-at-full-probe test is the correctness pin
 
 
+def test_ivf_knn_percentile_full_probe_equals_brute_force(ray_session):
+    # the bucketed scale twin of KNNSimilarityFilter must be bit-equal
+    # to the full-matrix-broadcast op at nprobe == n_clusters
+    from dataflow_mm_ray.stages.similarity import (
+        ivf_knn_percentile,
+        knn_percentile_filter,
+    )
+
+    bf = knn_percentile_filter(SF_TINY, k=10, keep_ratio=0.6).to_pandas()
+    ivf = ivf_knn_percentile(
+        SF_TINY, k=10, keep_ratio=0.6, n_clusters=16, nprobe=16
+    ).to_pandas()
+    key = ["vec_id", "sum_knn_sim_e9"]
+    pd.testing.assert_frame_equal(
+        bf[key].sort_values("vec_id").reset_index(drop=True),
+        ivf[key].sort_values("vec_id").reset_index(drop=True),
+    )
+
+
+def test_ivf_knn_percentile_partial_probe_contract(ray_session):
+    # partial probe keeps the output contract (same columns, a
+    # keep_ratio-sized cut) and stays deterministic across runs
+    from dataflow_mm_ray.stages.similarity import ivf_knn_percentile
+
+    a = ivf_knn_percentile(SF_TINY, k=10, keep_ratio=0.6, n_clusters=16,
+                           nprobe=4).to_pandas().sort_values("vec_id")
+    b = ivf_knn_percentile(SF_TINY, k=10, keep_ratio=0.6, n_clusters=16,
+                           nprobe=4).to_pandas().sort_values("vec_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert list(a.columns) == ["vec_id", "sum_knn_sim_e9"]
+    # 500 vectors, keep_ratio 0.6 -> just under 60% survive the strict cut
+    assert 200 <= len(a) <= 300
+
+
 # ---------------------------------------------------------------------------
 # property-based kernel checks
 # ---------------------------------------------------------------------------
