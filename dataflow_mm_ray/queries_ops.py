@@ -695,6 +695,30 @@ def q_diversity_filter(sf_dir: str):
     return diversity_filter(_documents(sf_dir), threshold=0.8)
 
 
+@register("diversity_filter_full", None)  # order-dependent sequential scan
+def q_diversity_filter_full(sf_dir: str):
+    """BOTH ImageDiversityFilter gates (image_diversity_filter.py:
+    100-104): TF-cosine text uniqueness AND phash-Hamming image
+    uniqueness (min distance vs kept images strictly > 5) with
+    independently-updating caches; phash computed distributed over the
+    stub decode. Differential-tested vs a transcription of the
+    reference scan in tests/test_refiners.py."""
+    import pandas as pd
+
+    from dataflow_mm_ray.sources.tables import read_table
+    from dataflow_mm_ray.stages.diversity import diversity_filter_full
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
+        b.loc[b["source"].isna(), "image_key"] = None
+        return b
+
+    return diversity_filter_full(docs.map_batches(add_key, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # WikiQA structure parser (WikiQARefiner)
 # ---------------------------------------------------------------------------

@@ -75,6 +75,83 @@ def test_diversity_filter_first_wins(ray_session):
     assert list(out["keep"]) == [True, False, True, True]
 
 
+def test_diversity_filter_full_differential_vs_reference_scan(ray_session):
+    # transcription of the reference ImageDiversityFilter scan
+    # (image_diversity_filter.py:20-34 text half, 44-62 image half,
+    # 102-104 composition with INDEPENDENT cache updates)
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.diversity import (
+        _KeptIndex,
+        _term_counts,
+        diversity_filter_full,
+        stub_phash,
+    )
+
+    rng = np.random.default_rng(3)
+    texts = [
+        "alpha beta gamma delta",
+        "xy",  # short text -> text half fails, image cache may still grow
+        "alpha beta gamma epsilon",
+        "totally different words here",
+        "",
+    ]
+    rows = [
+        {
+            "doc_id": i,
+            "text": texts[int(rng.integers(len(texts)))] + (f" tail{i % 7}" if i % 3 else ""),
+            "image_key": None if i % 29 == 0 else f"img{i % 23}.png",  # dup keys -> phash dups
+        }
+        for i in range(200)
+    ]
+    df = pd.DataFrame(rows)
+
+    # reference loop transcription
+    kept_text = _KeptIndex()
+    kept_hashes = []
+    expected = []
+    for r in rows:
+        t = r["text"]
+        if not t or len(t) < 3:
+            text_ok = False
+        else:
+            terms = _term_counts(t)
+            text_ok = not kept_text.max_cosine_exceeds(terms, 0.8)
+            if text_ok:
+                kept_text.add(terms)
+        ph = stub_phash(r["image_key"])
+        if ph is None:
+            img_ok = False
+        elif not kept_hashes:
+            img_ok = True
+            kept_hashes.append(ph)
+        else:
+            min_dist = min(int((prev != ph).sum()) for prev in kept_hashes[-10000:])
+            img_ok = min_dist > 5
+            if img_ok:
+                kept_hashes.append(ph)
+        expected.append(text_ok and img_ok)
+
+    out = diversity_filter_full(rd.from_pandas(df)).sort_values("doc_id")
+    assert list(out["keep"]) == expected
+    assert expected.count(True) > 0 and expected.count(False) > 0
+
+
+def test_stub_phash_identical_keys_and_missing():
+    from dataflow_mm_ray.stages.diversity import phash_bits, stub_phash
+
+    a, b = stub_phash("same.png"), stub_phash("same.png")
+    assert a is not None and (a == b).all() and a.shape == (64,)
+    assert stub_phash(None) is None
+    # every-31st-missing convention shared with stages/nsfw
+    missing = [k for k in (f"k{i}" for i in range(200)) if stub_phash(k) is None]
+    assert missing
+    # phash bits: half above median -> balanced-ish hash
+    g = np.arange(1024, dtype=np.float64).reshape(32, 32)
+    bits = phash_bits(g)
+    assert bits.shape == (64,) and 0 < bits.sum() < 64
+
+
 def test_io_roundtrip(ray_session, tmp_path):
     import ray.data as rd
 
