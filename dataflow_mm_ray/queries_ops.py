@@ -1039,6 +1039,84 @@ def q_clipscore_filter(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# CLIP-family EVALUATORS (non-destructive score columns)
+# ---------------------------------------------------------------------------
+
+_CE_WS = " " + "".join(chr(c) for c in (9, 10, 13, 11, 12))
+
+
+def _clip_eval_sql(score_col: str, op: str, template_sql: str = "text") -> str:
+    """SQL twin of ClipFamilyEvaluator over the synthetic image key."""
+    return f"""
+WITH ik AS (
+  SELECT doc_id, text, source || '/' || doc_id || '.img' AS k FROM documents
+)
+SELECT doc_id,
+  CASE WHEN k IS NULL
+         OR (('0x'||substr(md5(k||chr(31)||'exists'),1,8))::BIGINT % 31) = 0
+         OR text IS NULL OR length(trim(text, '{_CE_WS}')) = 0
+       THEN 0.0
+       ELSE ('0x'||substr(md5(k||chr(31)||{template_sql}||chr(31)||'{op}'),1,8))::BIGINT
+            / 4294967296.0
+  END AS {score_col}
+FROM ik
+"""
+
+
+def _clip_eval_query(sf_dir: str, score_col: str, op: str, template=None):
+    from dataflow_mm_ray.stages.clip_eval import StubPairScorer, clip_family_eval
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
+        b.loc[b["source"].isna(), "image_key"] = None
+        return b
+
+    return clip_family_eval(
+        docs.map_batches(add_key, batch_format="pandas"),
+        score_col=score_col,
+        template=template,
+        backend_kwargs={"op": op},
+    )
+
+
+@register("image_clip_eval", _clip_eval_sql("clip_score", "clip"))
+def q_image_clip_eval(sf_dir: str):
+    """ImageCLIPEvaluator (image_clip_evaluator.py:21-90): per-row CLIP
+    alignment score in [0,1], 0.0 on failed load / empty text,
+    NON-destructive clip_score column (distinct from clipscore_filter's
+    percentile cut)."""
+    return _clip_eval_query(sf_dir, "clip_score", "clip")
+
+
+@register("image_longclip_eval", _clip_eval_sql("longclip_score", "longclip"))
+def q_image_longclip_eval(sf_dir: str):
+    """ImageLongCLIPEvaluator (image_longclip_evaluator.py:91-124):
+    long-context variant, longclip_score column, same 0.0 rules."""
+    return _clip_eval_query(sf_dir, "longclip_score", "longclip")
+
+
+from dataflow_mm_ray.stages.clip_eval import VQA_TEMPLATE  # noqa: E402
+
+_VQA_PRE, _VQA_POST = VQA_TEMPLATE.split("{}")
+
+
+@register(
+    "image_vqascore_eval",
+    _clip_eval_sql(
+        "vqa_score", "vqa", f"('{_VQA_PRE}' || text || '{_VQA_POST}')"
+    ),
+)
+def q_image_vqascore_eval(sf_dir: str):
+    """ImageVQAScoreEvaluator (image_vqascore_evaluator.py:13-86): the
+    yes-probability of the filled question template (line 63), 0.0 on
+    failed load / empty text, vqa_score column."""
+    return _clip_eval_query(sf_dir, "vqa_score", "vqa", template=VQA_TEMPLATE)
+
+
+# ---------------------------------------------------------------------------
 # video metadata probe -> resolution range filter (VideoResolutionFilter)
 # ---------------------------------------------------------------------------
 

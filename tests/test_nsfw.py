@@ -110,3 +110,39 @@ def test_meta_gates_all_fire():
     ar = m["width"] / m["height"]
     # dims-in-range rows can still violate aspect (e.g. 1/1500 < 0.001)
     assert (ar < 0.001).any() and (ar > 1000.0).any()
+
+
+def test_clip_family_evaluator_zero_semantics():
+    # image_clip_evaluator.py:60-66 — failed load or empty text -> 0.0;
+    # otherwise the (clamped) model score. Non-destructive: every row out.
+    import pandas as pd
+
+    from dataflow_mm_ray.stages.clip_eval import (
+        VQA_TEMPLATE,
+        ClipFamilyEvaluator,
+        StubPairScorer,
+    )
+
+    missing = next(f"k{i}" for i in range(200) if _u32(f"k{i}", "exists") % 31 == 0)
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a caption", "", "   ", "long caption"],
+            "image_key": ["img.png", "img.png", "img.png", missing],
+        }
+    )
+    out = ClipFamilyEvaluator(score_col="clip_score")(df)
+    assert len(out) == 4
+    assert out.loc[1, "clip_score"] == 0.0 and out.loc[2, "clip_score"] == 0.0
+    assert out.loc[3, "clip_score"] == 0.0  # missing image
+    expect = StubPairScorer("clip").scores(["img.png"], ["a caption"])[0]
+    assert out.loc[0, "clip_score"] == expect
+    # op salt + template keep the three models distinct
+    vqa = ClipFamilyEvaluator(
+        score_col="vqa_score", template=VQA_TEMPLATE,
+        backend_kwargs={"op": "vqa"},
+    )(df)
+    long = ClipFamilyEvaluator(
+        score_col="longclip_score", backend_kwargs={"op": "longclip"}
+    )(df)
+    assert vqa.loc[0, "vqa_score"] not in (out.loc[0, "clip_score"], long.loc[0, "longclip_score"])
