@@ -92,6 +92,102 @@ class PromptedGenerator:
             return answers, errors
 
 
+class APIServingBackend(ServingBackend):
+    """The reference's OpenAI-style HTTP client semantics
+    (``api_llm_serving_request.py``), reimplemented as a real
+    ``ServingBackend`` — pure-CPU logic testable against a local HTTP
+    stub (tests/test_serving_api.py); only the endpoint URL changes in
+    production.
+
+    Reproduced exactly:
+    - key from a NAMED env var; missing key raises ValueError at
+      construction (lines 27-31);
+    - thread-pool fan-out of one POST per prompt with ORDER-RESTORED
+      results — futures complete in any order, each carries its input
+      index, ``responses[id] = result`` (lines 108-126);
+    - None-on-error rows: non-200 status or any exception yields None
+      for that prompt only (lines 101-107,71-75);
+    - ``format_response`` (lines 34-48): content already shaped
+      ``<think>...</think>...<answer>...</answer>`` passes through;
+      else a non-empty ``reasoning_content`` wraps both as
+      ``<think>r</think>\\n<answer>c</answer>``; else raw content.
+    """
+
+    def __init__(self, api_url: str, key_name_of_api_key: str = "DF_API_KEY",
+                 model_name: str = "gpt-4o", max_workers: int = 10,
+                 system_prompt: str = "You are a helpful assistant",
+                 timeout_s: float = 1800.0):
+        import os
+
+        self.api_url = api_url
+        self.model_name = model_name
+        self.max_workers = max_workers
+        self.system_prompt = system_prompt
+        self.timeout_s = timeout_s
+        self.api_key = os.environ.get(key_name_of_api_key)
+        if self.api_key is None:
+            raise ValueError(
+                f"Lack of `{key_name_of_api_key}` in environment variables."
+            )
+
+    @staticmethod
+    def format_response(response: dict) -> str:
+        import re
+
+        content = response["choices"][0]["message"]["content"]
+        if re.search(r"<think>.*</think>.*<answer>.*</answer>", content):
+            return content
+        try:
+            reasoning = response["choices"][0]["message"]["reasoning_content"]
+        except Exception:
+            reasoning = ""
+        if reasoning != "":
+            return f"<think>{reasoning}</think>\n<answer>{content}</answer>"
+        return content
+
+    def _chat_with_id(self, idx: int, prompt: str):
+        import json
+
+        import requests
+
+        try:
+            payload = json.dumps(
+                {
+                    "model": self.model_name,
+                    "messages": [
+                        {"role": "system", "content": self.system_prompt},
+                        {"role": "user", "content": prompt},
+                    ],
+                }
+            )
+            headers = {
+                "Authorization": f"Bearer {self.api_key}",
+                "Content-Type": "application/json",
+            }
+            resp = requests.post(
+                self.api_url, headers=headers, data=payload, timeout=self.timeout_s
+            )
+            if resp.status_code == 200:
+                return idx, self.format_response(resp.json())
+            return idx, None
+        except Exception:
+            return idx, None
+
+    def generate(self, prompts: Sequence[str]) -> list:
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        responses: list = [None] * len(prompts)
+        with ThreadPoolExecutor(max_workers=self.max_workers) as executor:
+            futures = [
+                executor.submit(self._chat_with_id, i, p)
+                for i, p in enumerate(prompts)
+            ]
+            for fut in as_completed(futures):
+                idx, result = fut.result()
+                responses[idx] = result
+        return responses
+
+
 class StubJudgeServing(ServingBackend):
     """Deterministic Yes/No judge stub (the shape VLM judge backends
     take in ``visual_grounding_refiner.py:122-128``): 'Yes, it is.' when
