@@ -189,11 +189,59 @@ def _reduce_partition_arrow(fn, *pieces):
     return fn(t)
 
 
+# Tree-merge guard: above this many upstream blocks, each reducer's
+# pieces are coalesced in waves of COALESCE_FANIN before the final
+# reduce. Bounds per-task fan-in (a reduce over 1e5 blocks would take
+# 1e5 args) and lets chunk refs die as soon as their merge consumes
+# them — without it, B blocks x P partitions at 100-TB scale
+# (B~1e5, P~1e4) parks 1e9 live ObjectRefs on the driver for the
+# whole reduce wave.
+COALESCE_THRESHOLD = 256
+COALESCE_FANIN = 64
+
+
+def _merge_pieces(*pieces) -> pd.DataFrame:
+    """Order-preserving pandas coalesce of one reducer's chunk."""
+    frames = _pieces_to_frames(pieces)
+    if not frames:
+        p0 = pieces[0]
+        empty = p0 if isinstance(p0, pd.DataFrame) else p0.to_pandas()
+        return empty.iloc[:0]
+    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+
+def _merge_pieces_arrow(*pieces):
+    import pyarrow as pa
+
+    tables = [
+        pa.Table.from_pandas(p, preserve_index=False) if isinstance(p, pd.DataFrame) else p
+        for p in pieces
+    ]
+    nonempty = [t for t in tables if t.num_rows]
+    return pa.concat_tables(nonempty or tables[:1])
+
+
 def _assemble(split_pieces, fn, sort_by, num_partitions: int,
               arrow_output: bool = False):
+    if sort_by and arrow_output:
+        # the Arrow reduce has no sort step; silently dropping sort_by
+        # would hand the caller unsorted partitions
+        raise ValueError("sort_by is not supported with arrow_output=True")
     reduce = ray.remote(_reduce_partition_arrow if arrow_output else _reduce_partition)
     if num_partitions == 1:
         split_pieces = [[p] for p in split_pieces]
+    while len(split_pieces) > COALESCE_THRESHOLD:
+        merge = ray.remote(_merge_pieces_arrow if arrow_output else _merge_pieces)
+        split_pieces = [
+            [
+                merge.remote(*[
+                    split_pieces[b][p]
+                    for b in range(lo, min(lo + COALESCE_FANIN, len(split_pieces)))
+                ])
+                for p in range(num_partitions)
+            ]
+            for lo in range(0, len(split_pieces), COALESCE_FANIN)
+        ]
     if arrow_output:
         out_refs = [
             reduce.remote(fn, *[split_pieces[b][p] for b in range(len(split_pieces))])

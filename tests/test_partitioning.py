@@ -77,3 +77,47 @@ def test_read_split_rows_floor(ray_session, tmp_path):
     assert os.path.getsize(p) < 8 << 20  # premise: tiny on disk
     nb = _default_num_blocks(str(p))
     assert nb is not None and nb >= 200_000 // 32768  # rows floor kicks in
+
+
+def test_tree_coalesce_matches_direct_reduce(ray_session, monkeypatch):
+    # high-B guard: above COALESCE_THRESHOLD blocks the exchange merges
+    # pieces per reducer in COALESCE_FANIN waves; output (rows, order
+    # under sort_by, schema) must be identical to the direct path.
+    import ray.data as rd
+
+    from dataflow_mm_ray import partition
+
+    df = pd.DataFrame(
+        {
+            "k": [f"k{i % 13}" for i in range(600)],
+            "v": np.arange(600),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(30)  # 30 blocks
+
+    def seq(part: pd.DataFrame) -> pd.DataFrame:
+        # order-sensitive kernel: emits within-partition sequence nums
+        part = part.copy()
+        part["seq"] = range(len(part))
+        return part
+
+    direct = partition.partition_map(
+        ds, "k", seq, num_partitions=5, sort_by=["k", "v"]
+    ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+
+    monkeypatch.setattr(partition, "COALESCE_THRESHOLD", 4)
+    monkeypatch.setattr(partition, "COALESCE_FANIN", 3)  # forces 2 rounds: 30->10->4
+    treed = partition.partition_map(
+        ds, "k", seq, num_partitions=5, sort_by=["k", "v"]
+    ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(direct, treed)
+
+
+def test_assemble_rejects_sort_by_with_arrow_output():
+    import pytest
+
+    from dataflow_mm_ray.partition import _assemble
+
+    with pytest.raises(ValueError, match="sort_by"):
+        _assemble([], lambda t: t, ["k"], 2, arrow_output=True)
