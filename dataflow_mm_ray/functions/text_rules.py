@@ -161,13 +161,13 @@ def _heavy_regex_batch(clean: list[str]):
     results match the oracle by construction. ~5x over Python re on
     these alternation-heavy patterns (they dominated the rule_filter
     stage in BENCH_r02). Python re and RE2 agree on them except inside
-    ``\\s{{0,10}}`` gaps containing \\v or non-ASCII whitespace (the
-    repo-wide documented whitespace caveat). Returns None when DuckDB
-    is unavailable (callers fall back to the per-row scalar kernel)."""
-    try:
-        import duckdb
-    except ImportError:  # pragma: no cover - duckdb is a baked-in dep
-        return None
+    ``\\s{{0,10}}`` gaps containing \\v or non-ASCII whitespace — which
+    is exactly why DuckDB is REQUIRED here: a silent per-row Python-re
+    fallback on workers missing duckdb would make keep decisions
+    partition-dependent (the repo determinism rule). duckdb is a
+    baked-in dependency; an ImportError should fail the task loudly."""
+    import duckdb
+
     from dataflow_mm_ray.functions.text_rules_sql import (
         _HTML_PATTERN,
         _ID_PATTERN,
@@ -267,16 +267,12 @@ def rule_flags_batch(texts) -> pd.DataFrame:
     clean = [t if isinstance(t, str) else "" for t in texts]
     heavy = _heavy_regex_batch(clean)
     mat = np.empty((n, len(RULE_NAMES)), dtype=bool)
-    if heavy is None:
-        for i, t in enumerate(clean):
-            mat[i] = rule_flags(t)
-    else:
-        idc = heavy["idc"].to_numpy()
-        html = heavy["html"].to_numpy()
-        special = heavy["special"].to_numpy()
-        water = heavy["water"].to_numpy()
-        for i, t in enumerate(clean):
-            mat[i] = _rule_flags_light(t, int(idc[i]), html[i], special[i], water[i])
+    idc = heavy["idc"].to_numpy()
+    html = heavy["html"].to_numpy()
+    special = heavy["special"].to_numpy()
+    water = heavy["water"].to_numpy()
+    for i, t in enumerate(clean):
+        mat[i] = _rule_flags_light(t, int(idc[i]), html[i], special[i], water[i])
     df = pd.DataFrame(mat, columns=RULE_NAMES)
     df["keep"] = ~mat.any(axis=1)
     return df

@@ -243,7 +243,14 @@ def _events_to_turns_fast(part: pd.DataFrame) -> pd.DataFrame:
     # NULL et/props -> 0 (the oracle's sum(length(text)) skips NULLs)
     et = pa.array(part["event_type"], type=pa.string())
     pr = pa.array(part["props"], type=pa.string())
-    ids_len = np.char.str_len(part["event_id"].to_numpy().astype("U20")).astype(np.int64)
+    # utf8_length on the Arrow-cast ids (like the full derivation) —
+    # a fixed-width numpy U-cast would silently truncate string-typed
+    # ids longer than the width and report a wrong text_len
+    ids_len = (
+        pc.utf8_length(pc.cast(pa.array(part["event_id"]), pa.string()))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     etl = pc.fill_null(pc.utf8_length(et), 0).to_numpy(zero_copy_only=False).astype(np.int64)
     prl = pc.fill_null(pc.utf8_length(pr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
     valid = (~np.asarray(pc.is_null(et))) & (~np.asarray(pc.is_null(pr)))

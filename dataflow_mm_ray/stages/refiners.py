@@ -166,10 +166,16 @@ class DependencyRefiner:
             img_tokens = "<image>" * len(paths)
             for qa_idx, qa in enumerate(qas):
                 texts = list(qa["options"])
+                n = len(texts)
+                # degenerate MCQs would kill the whole map task:
+                # 0 options -> ZeroDivisionError in rotate_mcq's % n;
+                # > len(_LETTERS)-1 options -> IndexError on the
+                # 'None of the above' letter. Skip them (no row out).
+                if n == 0 or n > len(_LETTERS) - 1:
+                    continue
                 ci = int(qa["answer_idx"])
                 title = qa["question_title"]
                 slots.append((key, qa_idx))
-                n = len(texts)
                 for r in range(self.rotate_num):
                     q_v, e_v = rotate_mcq(texts, ci, r % n, title, add_none=True)
                     p_v = self.template.format(q_v)

@@ -219,6 +219,9 @@ def hll_estimate_sqlexact(regs: np.ndarray) -> int:
         zeros = int(counts[0])
         if zeros:
             e = m * math.log(m / zeros)
-    elif e > (1 << 64) / 30.0:
-        e = -(2.0 ** 64) * math.log1p(-e / 2.0 ** 64)
+    # No 64-bit large-range correction: the SQL twin
+    # (functions/hll_sql.py) doesn't apply one, and keeping it here
+    # would make the bit-equality claim silently conditional on
+    # e <= 2^64/30 (~6.1e17 — unreachable, but the contract should be
+    # unconditional).
     return int(e)

@@ -200,3 +200,30 @@ def test_source_prefix_parsing(ray_session, tmp_path):
         read_source("hf:absent:train", local_export_root=str(tmp_path))
     with _pytest.raises(NotImplementedError):
         read_source("hf:absent:train")
+
+
+def test_dependency_refiner_skips_degenerate_mcqs():
+    # empty options (ZeroDivisionError in % n) and >5 options
+    # (IndexError on the 'None of the above' letter) must be skipped,
+    # not kill the map task.
+    from dataflow_mm_ray.stages.refiners import DependencyRefiner
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "qas": [
+                [
+                    {"options": [], "answer_idx": 0, "question_title": "q0"},
+                    {"options": [f"o{i}" for i in range(7)], "answer_idx": 1,
+                     "question_title": "q1"},
+                    {"options": ["a", "b", "c"], "answer_idx": 2,
+                     "question_title": "q2"},
+                ],
+                [{"options": ["x", "y"], "answer_idx": 0, "question_title": "q3"}],
+            ],
+            "image": [["i.png"], ["j.png"]],
+        }
+    )
+    out = DependencyRefiner("Answer this: {}")(df)
+    # only the two well-formed MCQs produce rows; qa_idx identifies them
+    assert sorted(zip(out["doc_id"], out["qa_idx"])) == [(0, 2), (1, 0)]
