@@ -695,6 +695,145 @@ def q_diversity_filter(sf_dir: str):
     return diversity_filter(_documents(sf_dir), threshold=0.8)
 
 
+# ---------------------------------------------------------------------------
+# clip-cut planning (VideoClipGenerator)
+# ---------------------------------------------------------------------------
+
+CLIP_SHORTER_SIZE = 480
+
+
+@register(
+    "video_clip_cut",
+    f"""
+WITH probe AS (
+  SELECT doc_id,
+         360 + CAST(doc_id % 5 AS BIGINT) * 180 AS height,
+         640 + CAST(doc_id % 4 AS BIGINT) * 320 AS width,
+         1 + CAST(doc_id % 3 AS BIGINT) AS n_clips
+  FROM documents
+), clips AS (
+  SELECT doc_id, height, width, CAST(unnest(range(0, n_clips)) AS BIGINT) AS i
+  FROM probe
+)
+SELECT doc_id,
+       doc_id * 10 + i AS clip_id,
+       CAST(i * 10 + doc_id % 7 AS BIGINT) AS ts_start_s,
+       CAST(i * 10 + doc_id % 7 + 5 + (doc_id + i) % 9 AS BIGINT) AS ts_end_s,
+       least(height, width) > {CLIP_SHORTER_SIZE} AS scaled,
+       'clips/' || (doc_id * 10 + i) || '.mp4' AS video_path
+FROM clips
+WHERE (doc_id + i) % 4 <> 0
+""",
+)
+def q_video_clip_cut(sf_dir: str):
+    """VideoClipGenerator cut planning (video_clip_generator.py:42-117
+    _process_single_clip_row, 131-157 _flatten_video_clips, 159-238
+    process_video_cutting_from_list): flatten per-video clip lists,
+    cut ONLY clips with filtered == False (lines 50-52,178), no-upscale
+    rule — the scale filter applies only when min(height, width) >
+    shorter_size (lines 57-59), save path = save_dir/{{id}}.mp4 with
+    idempotent reuse (lines 73-76; the engine's media_sideeffect_sink
+    implements the same atomic reuse). The ffmpeg subprocess is the
+    sandbox-absent part; the plan (which clips, bounds, scaling, path)
+    is the semantics and is fully SQL-oracled. Stub probe: dims +
+    clip list derived from doc_id; every (doc_id+i)%4==0 clip is
+    pre-filtered."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def plan(b: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in
+               ("doc_id", "clip_id", "ts_start_s", "ts_end_s", "scaled", "video_path")}
+        for d in b["doc_id"].to_numpy(dtype=np.int64):
+            h = 360 + int(d % 5) * 180
+            w = 640 + int(d % 4) * 320
+            for i in range(1 + int(d % 3)):
+                if (d + i) % 4 == 0:
+                    continue  # filtered == True -> skipped (lines 50-52)
+                # no-upscale: scaling disabled when min(h,w) <= shorter
+                scaled = min(h, w) > CLIP_SHORTER_SIZE
+                cid = int(d) * 10 + i
+                ts0 = i * 10 + int(d % 7)
+                out["doc_id"].append(int(d))
+                out["clip_id"].append(cid)
+                out["ts_start_s"].append(ts0)
+                out["ts_end_s"].append(ts0 + 5 + int((d + i) % 9))
+                out["scaled"].append(scaled)
+                out["video_path"].append(f"clips/{cid}.mp4")
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
+                "clip_id": np.asarray(out["clip_id"], dtype=np.int64),
+                "ts_start_s": np.asarray(out["ts_start_s"], dtype=np.int64),
+                "ts_end_s": np.asarray(out["ts_end_s"], dtype=np.int64),
+                "scaled": np.asarray(out["scaled"], dtype=bool),
+                "video_path": np.asarray(out["video_path"], dtype=object),
+            }
+        )
+
+    return docs.map_batches(plan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-clip frame-export planning (VideoFrameFilter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "video_frame_export",
+    """
+WITH probe AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 0 THEN 0
+              ELSE 1 + CAST((doc_id * 7) % 240 AS BIGINT) END AS num_frames,
+         CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END AS fps,
+         doc_id % 2 = 0 AS use_interval
+  FROM documents
+)
+SELECT doc_id, num_frames AS n_frames,
+       CAST(unnest(
+         CASE WHEN num_frames <= 0 THEN CAST([] AS BIGINT[])
+              WHEN use_interval
+                THEN range(0, num_frames,
+                           greatest(1, CAST(round(2.0 * fps) AS BIGINT)))
+              ELSE list_distinct([0, num_frames // 2, num_frames - 1])
+         END) AS BIGINT) AS frame_idx
+FROM probe
+""",
+)
+def q_video_frame_export(sf_dir: str):
+    """VideoFrameFilter frame-index planning (video_frame_filter.py:
+    113-128 _compute_indices, 131-172 per-clip worker): per clip,
+    either stride-by-round(interval_sec*fps) sampling or the 3-evenly
+    {0, n//2, n-1} default; zero-frame clips export nothing. The cv2
+    seek/read/imwrite loop is the sandbox-absent part; the planner
+    (which indices, how many saved) is the semantics and is fully
+    SQL-oracled. Stub probe: num_frames/fps derived from doc_id,
+    alternating interval (2.0 s) and default mode."""
+    from dataflow_mm_ray.stages.multimodal import compute_frame_indices
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def plan(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        out_id, out_n, out_idx = [], [], []
+        for d in ids:
+            n = 0 if d % 19 == 0 else 1 + int((d * 7) % 240)
+            fps = (24, 25, 30)[d % 3]
+            interval = 2.0 if d % 2 == 0 else None
+            for i in compute_frame_indices(n, fps, interval):
+                out_id.append(d)
+                out_n.append(n)
+                out_idx.append(i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, dtype=np.int64),
+                "n_frames": np.asarray(out_n, dtype=np.int64),
+                "frame_idx": np.asarray(out_idx, dtype=np.int64),
+            }
+        )
+
+    return docs.map_batches(plan, batch_format="pandas")
+
+
 @register("diversity_filter_full", None)  # order-dependent sequential scan
 def q_diversity_filter_full(sf_dir: str):
     """BOTH ImageDiversityFilter gates (image_diversity_filter.py:

@@ -352,6 +352,26 @@ def sample_frame_indices(n_frames: int, k: int) -> np.ndarray:
     return np.linspace(0, n_frames - 1, k).astype(np.int64)
 
 
+def compute_frame_indices(num_frames: int, fps: float | None,
+                          interval_sec: float | None) -> list[int]:
+    """Reference-exact ``_compute_indices``
+    (video_frame_filter.py:113-128): which local clip indices to save.
+    With ``interval_sec`` and a positive fps, stride by
+    ``max(1, round(interval_sec * fps))``; otherwise 3 evenly spaced
+    frames — the set {0, n//2, n-1} (which also reproduces the n==1 /
+    n==2 special cases)."""
+    if num_frames <= 0:
+        return []
+    if interval_sec is not None and fps and fps > 0:
+        stride = max(1, int(round(interval_sec * fps)))
+        return list(range(0, num_frames, stride))
+    if num_frames == 1:
+        return [0]
+    if num_frames == 2:
+        return [0, 1]
+    return sorted({0, num_frames // 2, num_frames - 1})
+
+
 class VideoFrameSampler:
     """STUB video decode: frame count derived from payload; emits the
     sampled frame indices + fake per-frame digests (plumbing only)."""

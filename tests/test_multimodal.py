@@ -212,3 +212,27 @@ def test_real_pil_decode_when_available():
     assert bool(out["decode_ok"].iloc[1]) is False
     assert out["pixels"].iloc[0].shape == (64 * 64,)
     assert out["pixels"].iloc[0].dtype == np.uint8
+
+
+def test_compute_frame_indices_matches_reference_rules():
+    # transcription of video_frame_filter.py:113-128 _compute_indices
+    from dataflow_mm_ray.stages.multimodal import compute_frame_indices
+
+    def ref(num_frames, fps, interval_sec):
+        if num_frames <= 0:
+            return []
+        if interval_sec is not None and fps and fps > 0:
+            stride = max(1, int(round(interval_sec * fps)))
+            return [i for i in range(0, num_frames, stride)]
+        if num_frames == 1:
+            return [0]
+        if num_frames == 2:
+            return [0, 1]
+        return list({0, num_frames // 2, num_frames - 1})
+
+    for n in list(range(0, 12)) + [25, 240, 241]:
+        for fps in (None, 0, 24, 25, 29.97, 30):
+            for iv in (None, 0.04, 0.5, 2.0, 1000.0):
+                got = compute_frame_indices(n, fps, iv)
+                assert got == sorted(ref(n, fps, iv)), (n, fps, iv)
+                assert got == sorted(set(got))  # unique, ordered
