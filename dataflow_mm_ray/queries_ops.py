@@ -858,6 +858,30 @@ def q_diversity_filter_full(sf_dir: str):
     return diversity_filter_full(docs.map_batches(add_key, batch_format="pandas"))
 
 
+@register("image_phash_dedup", None)  # order-dependent sequential scan
+def q_image_phash_dedup(sf_dir: str):
+    """Standalone ImageDuplicateFilter (image_diversity_filter.py:
+    43-62): the image phash gate alone, registered as its own operator
+    by the reference — first-wins keep on min phash Hamming distance
+    strictly > 5 vs previously-kept images, min_dist carried through
+    (NaN for missing images and the first keep). Differential-tested vs
+    a transcription of the reference scan in tests/test_refiners.py."""
+    import pandas as pd
+
+    from dataflow_mm_ray.sources.tables import read_table
+    from dataflow_mm_ray.stages.diversity import image_duplicate_filter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
+        b.loc[b["source"].isna(), "image_key"] = None
+        return b
+
+    return image_duplicate_filter(docs.map_batches(add_key, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # WikiQA structure parser (WikiQARefiner)
 # ---------------------------------------------------------------------------

@@ -245,3 +245,67 @@ def diversity_filter_full(ds, id_col: str = "doc_id", text_col: str = "text",
             ids.append(rid)
             keeps.append(text_ok and img_ok)
     return pd.DataFrame({id_col: np.asarray(ids), "keep": np.asarray(keeps, dtype=bool)})
+
+
+def image_duplicate_filter(ds, id_col: str = "doc_id",
+                           key_col: str = "image_key",
+                           dist_thresh: int = 5, hash_size: int = 8,
+                           max_cache: int = 10_000) -> pd.DataFrame:
+    """Standalone ``ImageDuplicateFilter`` — the image gate alone, which
+    the reference registers as its own operator
+    (image_diversity_filter.py:43-62): keep iff the image decodes AND
+    its min phash Hamming distance vs every previously-KEPT image is
+    STRICTLY > ``dist_thresh``; the first decodable image is always
+    kept. ``min_dist`` reproduces the reference return value: NaN for
+    missing/undecodable images AND for the first kept one (both return
+    ``None`` there), the computed distance otherwise — emitted as
+    float64-with-NaN per the repo's nullable-numeric rule.
+
+    Same parity shape as ``diversity_filter``/``diversity_filter_full``
+    (phash computed distributed in map_batches, order-dependent
+    first-wins scan on the driver over packed int64 hashes, kept-cache
+    capped at ``max_cache``); scale path: SimHash banding
+    (stages/neardup.py).
+    """
+
+    def vecs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col]].copy(deep=False)
+        out["__phash"] = np.asarray(
+            [_pack_bits(stub_phash(k, hash_size)) for k in batch[key_col]],
+            dtype=np.int64,
+        )
+        return out
+
+    vec_ds = ds.map_batches(vecs, batch_format="pandas").sort(id_col)
+    nbits = hash_size * hash_size
+    hash_buf = np.empty((max_cache, nbits), dtype=bool)
+    n_hashes = 0
+    ids, keeps, dists = [], [], []
+    for batch in vec_ds.iter_batches(batch_size=4096, batch_format="pandas"):
+        for rid, packed in zip(
+            batch[id_col].to_numpy(), batch["__phash"].to_numpy()
+        ):
+            min_dist = float("nan")
+            if packed == -1:
+                ok = False
+            elif n_hashes == 0:
+                ok = True
+                hash_buf[0] = _unpack_bits(int(packed), nbits)
+                n_hashes = 1
+            else:
+                ph = _unpack_bits(int(packed), nbits)
+                min_dist = float(
+                    (hash_buf[:n_hashes] != ph[None, :]).sum(axis=1).min()
+                )
+                ok = min_dist > dist_thresh
+                if ok and n_hashes < max_cache:
+                    hash_buf[n_hashes] = ph
+                    n_hashes += 1
+            ids.append(rid)
+            keeps.append(ok)
+            dists.append(min_dist)
+    return pd.DataFrame({
+        id_col: np.asarray(ids),
+        "keep": np.asarray(keeps, dtype=bool),
+        "min_dist": np.asarray(dists, dtype=np.float64),
+    })

@@ -137,6 +137,50 @@ def test_diversity_filter_full_differential_vs_reference_scan(ray_session):
     assert expected.count(True) > 0 and expected.count(False) > 0
 
 
+def test_image_duplicate_filter_differential_vs_reference_scan(ray_session):
+    # transcription of the standalone ImageDuplicateFilter scan
+    # (image_diversity_filter.py:43-62): first decodable image kept with
+    # min_dist None, later ones keep iff min Hamming > 5; missing ->
+    # (False, None)
+    import ray.data as rd
+
+    from dataflow_mm_ray.stages.diversity import (
+        image_duplicate_filter,
+        stub_phash,
+    )
+
+    rows = [
+        {"doc_id": i, "image_key": None if i % 17 == 0 else f"im{i % 13}.png"}
+        for i in range(150)
+    ]
+    kept_hashes = []
+    exp_keep, exp_dist = [], []
+    for r in rows:
+        ph = stub_phash(r["image_key"])
+        if ph is None:
+            exp_keep.append(False)
+            exp_dist.append(np.nan)
+        elif not kept_hashes:
+            kept_hashes.append(ph)
+            exp_keep.append(True)
+            exp_dist.append(np.nan)
+        else:
+            md = min(int((prev != ph).sum()) for prev in kept_hashes[-10000:])
+            ok = md > 5
+            if ok:
+                kept_hashes.append(ph)
+            exp_keep.append(ok)
+            exp_dist.append(float(md))
+
+    out = image_duplicate_filter(
+        rd.from_pandas(pd.DataFrame(rows))
+    ).sort_values("doc_id")
+    assert list(out["keep"]) == exp_keep
+    np.testing.assert_array_equal(out["min_dist"].to_numpy(), np.asarray(exp_dist))
+    assert out["min_dist"].dtype == np.float64
+    assert any(exp_keep) and not all(exp_keep)
+
+
 def test_stub_phash_identical_keys_and_missing():
     from dataflow_mm_ray.stages.diversity import phash_bits, stub_phash
 
