@@ -1254,6 +1254,28 @@ def q_image_clip_eval(sf_dir: str):
     return _clip_eval_query(sf_dir, "clip_score", "clip")
 
 
+CLIP_FILTER_THRESHOLD = 0.25
+
+
+@register(
+    "image_clip_filter",
+    f"SELECT * FROM ({_clip_eval_sql('clip_score', 'clip')})"
+    f" WHERE clip_score >= {CLIP_FILTER_THRESHOLD}",
+)
+def q_image_clip_filter(sf_dir: str):
+    """ImageClipFilter (image_clip_filter.py:48-86): the THRESHOLD cut —
+    keep rows whose [0,1]-clamped CLIP similarity is >= threshold
+    (default 0.25), destructive, 0.0 on failed load / empty text (so
+    those rows always drop at any positive threshold). Distinct from
+    clipscore_filter's global keep_ratio PERCENTILE cut: this one is a
+    pure per-row predicate — no global pass, streams in map_batches."""
+    ds = _clip_eval_query(sf_dir, "clip_score", "clip")
+    return ds.map_batches(
+        lambda b: b[b["clip_score"] >= CLIP_FILTER_THRESHOLD],
+        batch_format="pandas",
+    )
+
+
 @register("image_longclip_eval", _clip_eval_sql("longclip_score", "longclip"))
 def q_image_longclip_eval(sf_dir: str):
     """ImageLongCLIPEvaluator (image_longclip_evaluator.py:91-124):
