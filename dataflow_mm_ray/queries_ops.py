@@ -741,32 +741,35 @@ def q_video_clip_cut(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def plan(b: pd.DataFrame) -> pd.DataFrame:
-        out = {k: [] for k in
-               ("doc_id", "clip_id", "ts_start_s", "ts_end_s", "scaled", "video_path")}
-        for d in b["doc_id"].to_numpy(dtype=np.int64):
-            h = 360 + int(d % 5) * 180
-            w = 640 + int(d % 4) * 320
-            for i in range(1 + int(d % 3)):
-                if (d + i) % 4 == 0:
-                    continue  # filtered == True -> skipped (lines 50-52)
-                # no-upscale: scaling disabled when min(h,w) <= shorter
-                scaled = min(h, w) > CLIP_SHORTER_SIZE
-                cid = int(d) * 10 + i
-                ts0 = i * 10 + int(d % 7)
-                out["doc_id"].append(int(d))
-                out["clip_id"].append(cid)
-                out["ts_start_s"].append(ts0)
-                out["ts_end_s"].append(ts0 + 5 + int((d + i) % 9))
-                out["scaled"].append(scaled)
-                out["video_path"].append(f"clips/{cid}.mp4")
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        # ragged expansion: doc d emits clip indices 0..n_clips-1
+        n_clips = 1 + ids % 3
+        total = int(n_clips.sum())
+        rep = np.repeat(np.arange(len(ids)), n_clips)
+        starts = np.cumsum(n_clips) - n_clips
+        i = np.arange(total, dtype=np.int64) - np.repeat(starts, n_clips)
+        d = ids[rep]
+        keep = (d + i) % 4 != 0  # filtered == True -> skipped (lines 50-52)
+        d, i = d[keep], i[keep]
+        h = 360 + (d % 5) * 180
+        w = 640 + (d % 4) * 320
+        cid = d * 10 + i
+        ts0 = i * 10 + d % 7
+        paths = pc.binary_join_element_wise(
+            "clips/", pc.cast(pa.array(cid), pa.string()), ".mp4", ""
+        )
         return pd.DataFrame(
             {
-                "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
-                "clip_id": np.asarray(out["clip_id"], dtype=np.int64),
-                "ts_start_s": np.asarray(out["ts_start_s"], dtype=np.int64),
-                "ts_end_s": np.asarray(out["ts_end_s"], dtype=np.int64),
-                "scaled": np.asarray(out["scaled"], dtype=bool),
-                "video_path": np.asarray(out["video_path"], dtype=object),
+                "doc_id": d,
+                "clip_id": cid,
+                "ts_start_s": ts0,
+                "ts_end_s": ts0 + 5 + (d + i) % 9,
+                # no-upscale: scaling disabled when min(h,w) <= shorter
+                "scaled": np.minimum(h, w) > CLIP_SHORTER_SIZE,
+                "video_path": paths.to_pandas().to_numpy(dtype=object),
             }
         )
 
@@ -808,30 +811,32 @@ def q_video_frame_export(sf_dir: str):
     (which indices, how many saved) is the semantics and is fully
     SQL-oracled. Stub probe: num_frames/fps derived from doc_id,
     alternating interval (2.0 s) and default mode."""
-    from dataflow_mm_ray.stages.multimodal import compute_frame_indices
-
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(_frame_export_plan, batch_format="pandas")
 
-    def plan(b: pd.DataFrame) -> pd.DataFrame:
-        ids = b["doc_id"].to_numpy(dtype=np.int64)
-        out_id, out_n, out_idx = [], [], []
-        for d in ids:
-            n = 0 if d % 19 == 0 else 1 + int((d * 7) % 240)
-            fps = (24, 25, 30)[d % 3]
-            interval = 2.0 if d % 2 == 0 else None
-            for i in compute_frame_indices(n, fps, interval):
-                out_id.append(d)
-                out_n.append(n)
-                out_idx.append(i)
-        return pd.DataFrame(
-            {
-                "doc_id": np.asarray(out_id, dtype=np.int64),
-                "n_frames": np.asarray(out_n, dtype=np.int64),
-                "frame_idx": np.asarray(out_idx, dtype=np.int64),
-            }
-        )
 
-    return docs.map_batches(plan, batch_format="pandas")
+def _frame_export_plan(b: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized twin of stages.multimodal.compute_frame_indices over
+    the stub probe (pinned equal to the per-row loop in
+    tests/test_multimodal.py): interval mode strides by
+    max(1, round(2.0*fps)); default mode emits the sorted distinct set
+    {0, n//2, n-1} (1 frame at n==1, 2 at n==2, else 3)."""
+    ids = b["doc_id"].to_numpy(dtype=np.int64)
+    n = np.where(ids % 19 == 0, 0, 1 + (ids * 7) % 240)
+    fps = np.choose(ids % 3, [24, 25, 30]).astype(np.int64)
+    stride = np.maximum(1, np.rint(2.0 * fps).astype(np.int64))
+    use_interval = ids % 2 == 0
+    counts = np.where(use_interval, -(-n // stride), np.minimum(n, 3))
+    total = int(counts.sum())
+    rep = np.repeat(np.arange(len(ids)), counts)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    n_out = n[rep]
+    dflt = np.select([pos == 1, pos == 2], [n_out // 2, n_out - 1], 0)
+    frame = np.where(use_interval[rep], pos * stride[rep], dflt)
+    return pd.DataFrame(
+        {"doc_id": ids[rep], "n_frames": n_out, "frame_idx": frame}
+    )
 
 
 @register("diversity_filter_full", None)  # order-dependent sequential scan
@@ -842,20 +847,12 @@ def q_diversity_filter_full(sf_dir: str):
     independently-updating caches; phash computed distributed over the
     stub decode. Differential-tested vs a transcription of the
     reference scan in tests/test_refiners.py."""
-    import pandas as pd
-
     from dataflow_mm_ray.sources.tables import read_table
     from dataflow_mm_ray.stages.diversity import diversity_filter_full
+    from dataflow_mm_ray.stages.nsfw import add_image_key
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-
-    def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
-        b.loc[b["source"].isna(), "image_key"] = None
-        return b
-
-    return diversity_filter_full(docs.map_batches(add_key, batch_format="pandas"))
+    return diversity_filter_full(docs.map_batches(add_image_key, batch_format="pandas"))
 
 
 @register("image_phash_dedup", None)  # order-dependent sequential scan
@@ -866,20 +863,12 @@ def q_image_phash_dedup(sf_dir: str):
     strictly > 5 vs previously-kept images, min_dist carried through
     (NaN for missing images and the first keep). Differential-tested vs
     a transcription of the reference scan in tests/test_refiners.py."""
-    import pandas as pd
-
     from dataflow_mm_ray.sources.tables import read_table
     from dataflow_mm_ray.stages.diversity import image_duplicate_filter
+    from dataflow_mm_ray.stages.nsfw import add_image_key
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
-
-    def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
-        b.loc[b["source"].isna(), "image_key"] = None
-        return b
-
-    return image_duplicate_filter(docs.map_batches(add_key, batch_format="pandas"))
+    return image_duplicate_filter(docs.map_batches(add_image_key, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -1210,13 +1199,15 @@ _CE_WS = " " + "".join(chr(c) for c in (9, 10, 13, 11, 12))
 
 def _clip_eval_sql(score_col: str, op: str, template_sql: str = "text") -> str:
     """SQL twin of ClipFamilyEvaluator over the synthetic image key."""
+    from dataflow_mm_ray.stages.nsfw import IMAGE_KEY_SQL, STUB_MISSING_MOD
+
     return f"""
 WITH ik AS (
-  SELECT doc_id, text, source || '/' || doc_id || '.img' AS k FROM documents
+  SELECT doc_id, text, {IMAGE_KEY_SQL} AS k FROM documents
 )
 SELECT doc_id,
   CASE WHEN k IS NULL
-         OR (('0x'||substr(md5(k||chr(31)||'exists'),1,8))::BIGINT % 31) = 0
+         OR (('0x'||substr(md5(k||chr(31)||'exists'),1,8))::BIGINT % {STUB_MISSING_MOD}) = 0
          OR text IS NULL OR length(trim(text, '{_CE_WS}')) = 0
        THEN 0.0
        ELSE ('0x'||substr(md5(k||chr(31)||{template_sql}||chr(31)||'{op}'),1,8))::BIGINT
@@ -1227,18 +1218,12 @@ FROM ik
 
 
 def _clip_eval_query(sf_dir: str, score_col: str, op: str, template=None):
-    from dataflow_mm_ray.stages.clip_eval import StubPairScorer, clip_family_eval
+    from dataflow_mm_ray.stages.clip_eval import clip_family_eval
+    from dataflow_mm_ray.stages.nsfw import add_image_key
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-
-    def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
-        b.loc[b["source"].isna(), "image_key"] = None
-        return b
-
     return clip_family_eval(
-        docs.map_batches(add_key, batch_format="pandas"),
+        docs.map_batches(add_image_key, batch_format="pandas"),
         score_col=score_col,
         template=template,
         backend_kwargs={"op": op},

@@ -52,17 +52,22 @@ def _img_u32(tag: str) -> str:
 
 
 def _rule_filter_full_sql() -> str:
-    from dataflow_mm_ray.stages.nsfw import ALLOWED_FORMATS, STUB_FORMATS
+    from dataflow_mm_ray.stages.nsfw import (
+        ALLOWED_FORMATS,
+        IMAGE_KEY_SQL,
+        STUB_FORMATS,
+        STUB_MISSING_MOD,
+    )
 
     fmts = ", ".join(f"'{f}'" for f in STUB_FORMATS)
     allowed = ", ".join(f"'{f}'" for f in ALLOWED_FORMATS)
     return f"""
 WITH _flags AS ({rule_filter_sql(source="documents")}),
 _img AS (
-  SELECT doc_id, text, source || '/' || doc_id || '.img' AS k FROM documents
+  SELECT doc_id, text, {IMAGE_KEY_SQL} AS k FROM documents
 ), _meta AS (
   SELECT doc_id, text, k,
-    ({_img_u32("exists")} % 31) <> 0 AS exists_ok,
+    ({_img_u32("exists")} % {STUB_MISSING_MOD}) <> 0 AS exists_ok,
     1 + ({_img_u32("w")} % 20000) AS width,
     1 + ({_img_u32("h")} % 20000) AS height,
     ([{fmts}])[1 + ({_img_u32("fmt")} % {len(STUB_FORMATS)})] AS img_format,
@@ -87,17 +92,8 @@ def q_rule_filter_full(sf_dir: str):
     _check_nsfw_content :225-241, composition :357-378) over the md5
     stub probe/classifier. Image key is the synthetic per-row path
     source || '/' || doc_id || '.img'."""
-    import pandas as pd
-
-    from dataflow_mm_ray.stages.nsfw import rule_base_full
+    from dataflow_mm_ray.stages.nsfw import add_image_key, rule_base_full
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-
-    def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
-        b.loc[b["source"].isna(), "image_key"] = None
-        return b
-
-    keyed = docs.map_batches(add_key, batch_format="pandas")
+    keyed = docs.map_batches(add_image_key, batch_format="pandas")
     return rule_base_full(keyed)

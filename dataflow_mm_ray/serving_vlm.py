@@ -173,19 +173,21 @@ def build_messages_from_conversation(
     audio_paths: Sequence[str] | None = None,
     system_prompt: str = "You are a helpful assistant.",
 ) -> list[dict]:
-    """Conversation history → messages; media attaches ONLY to the
-    final user turn (lines 741-830; the is-last test is identity-based
-    in the reference — positional here, same outcome for list inputs).
+    """Conversation history → messages; media attaches to the final
+    user turn via the reference's VALUE-equality is-last test
+    (``turn == conversation[-1]``, line 771) — so an earlier user turn
+    that is dict-equal to the last one (e.g. two identical 'continue'
+    messages) also gets the media, exactly as the reference does.
     Audio is attached to the content list (intended behavior; the
     reference's line-816 str-append bug is not reproduced)."""
     messages: list[dict] = []
     if system_prompt:
         messages.append({"role": "system", "content": system_prompt})
-    n = len(conversation)
-    for i, turn in enumerate(conversation):
+    last = conversation[-1] if len(conversation) else None
+    for turn in conversation:
         role = turn.get("role", "user")
         text = turn.get("content", "")
-        if role == "user" and i == n - 1:
+        if role == "user" and turn == last:
             messages.append({
                 "role": role,
                 "content": build_message_content(

@@ -84,12 +84,14 @@ class ClipFamilyEvaluator:
         keys = batch[self.image_key_col].tolist()
         inputs = [self.template.format(t) if self.template else t for t in texts]
         scores = self.backend.scores(keys, inputs)
-        # 0.0 on failed load (every-31st stub probe / missing key) or
+        # 0.0 on failed load (STUB_MISSING_MOD probe / missing key) or
         # empty text — image_clip_evaluator.py:60-66
+        from dataflow_mm_ray.stages.nsfw import STUB_MISSING_MOD
+
         ok = np.array(
             [
                 k is not None and not (isinstance(k, float) and np.isnan(k))
-                and _u32(str(k), "exists") % 31 != 0 and bool(t.strip())
+                and _u32(str(k), "exists") % STUB_MISSING_MOD != 0 and bool(t.strip())
                 for k, t in zip(keys, texts)
             ]
         )

@@ -147,12 +147,12 @@ def stub_phash(key: str, hash_size: int = 8) -> np.ndarray | None:
     (False, None), lines 44-53). Uses the same every-31st-missing
     convention as stages/nsfw.stub_image_meta."""
     from dataflow_mm_ray.stages.multimodal import _stub_decode_image, fake_image_bytes
-    from dataflow_mm_ray.stages.nsfw import _u32
+    from dataflow_mm_ray.stages.nsfw import STUB_MISSING_MOD, _u32
 
     if key is None or (isinstance(key, float) and np.isnan(key)):
         return None
     key = str(key)
-    if _u32(key, "exists") % 31 == 0:
+    if _u32(key, "exists") % STUB_MISSING_MOD == 0:
         return None
     size = hash_size * 4
     return phash_bits(_stub_decode_image(fake_image_bytes(key), size, size), hash_size)

@@ -46,6 +46,27 @@ STUB_FORMATS: tuple[str, ...] = ALLOWED_FORMATS + ("TIFF", "SVG")
 
 _SEP = "\x1f"  # chr(31), matching the NLI stub separator
 
+# Every STUB_MISSING_MOD-th md5-selected image key fails to load — the
+# ONE definition of the stub missing-image rate. Every consumer (the
+# clip-eval and phash stubs, and the DuckDB twins in queries_text /
+# queries_ops) imports or formats this constant; a re-assumed literal
+# would silently desynchronize engine and oracle (CLAUDE.md twin rule).
+STUB_MISSING_MOD = 31
+
+# The synthetic per-row image key every image-keyed query derives from
+# the documents table, with its SQL twin expression kept adjacent so
+# the convention can only change in one place.
+IMAGE_KEY_SQL = "source || '/' || doc_id || '.img'"
+
+
+def add_image_key(batch: pd.DataFrame) -> pd.DataFrame:
+    """documents batch -> + image_key column (None when source is NULL);
+    the pandas twin of IMAGE_KEY_SQL."""
+    b = batch.copy(deep=False)
+    b["image_key"] = b["source"].astype(str) + "/" + b["doc_id"].astype(str) + ".img"
+    b.loc[b["source"].isna(), "image_key"] = None
+    return b
+
 
 def _u32(key: str, tag: str) -> int:
     return int(hashlib.md5((key + _SEP + tag).encode("utf-8")).hexdigest()[:8], 16)
@@ -68,7 +89,7 @@ def stub_image_meta(keys: Sequence[str]) -> pd.DataFrame:
             fmt[i] = ""
             continue
         k = str(k)
-        exists[i] = _u32(k, "exists") % 31 != 0
+        exists[i] = _u32(k, "exists") % STUB_MISSING_MOD != 0
         width[i] = 1 + _u32(k, "w") % 20000
         height[i] = 1 + _u32(k, "h") % 20000
         fmt[i] = STUB_FORMATS[_u32(k, "fmt") % len(STUB_FORMATS)]
@@ -165,17 +186,26 @@ class RuleBaseFullFilter:
             & (h >= self.min_h) & (h <= self.max_h)
             & (ar >= self.min_ar) & (ar <= self.max_ar)
         )
-        unsafe = nsfw_unsafe_mask(self.backend.scores(keys), self.nsfw_threshold)
-        keep = text_pass & basic & ~unsafe
+        # _filter_sample short-circuits text -> load -> basic -> NSFW:
+        # only rows surviving the cheap gates reach the classifier (with
+        # a real backend this halves inference on heavily-filtered data)
+        keep = text_pass & basic
+        cand = np.flatnonzero(keep)
+        if len(cand):
+            cand_keys = [keys[i] for i in cand]
+            unsafe = nsfw_unsafe_mask(
+                self.backend.scores(cand_keys), self.nsfw_threshold
+            )
+            keep[cand[unsafe]] = False
 
         out = batch.loc[keep, [self.id_col]].copy()
         out["width"] = w[keep]
         out["height"] = h[keep]
         out["img_format"] = meta["img_format"].to_numpy()[keep]
         out["nsfw_u32"] = np.array(
-            [_u32(str(k), "nsfw") if k is not None else 0 for k in keys],
+            [_u32(str(keys[i]), "nsfw") for i in np.flatnonzero(keep)],
             dtype=np.int64,
-        )[keep]
+        )
         return out
 
 

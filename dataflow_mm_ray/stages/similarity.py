@@ -356,10 +356,14 @@ def ivf_knn_percentile(sf_dir: str, k: int = 10, keep_ratio: float = 0.6,
             mem_ids = mem["vec_id"].to_numpy(dtype=np.int64)
             mem_m = np.stack(mem["embedding"].to_numpy())
             q_ids = grp["vec_id"].to_numpy(dtype=np.int64)
-            q_m = np.stack(grp["embedding"].to_numpy())
+            q_rows = grp["embedding"].to_numpy()  # object array, no densify
             for lo in range(0, len(q_ids), query_chunk):
                 qi = q_ids[lo:lo + query_chunk]
-                sims = q_m[lo:lo + query_chunk] @ mem_m.T
+                # densify ONE chunk at a time — stacking the whole
+                # bucket up front would allocate O(bucket x dim) for the
+                # queries too, breaking the documented memory bound on
+                # skewed clusters
+                sims = np.stack(q_rows[lo:lo + query_chunk]) @ mem_m.T
                 sims[qi[:, None] == mem_ids[None, :]] = -np.inf  # self
                 take = min(k, sims.shape[1])
                 idx = np.argpartition(-sims, take - 1, axis=1)[:, :take] \

@@ -236,3 +236,25 @@ def test_compute_frame_indices_matches_reference_rules():
                 got = compute_frame_indices(n, fps, iv)
                 assert got == sorted(ref(n, fps, iv)), (n, fps, iv)
                 assert got == sorted(set(got))  # unique, ordered
+
+
+def test_frame_export_plan_vectorized_equals_row_loop():
+    # the vectorized planner in queries_ops is pinned to the per-row
+    # compute_frame_indices loop over the same stub probe
+    from dataflow_mm_ray.queries_ops import _frame_export_plan
+    from dataflow_mm_ray.stages.multimodal import compute_frame_indices
+
+    ids = np.concatenate([np.arange(0, 500), np.array([19 * 7, 19 * 12, 9973])])
+    got = _frame_export_plan(pd.DataFrame({"doc_id": ids}))
+
+    rows = []
+    for d in ids:
+        n = 0 if d % 19 == 0 else 1 + int((d * 7) % 240)
+        fps = (24, 25, 30)[d % 3]
+        interval = 2.0 if d % 2 == 0 else None
+        for i in compute_frame_indices(n, fps, interval):
+            rows.append((int(d), n, i))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_frames", "frame_idx"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(np.int64), check_exact=True
+    )

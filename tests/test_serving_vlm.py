@@ -98,6 +98,19 @@ def test_conversation_attaches_media_to_last_user_turn_only(media):
     msgs2 = build_messages_from_conversation(
         conv[:2], image_paths=[media["b.jpg"]])
     assert all(isinstance(m["content"], str) for m in msgs2)
+    # reference is-last test is VALUE equality (api_vlm_serving_openai.py
+    # line 771: turn == conversation[-1]) — an earlier user turn that is
+    # dict-equal to the final one gets media attached TOO
+    dup = [
+        {"role": "user", "content": "continue"},
+        {"role": "assistant", "content": "ok"},
+        {"role": "user", "content": "continue"},
+    ]
+    msgs3 = build_messages_from_conversation(
+        dup, image_paths=[media["b.jpg"]], system_prompt="")
+    assert isinstance(msgs3[0]["content"], list)   # dup of last: media
+    assert isinstance(msgs3[1]["content"], str)    # assistant: plain
+    assert isinstance(msgs3[2]["content"], list)   # the last turn itself
 
 
 def test_is_base64_and_markdown_extraction():
