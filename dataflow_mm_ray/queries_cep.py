@@ -1063,3 +1063,161 @@ def q_window_distinct_convs(sf_dir: str):
         )
 
     return partition_map(part, "window_start_us", merge, num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern matching (stages/cep.py): tool invocation -> first tool
+# response -> first user follow-up, within ROUNDTRIP_WITHIN_S.
+# ---------------------------------------------------------------------------
+
+_CEP_NXT = """
+, nxt AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+     MIN(CASE WHEN role = 'assistant' AND tool IS NOT NULL THEN turn_idx END)
+        OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS inv_here,
+     MIN(CASE WHEN role = 'assistant' AND tool IS NOT NULL THEN turn_idx END)
+        OVER wf AS next_inv,
+     MIN(CASE WHEN role = 'tool' THEN turn_idx END) OVER wf AS next_resp,
+     MIN(CASE WHEN role = 'user' THEN turn_idx END) OVER wf AS next_user
+  FROM transcripts
+  WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+"""
+
+
+def _cep_within_us() -> int:
+    from dataflow_mm_ray.stages.cep import ROUNDTRIP_WITHIN_S
+
+    return ROUNDTRIP_WITHIN_S * 1_000_000
+
+
+def _cep_all_sql() -> str:
+    # first-next-occurrence chaining as window mins; every invoke is an
+    # independent candidate (policy 'all' — overlaps allowed)
+    return TRANSCRIPTS_CTE + _CEP_NXT + f"""
+, cand AS (
+  SELECT a.conv_id, a.turn_idx AS i, a.tool, a.ts AS ts_start,
+         a.next_resp AS j, b.next_user AS k
+  FROM nxt a JOIN nxt b ON b.conv_id = a.conv_id AND b.turn_idx = a.next_resp
+  WHERE a.role = 'assistant' AND a.tool IS NOT NULL
+    AND a.next_resp IS NOT NULL AND b.next_user IS NOT NULL
+), m AS (
+  SELECT c.conv_id, c.i, c.j, c.k, c.tool, c.ts_start, t.ts AS ts_end,
+         epoch_us(t.ts) - epoch_us(c.ts_start) AS span_us
+  FROM cand c JOIN transcripts t
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.k
+  WHERE epoch_us(t.ts) - epoch_us(c.ts_start) <= {_cep_within_us()}
+)
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY i) - 1 AS BIGINT)
+         AS match_seq,
+       CAST(i AS BIGINT) AS invoke_turn_idx,
+       CAST(j AS BIGINT) AS response_turn_idx,
+       CAST(k AS BIGINT) AS followup_turn_idx,
+       tool, ts_start, ts_end, span_us
+FROM m
+"""
+
+
+def _cep_chain_all_sql() -> str:
+    # invoke -> first response -> NEXT invoke, every invoke a candidate
+    return TRANSCRIPTS_CTE + _CEP_NXT + f"""
+, cand AS (
+  SELECT a.conv_id, a.turn_idx AS i, a.tool, a.ts AS ts_start,
+         a.next_resp AS j, b.next_inv AS k
+  FROM nxt a JOIN nxt b ON b.conv_id = a.conv_id AND b.turn_idx = a.next_resp
+  WHERE a.role = 'assistant' AND a.tool IS NOT NULL
+    AND a.next_resp IS NOT NULL AND b.next_inv IS NOT NULL
+), m AS (
+  SELECT c.conv_id, c.i, c.j, c.k, c.tool, c.ts_start, t.ts AS ts_end,
+         epoch_us(t.ts) - epoch_us(c.ts_start) AS span_us
+  FROM cand c JOIN transcripts t
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.k
+  WHERE epoch_us(t.ts) - epoch_us(c.ts_start) <= {_cep_within_us()}
+)
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY i) - 1 AS BIGINT)
+         AS match_seq,
+       CAST(i AS BIGINT) AS invoke_turn_idx,
+       CAST(j AS BIGINT) AS response_turn_idx,
+       CAST(k AS BIGINT) AS reinvoke_turn_idx,
+       tool, ts_start, ts_end, span_us
+FROM m
+"""
+
+
+def _cep_chain_skip_past_sql() -> str:
+    # AFTER MATCH SKIP PAST LAST ROW: the scan automaton as a recursive
+    # CTE — state (conv, pointer p, seq); each iteration chains the
+    # three first-next lookups via self-joins on nxt, emits on success
+    # (pointer -> k+1) and retries from the next row after a timed-out
+    # invoke (pointer -> i+1). Inner joins terminate a conversation as
+    # soon as any step has no occurrence in the remaining suffix —
+    # exactly the kernel's deactivation rule.
+    w = _cep_within_us()
+    return "WITH RECURSIVE _ev_ranked AS (" + TRANSCRIPTS_CTE.split("WITH _ev_ranked AS (", 1)[1] + _CEP_NXT + f"""
+, rec AS (
+  SELECT conv_id, 0 AS p, 0 AS seq, FALSE AS emit,
+         CAST(NULL AS INTEGER) AS i, CAST(NULL AS INTEGER) AS j,
+         CAST(NULL AS INTEGER) AS k, CAST(NULL AS VARCHAR) AS tool,
+         CAST(NULL AS TIMESTAMP) AS ts_i, CAST(NULL AS TIMESTAMP) AS ts_k
+  FROM (SELECT DISTINCT conv_id FROM transcripts)
+  UNION ALL
+  SELECT r.conv_id,
+         CASE WHEN epoch_us(ka.ts) - epoch_us(ia.ts) <= {w}
+              THEN ka.turn_idx + 1 ELSE ia.turn_idx + 1 END AS p,
+         CASE WHEN epoch_us(ka.ts) - epoch_us(ia.ts) <= {w}
+              THEN r.seq + 1 ELSE r.seq END AS seq,
+         epoch_us(ka.ts) - epoch_us(ia.ts) <= {w} AS emit,
+         ia.turn_idx AS i, ja.turn_idx AS j, ka.turn_idx AS k,
+         ia.tool, ia.ts AS ts_i, ka.ts AS ts_k
+  FROM rec r
+  JOIN nxt pa ON pa.conv_id = r.conv_id AND pa.turn_idx = r.p
+  JOIN nxt ia ON ia.conv_id = r.conv_id AND ia.turn_idx = pa.inv_here
+  JOIN nxt ja ON ja.conv_id = r.conv_id AND ja.turn_idx = ia.next_resp
+  JOIN nxt ka ON ka.conv_id = r.conv_id AND ka.turn_idx = ja.next_inv
+)
+SELECT conv_id, CAST(seq - 1 AS BIGINT) AS match_seq,
+       CAST(i AS BIGINT) AS invoke_turn_idx,
+       CAST(j AS BIGINT) AS response_turn_idx,
+       CAST(k AS BIGINT) AS reinvoke_turn_idx,
+       tool, ts_i AS ts_start, ts_k AS ts_end,
+       epoch_us(ts_k) - epoch_us(ts_i) AS span_us
+FROM rec WHERE emit
+"""
+
+
+@register("cep_tool_roundtrip", _cep_all_sql())
+def q_cep_tool_roundtrip(sf_dir: str):
+    """Every tool invocation's roundtrip (policy 'all'): fused into the
+    transcript shuffle, text-free fast derivation."""
+    from dataflow_mm_ray.stages.cep import tool_roundtrip_kernel
+
+    return transcripts_partitioned(
+        sf_dir, lambda t: tool_roundtrip_kernel(t, "all"), fast=True
+    )
+
+
+@register("cep_tool_chain", _cep_chain_all_sql())
+def q_cep_tool_chain(sf_dir: str):
+    """Multi-tool chains, every invoke a candidate (overlaps allowed)."""
+    from dataflow_mm_ray.stages.cep import tool_chain_kernel
+
+    return transcripts_partitioned(
+        sf_dir, lambda t: tool_chain_kernel(t, "all"), fast=True
+    )
+
+
+@register("cep_tool_chain_nonoverlap", _cep_chain_skip_past_sql())
+def q_cep_tool_chain_nonoverlap(sf_dir: str):
+    """Non-overlapping chains (AFTER MATCH SKIP PAST LAST ROW) — on the
+    chain pattern the two policies genuinely diverge (each invoke ends
+    one chain and starts the next), unlike the roundtrip whose matches
+    never overlap in the fixture's role cycle."""
+    from dataflow_mm_ray.stages.cep import tool_chain_kernel
+
+    return transcripts_partitioned(
+        sf_dir, lambda t: tool_chain_kernel(t, "skip_past"), fast=True
+    )

@@ -1,0 +1,281 @@
+"""MATCH_RECOGNIZE-style CEP pattern matching over keyed event streams.
+
+Detects ordered step sequences per conversation — "a tool invocation,
+followed by the first tool response, followed by the first user
+follow-up, all within T" — the classic complex-event-processing
+primitive the reference's operator set has no counterpart for (its
+closest shapes are the chunk merge loop,
+``dataflow/operators/core_vision/generate/
+timestamp_chunk_row_generator.py``, and the conversation walkers in
+``conversation_to_message.py`` — both per-row, neither a sequence
+automaton). Engine-original operator.
+
+Semantics (deterministic, partition-count invariant):
+
+- A *pattern* is an ordered list of named step predicates. Step 0 may
+  match at-or-after the scan pointer; each later step matches at the
+  FIRST row strictly after the previous step's row within the same
+  conversation ("followed by" = skip-till-next-match, as in Flink CEP
+  and SQL MATCH_RECOGNIZE with greedy single-row variables).
+- ``within_us`` bounds the whole match: ts(last step) - ts(step 0).
+- ``policy="all"``: every step-0 row is an independent candidate
+  (overlapping matches allowed) — fully vectorized, no scan state.
+- ``policy="skip_past"``: AFTER MATCH SKIP PAST LAST ROW. Candidates
+  are tried in row order; a completed match resumes scanning after its
+  last row, a timed-out candidate resumes at the next step-0 row after
+  the failed one. Implemented as a *rounds automaton*: per-round state
+  is one pointer per conversation and every round advances all active
+  conversations at once with vectorized searchsorted chains — the
+  Python loop is over rounds (max matches per conversation), never
+  over rows or conversations.
+
+Both policies need every row of a conversation co-located and
+row-ordered: one hash-partitioned shuffle (``partition_map``), or zero
+extra shuffles when fused into ``transcripts_partitioned``.
+
+Scale note: a conversation's rows must fit in one reduce task — the
+same contract every conv-keyed kernel in this engine has (windows,
+sessions, joins); hot-key splitting belongs upstream (salting.py) and
+would break "first next occurrence" semantics if applied here.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+
+US = 1_000_000
+
+# (name, vectorized predicate over the partition frame -> bool ndarray)
+Step = tuple[str, Callable[[pd.DataFrame], np.ndarray]]
+
+
+def _segments(conv: np.ndarray):
+    """Contiguous per-conversation segments of a (conv, order)-sorted
+    frame -> (starts, ends, run_id)."""
+    n = len(conv)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = conv[1:] != conv[:-1]
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    ends = np.append(starts[1:], n)
+    return starts, ends, run_id
+
+
+def _next_at_or_after(pos: np.ndarray, frm: np.ndarray, n: int) -> np.ndarray:
+    """First element of sorted ``pos`` >= frm (vectorized); ``n`` when
+    none. Valid across conversations because segments are disjoint and
+    ascending — callers re-check the result against the conv's end."""
+    idx = np.searchsorted(pos, frm, side="left")
+    if pos.size == 0:
+        return np.full(len(frm), n, dtype=np.int64)
+    return np.where(idx < pos.size, pos[np.minimum(idx, pos.size - 1)], n)
+
+
+def match_pattern_kernel(
+    part: pd.DataFrame,
+    steps: Sequence[Step],
+    within_us: int | None = None,
+    policy: str = "all",
+    carry: Sequence[str] = (),
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Run the pattern over ONE hash partition (whole conversations,
+    sorted by (conv, order)). Returns one row per match:
+
+    conv_id, match_seq, <name>_turn_idx per step, <carry cols from the
+    step-0 row>, ts_start, ts_end, span_us.
+    """
+    if policy not in ("all", "skip_past"):
+        raise ValueError(f"unknown policy {policy!r}")
+    names = [nm for nm, _ in steps]
+    if len(names) < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+
+    def empty() -> pd.DataFrame:
+        cols: dict = {
+            conv_col: pd.Series([], dtype=object),
+            "match_seq": pd.Series([], dtype=np.int64),
+        }
+        for nm in names:
+            cols[f"{nm}_{idx_col}"] = pd.Series([], dtype=np.int64)
+        for c in carry:
+            cols[c] = pd.Series([], dtype=part[c].dtype if len(part) else object)
+        cols["ts_start"] = pd.Series([], dtype="datetime64[us]")
+        cols["ts_end"] = pd.Series([], dtype="datetime64[us]")
+        cols["span_us"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(cols)
+
+    n = len(part)
+    if n == 0:
+        return empty()
+
+    conv = part[conv_col].to_numpy()
+    ts_us = part[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    starts, ends, run_id = _segments(conv)
+    pos = [np.flatnonzero(np.asarray(fn(part), dtype=bool)) for _, fn in steps]
+
+    if policy == "all":
+        a = pos[0]
+        if a.size == 0:
+            return empty()
+        end_a = ends[run_id[a]]
+        rows = [a]
+        ok = np.ones(a.size, dtype=bool)
+        cur = a
+        for s in range(1, len(steps)):
+            nxt = _next_at_or_after(pos[s], cur + 1, n)
+            ok &= nxt < end_a  # stays in step-0's conversation
+            rows.append(nxt)
+            cur = nxt
+        # rows past a failed step cascade through foreign conversations;
+        # harmless — ok is already False for those candidates
+        last = np.where(ok, rows[-1], rows[0])
+        span = ts_us[last] - ts_us[rows[0]]
+        if within_us is not None:
+            ok &= span <= within_us
+        rows = [r[ok] for r in rows]
+        span = span[ok]
+        # match_seq: rank among surviving candidates per conversation
+        # (step-0 rows are ascending, so segment-relative cumcount)
+        if rows[0].size:
+            rid = run_id[rows[0]]
+            chg = np.empty(rid.size, dtype=bool)
+            chg[0] = True
+            chg[1:] = rid[1:] != rid[:-1]
+            seq = np.arange(rid.size) - np.flatnonzero(chg)[np.cumsum(chg) - 1]
+        else:
+            seq = np.array([], dtype=np.int64)
+    else:  # skip_past
+        nconv = len(starts)
+        p = starts.astype(np.int64).copy()
+        endc_all = ends.astype(np.int64)
+        active = np.ones(nconv, dtype=bool)
+        seq_state = np.zeros(nconv, dtype=np.int64)
+        acc_rows: list[list[np.ndarray]] = [[] for _ in steps]
+        acc_seq: list[np.ndarray] = []
+        while active.any():
+            ac = np.flatnonzero(active)
+            endc = endc_all[ac]
+            i0 = _next_at_or_after(pos[0], p[ac], n)
+            chain_ok = i0 < endc
+            rowmat = [i0]
+            cur = i0
+            for s in range(1, len(steps)):
+                nx = _next_at_or_after(pos[s], cur + 1, n)
+                chain_ok &= nx < endc
+                rowmat.append(nx)
+                cur = nx
+            # rowmat holds the sentinel n where the chain broke — clamp
+            # to row 0 for the span lookup (chain_ok is False there)
+            last = np.where(chain_ok, rowmat[-1], 0)
+            first = np.where(chain_ok, rowmat[0], 0)
+            span = ts_us[last] - ts_us[first]
+            matched = chain_ok & (span <= within_us if within_us is not None
+                                  else np.ones(len(ac), dtype=bool))
+            timeout = chain_ok & ~matched
+            if matched.any():
+                for s in range(len(steps)):
+                    acc_rows[s].append(rowmat[s][matched])
+                acc_seq.append(seq_state[ac[matched]])
+                seq_state[ac[matched]] += 1
+                p[ac[matched]] = rowmat[-1][matched] + 1
+            p[ac[timeout]] = rowmat[0][timeout] + 1
+            # no step-0 left, or some later step has no occurrence in
+            # the remaining suffix -> none for any later candidate either
+            active[ac[~chain_ok]] = False
+        if not acc_seq:
+            return empty()
+        rows = [np.concatenate(acc_rows[s]) for s in range(len(steps))]
+        seq = np.concatenate(acc_seq)
+        order = np.lexsort((rows[0], run_id[rows[0]]))
+        rows = [r[order] for r in rows]
+        seq = seq[order]
+        span = ts_us[rows[-1]] - ts_us[rows[0]]
+
+    a = rows[0]
+    out = {conv_col: conv[a], "match_seq": seq.astype(np.int64)}
+    idx_vals = part[idx_col].to_numpy()
+    for nm, r in zip(names, rows):
+        out[f"{nm}_{idx_col}"] = idx_vals[r].astype(np.int64)
+    for c in carry:
+        out[c] = part[c].to_numpy()[a]
+    out["ts_start"] = part[ts_col].to_numpy()[a]
+    out["ts_end"] = part[ts_col].to_numpy()[rows[-1]]
+    out["span_us"] = span.astype(np.int64)
+    return pd.DataFrame(out)
+
+
+def match_pattern(
+    ds,
+    steps: Sequence[Step],
+    within_us: int | None = None,
+    policy: str = "all",
+    carry: Sequence[str] = (),
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    num_partitions=None,
+):
+    """Pattern-match a Dataset of keyed, indexed events: ONE hash
+    shuffle on ``conv_col`` (whole conversations co-located), kernel
+    vectorized per partition."""
+    from dataflow_mm_ray.partition import partition_map
+    from dataflow_mm_ray.schema import DEFAULT_NUM_PARTITIONS
+
+    return partition_map(
+        ds,
+        conv_col,
+        lambda part: match_pattern_kernel(
+            part, steps, within_us=within_us, policy=policy, carry=carry,
+            conv_col=conv_col, idx_col=idx_col, ts_col=ts_col,
+        ),
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+        sort_by=[conv_col, idx_col],
+    )
+
+
+# --- the flagship transcript pattern -------------------------------------
+
+#: tool invocation -> first tool response -> first user follow-up
+TOOL_ROUNDTRIP_STEPS: tuple[Step, ...] = (
+    ("invoke", lambda df: (df["role"].to_numpy() == "assistant")
+                          & df["tool"].notna().to_numpy()),
+    ("response", lambda df: df["role"].to_numpy() == "tool"),
+    ("followup", lambda df: df["role"].to_numpy() == "user"),
+)
+
+#: invocation -> first response -> NEXT invocation: a multi-tool chain.
+#: Unlike the roundtrip, chain candidates OVERLAP in the fixture's
+#: role cycle (each invoke is both the end of one chain and the start
+#: of the next), so the two match policies genuinely diverge on it.
+TOOL_CHAIN_STEPS: tuple[Step, ...] = (
+    ("invoke", TOOL_ROUNDTRIP_STEPS[0][1]),
+    ("response", TOOL_ROUNDTRIP_STEPS[1][1]),
+    ("reinvoke", TOOL_ROUNDTRIP_STEPS[0][1]),
+)
+
+#: whole-match time bound (seconds) for the registered queries — sized
+#: so the sf fixtures exercise BOTH outcomes (median candidate span at
+#: sf0.001 is ~97k s: roughly half match, half time out).
+ROUNDTRIP_WITHIN_S = 100_000
+
+
+def tool_roundtrip_kernel(t: pd.DataFrame, policy: str) -> pd.DataFrame:
+    """Per-partition kernel for the fused transcripts path (fast=True:
+    predicates read role/tool only, never text)."""
+    return match_pattern_kernel(
+        t, TOOL_ROUNDTRIP_STEPS, within_us=ROUNDTRIP_WITHIN_S * US,
+        policy=policy, carry=("tool",),
+    )
+
+
+def tool_chain_kernel(t: pd.DataFrame, policy: str) -> pd.DataFrame:
+    return match_pattern_kernel(
+        t, TOOL_CHAIN_STEPS, within_us=ROUNDTRIP_WITHIN_S * US,
+        policy=policy, carry=("tool",),
+    )

@@ -1,0 +1,186 @@
+"""CEP pattern matching: vectorized kernel vs a naive per-conversation
+automaton, edge cases, and partition-count invariance."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataflow_mm_ray.stages.cep import (
+    ROUNDTRIP_WITHIN_S,
+    TOOL_ROUNDTRIP_STEPS,
+    US,
+    match_pattern_kernel,
+)
+
+
+def naive_match(df, steps, within_us, policy):
+    """Straight transcription of the documented semantics: per-conv
+    Python loops, first-next-occurrence chaining."""
+    out = []
+    for cid, g in df.groupby("conv_id", sort=True):
+        g = g.sort_values("turn_idx").reset_index(drop=True)
+        masks = [np.asarray(fn(g), dtype=bool) for _, fn in steps]
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+
+        def chain(start_at):
+            """candidate from first step-0 row >= start_at; None if no
+            step-0 row, 'dead' if a later step has no occurrence."""
+            i0s = [i for i in range(start_at, len(g)) if masks[0][i]]
+            if not i0s:
+                return None
+            rows = [i0s[0]]
+            for s in range(1, len(steps)):
+                nxt = [i for i in range(rows[-1] + 1, len(g)) if masks[s][i]]
+                if not nxt:
+                    return "dead"
+                rows.append(nxt[0])
+            return rows
+
+        def emit(rows, seq):
+            out.append(
+                (cid, seq) + tuple(int(g["turn_idx"][r]) for r in rows)
+                + (int(ts[rows[-1]] - ts[rows[0]]),)
+            )
+
+        if policy == "all":
+            seq = 0
+            for i in range(len(g)):
+                if not masks[0][i]:
+                    continue
+                rows = [i]
+                ok = True
+                for s in range(1, len(steps)):
+                    nxt = [j for j in range(rows[-1] + 1, len(g)) if masks[s][j]]
+                    if not nxt:
+                        ok = False
+                        break
+                    rows.append(nxt[0])
+                if ok and (within_us is None or ts[rows[-1]] - ts[rows[0]] <= within_us):
+                    emit(rows, seq)
+                    seq += 1
+        else:
+            p, seq = 0, 0
+            while True:
+                rows = chain(p)
+                if rows is None or rows == "dead":
+                    break
+                if within_us is None or ts[rows[-1]] - ts[rows[0]] <= within_us:
+                    emit(rows, seq)
+                    seq += 1
+                    p = rows[-1] + 1
+                else:
+                    p = rows[0] + 1
+    cols = ["conv_id", "match_seq"] + [f"{nm}_turn_idx" for nm, _ in steps] + ["span_us"]
+    return pd.DataFrame(out, columns=cols)
+
+
+def random_transcript(rng, n_convs, max_turns):
+    frames = []
+    for c in range(n_convs):
+        n = rng.integers(1, max_turns + 1)
+        roles = rng.choice(["user", "assistant", "tool"], size=n)
+        tool = np.where(rng.random(n) < 0.5, "tool_x", None)
+        ts = np.sort(rng.integers(0, 10_000, size=n)).astype("datetime64[s]").astype("datetime64[us]")
+        frames.append(pd.DataFrame({
+            "conv_id": f"conv-{c:06d}",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": roles, "tool": tool, "ts": ts,
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+STEPS2 = TOOL_ROUNDTRIP_STEPS[:2]
+STEPS4 = TOOL_ROUNDTRIP_STEPS + (
+    ("second_invoke", TOOL_ROUNDTRIP_STEPS[0][1]),
+)
+
+
+@pytest.mark.parametrize("policy", ["all", "skip_past"])
+@pytest.mark.parametrize("steps", [STEPS2, TOOL_ROUNDTRIP_STEPS, STEPS4],
+                         ids=["k2", "k3", "k4"])
+@pytest.mark.parametrize("within_s", [None, 50, 2000])
+def test_kernel_matches_naive(policy, steps, within_s):
+    rng = np.random.default_rng(hash((policy, len(steps), within_s or 0)) % 2**32)
+    df = random_transcript(rng, n_convs=25, max_turns=60)
+    within_us = None if within_s is None else within_s * US
+    got = match_pattern_kernel(df, steps, within_us=within_us, policy=policy)
+    want = naive_match(df, steps, within_us, policy)
+    keep = list(want.columns)
+    got_c = got[keep].sort_values(keep).reset_index(drop=True)
+    want_c = want.sort_values(keep).reset_index(drop=True).astype(
+        {c: np.int64 for c in keep if c != "conv_id"})
+    pd.testing.assert_frame_equal(got_c, want_c, check_exact=True)
+
+
+def test_skip_past_is_subset_nonoverlapping():
+    rng = np.random.default_rng(7)
+    df = random_transcript(rng, n_convs=10, max_turns=80)
+    sp = match_pattern_kernel(df, TOOL_ROUNDTRIP_STEPS,
+                              within_us=2000 * US, policy="skip_past")
+    # non-overlap: within a conversation, each match starts after the
+    # previous match's last row
+    for _, g in sp.groupby("conv_id"):
+        g = g.sort_values("match_seq")
+        assert (g["invoke_turn_idx"].to_numpy()[1:]
+                > g["followup_turn_idx"].to_numpy()[:-1]).all()
+        assert (g["match_seq"].to_numpy() == np.arange(len(g))).all()
+
+
+def test_kernel_edges():
+    empty = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                          "turn_idx": pd.Series([], dtype=np.int32),
+                          "role": pd.Series([], dtype=object),
+                          "tool": pd.Series([], dtype=object),
+                          "ts": pd.Series([], dtype="datetime64[us]")})
+    for policy in ("all", "skip_past"):
+        out = match_pattern_kernel(empty, TOOL_ROUNDTRIP_STEPS, policy=policy)
+        assert len(out) == 0 and "invoke_turn_idx" in out.columns
+    # one conv, no step-0 occurrences at all
+    df = pd.DataFrame({"conv_id": ["c"] * 3, "turn_idx": np.arange(3, dtype=np.int32),
+                       "role": ["user"] * 3, "tool": [None] * 3,
+                       "ts": pd.to_datetime([0, 1, 2], unit="s").astype("datetime64[us]")})
+    for policy in ("all", "skip_past"):
+        assert len(match_pattern_kernel(df, TOOL_ROUNDTRIP_STEPS, policy=policy)) == 0
+    # bad inputs
+    with pytest.raises(ValueError):
+        match_pattern_kernel(df, TOOL_ROUNDTRIP_STEPS, policy="nope")
+    with pytest.raises(ValueError):
+        match_pattern_kernel(df, TOOL_ROUNDTRIP_STEPS[:1])
+
+
+def test_carry_and_ts_columns():
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 4,
+        "turn_idx": np.arange(4, dtype=np.int32),
+        "role": ["assistant", "tool", "user", "user"],
+        "tool": ["tool_a", "tool_a", None, None],
+        "ts": pd.to_datetime([10, 20, 30, 40], unit="s").astype("datetime64[us]"),
+    })
+    out = match_pattern_kernel(df, TOOL_ROUNDTRIP_STEPS, within_us=None,
+                               policy="all", carry=("tool",))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["tool"], r["invoke_turn_idx"], r["response_turn_idx"],
+            r["followup_turn_idx"]) == ("tool_a", 0, 1, 2)
+    assert r["span_us"] == 20 * US
+    assert r["ts_start"] == pd.Timestamp("1970-01-01 00:00:10")
+    assert r["ts_end"] == pd.Timestamp("1970-01-01 00:00:30")
+
+
+@pytest.mark.parametrize("policy", ["all", "skip_past"])
+def test_partition_count_invariance(ray_session, policy):
+    import ray
+
+    from dataflow_mm_ray.stages.cep import match_pattern
+
+    rng = np.random.default_rng(11)
+    df = random_transcript(rng, n_convs=40, max_turns=30)
+    ds = ray.data.from_pandas(df).repartition(7)
+    outs = []
+    for np_ in (3, 13):
+        out = match_pattern(ds, TOOL_ROUNDTRIP_STEPS, within_us=500 * US,
+                            policy=policy, carry=("tool",),
+                            num_partitions=np_).to_pandas()
+        cols = list(out.columns)
+        outs.append(out.sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    assert len(outs[0]) > 0
