@@ -279,3 +279,168 @@ def tool_chain_kernel(t: pd.DataFrame, policy: str) -> pd.DataFrame:
         t, TOOL_CHAIN_STEPS, within_us=ROUNDTRIP_WITHIN_S * US,
         policy=policy, carry=("tool",),
     )
+
+
+# --- streaming (watermarked, incremental) skip_past chain -----------------
+
+CEP_EMIT_COLS = ("conv_id", "match_seq", "invoke_turn_idx",
+                 "response_turn_idx", "reinvoke_turn_idx", "tool",
+                 "ts_start_us", "ts_end_us", "span_us")
+
+
+def _empty_cep_emissions() -> pd.DataFrame:
+    out = {}
+    for c in CEP_EMIT_COLS:
+        if c in ("conv_id", "tool"):
+            out[c] = pd.Series([], dtype=object)
+        else:
+            out[c] = pd.Series([], dtype=np.int64)
+    return pd.DataFrame(out)
+
+
+def advance_chain_automaton(
+    rows: pd.DataFrame,
+    ptrs: dict,
+    seqs: dict,
+    wm_us: int,
+    within_us: int,
+    flush: bool = False,
+):
+    """One watermark advance of the streamed skip_past TOOL_CHAIN
+    automaton (invoke -> first response -> next invoke, within bound).
+
+    ``rows``: this shard's buffered invoke/response rows, sorted by
+    (conv_id, turn_idx), columns conv_id/turn_idx/ts_us/is_inv/tool.
+    ``ptrs``/``seqs``: per-conversation scan pointer (turn space) and
+    match counter, mutated in place.
+
+    Decidability: turn order == ts order within a conversation (the
+    derivation breaks ts ties by event_id), and every future non-late
+    arrival has ts >= wm. A candidate invoke i is decidable once
+    ``ts_i + within < wm`` — all rows that could beat the within bound
+    have arrived, and a chain step missing from the stable set
+    (ts < wm) can only be supplied by a row with ts >= wm >
+    ts_i + within, i.e. a timeout either way. Candidates are therefore
+    decided strictly in order (skip_past is sequential); the loop stops
+    at the first undecided one. Emissions are a pure function of
+    (applied rows, wm), so checkpoint replay reproduces them exactly,
+    and the final output equals the batch kernel over all applied rows
+    (mid-stream "missing step" timeouts retry where batch deactivates,
+    but a conversation with a missing step can never match again, so
+    the emission sets coincide).
+
+    Returns (emissions, kept_rows): emissions sorted by
+    (conv_id, invoke_turn_idx); kept_rows = the pruned buffer — unstable
+    rows (ts >= wm) plus stable rows at-or-after the first undecided
+    candidate. State is thus bounded by the within window per
+    conversation.
+    """
+    if not len(rows):
+        return _empty_cep_emissions(), rows
+
+    conv = rows["conv_id"].to_numpy()
+    tix = rows["turn_idx"].to_numpy(dtype=np.int64)
+    ts = rows["ts_us"].to_numpy(dtype=np.int64)
+    is_inv = rows["is_inv"].to_numpy(dtype=bool)
+    n = len(rows)
+    stable = np.ones(n, dtype=bool) if flush else ts < wm_us
+    starts, ends, run_id = _segments(conv)
+    nconv = len(starts)
+    conv_names = conv[starts]
+    pos_inv = np.flatnonzero(is_inv & stable)
+    pos_resp = np.flatnonzero(~is_inv & stable)
+
+    ptr_arr = np.array([ptrs.get(c, 0) for c in conv_names], dtype=np.int64)
+    seq_arr = np.array([seqs.get(c, 0) for c in conv_names], dtype=np.int64)
+    # row-space pointer: first row of the conv with turn_idx >= ptr
+    # (composite key: segments are conv-major, turn_idx ascending within)
+    key = run_id.astype(np.int64) * (1 << 32) + tix
+    p_row = np.searchsorted(
+        key, np.arange(nconv, dtype=np.int64) * (1 << 32) + np.minimum(ptr_arr, (1 << 32) - 1)
+    ).astype(np.int64)
+
+    HUGE = np.int64(1 << 62)
+    active = np.ones(nconv, dtype=bool)
+    thr = np.full(nconv, HUGE, dtype=np.int64)  # stable-prune threshold (turn space)
+    acc_i: list[np.ndarray] = []
+    acc_j: list[np.ndarray] = []
+    acc_k: list[np.ndarray] = []
+    acc_c: list[np.ndarray] = []
+    acc_s: list[np.ndarray] = []
+    while active.any():
+        ac = np.flatnonzero(active)
+        endc = ends[ac]
+        i0 = _next_at_or_after(pos_inv, p_row[ac], n)
+        has0 = i0 < endc
+        i0c = np.where(has0, i0, 0)
+        # NB: `not flush`, never `~flush` — bitwise NOT of a Python
+        # bool is -1 and would silently make these INTEGER masks
+        if flush:
+            undec = np.zeros(len(ac), dtype=bool)
+        else:
+            undec = has0 & (ts[i0c] + within_us >= wm_us)
+        thr[ac[undec]] = tix[i0c[undec]]
+        stop = undec | ~has0
+        if stop.any():
+            active[ac[stop]] = False
+        go = ~stop
+        if not go.any():
+            break
+        agc = ac[go]
+        i0g = i0[go]
+        endg = endc[go]
+        j = _next_at_or_after(pos_resp, i0g + 1, n)
+        k = _next_at_or_after(pos_inv, np.minimum(j + 1, n), n)
+        chain_ok = (j < endg) & (k < endg)
+        span = ts[np.where(chain_ok, k, i0g)] - ts[i0g]
+        matched = chain_ok & (span <= within_us)
+        # mid-stream a missing stable step is a timeout (any unseen row
+        # has ts >= wm > ts_i + within); at flush it is terminal
+        dead = ~chain_ok & flush
+        timeout = ~matched & ~dead
+        if matched.any():
+            acc_c.append(agc[matched])
+            acc_s.append(seq_arr[agc[matched]].copy())
+            acc_i.append(i0g[matched])
+            acc_j.append(j[matched])
+            acc_k.append(k[matched])
+            seq_arr[agc[matched]] += 1
+            p_row[agc[matched]] = k[matched] + 1
+            ptr_arr[agc[matched]] = tix[k[matched]] + 1
+        p_row[agc[timeout]] = i0g[timeout] + 1
+        ptr_arr[agc[timeout]] = tix[i0g[timeout]] + 1
+        if dead.any():
+            ptr_arr[agc[dead]] = HUGE
+            active[agc[dead]] = False
+
+    for c, pv, sv in zip(conv_names, ptr_arr, seq_arr):
+        ptrs[c] = int(pv)
+        seqs[c] = int(sv)
+
+    if acc_c:
+        ci = np.concatenate(acc_c)
+        ii = np.concatenate(acc_i)
+        jj = np.concatenate(acc_j)
+        kk = np.concatenate(acc_k)
+        sq = np.concatenate(acc_s)
+        order = np.lexsort((ii, ci))
+        ci, ii, jj, kk, sq = ci[order], ii[order], jj[order], kk[order], sq[order]
+        emissions = pd.DataFrame(
+            {
+                "conv_id": conv_names[ci],
+                "match_seq": sq.astype(np.int64),
+                "invoke_turn_idx": tix[ii],
+                "response_turn_idx": tix[jj],
+                "reinvoke_turn_idx": tix[kk],
+                "tool": rows["tool"].to_numpy()[ii],
+                "ts_start_us": ts[ii],
+                "ts_end_us": ts[kk],
+                "span_us": ts[kk] - ts[ii],
+            }
+        )
+    else:
+        emissions = _empty_cep_emissions()
+
+    keep = (~stable) | (tix >= thr[run_id])
+    kept = rows[keep].reset_index(drop=True)
+    return emissions, kept

@@ -78,8 +78,28 @@ def _empty(cols) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series([], dtype=object if c in ("conv_id", "tool") else np.int64) for c in cols})
 
 
+_CEP_COLS = ["conv_id", "turn_idx", "ts_us", "is_inv", "tool"]
+
+
+def _empty_cep() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype=object),
+            "turn_idx": pd.Series([], dtype=np.int64),
+            "ts_us": pd.Series([], dtype=np.int64),
+            "is_inv": pd.Series([], dtype=bool),
+            "tool": pd.Series([], dtype=object),
+        }
+    )
+
+
 class _ShardState:
-    def __init__(self, width_s: int, gap_s: int, slide_width_s: int = 0):
+    def __init__(self, width_s: int, gap_s: int, slide_width_s: int = 0,
+                 cep_within_s: int | None = None):
+        from dataflow_mm_ray.stages.cep import ROUNDTRIP_WITHIN_S
+
+        self.cep_within_us = (ROUNDTRIP_WITHIN_S if cep_within_s is None
+                              else cep_within_s) * US
         self.width_us = width_s * US
         self.gap_us = gap_s * US
         self.slide_width_us = slide_width_s * US
@@ -105,6 +125,13 @@ class _ShardState:
         # the split is lossless)
         self.dcount: dict[int, bytes] = {}
         self.dcount_chunks: list[pd.DataFrame] = []
+        # streamed CEP (stages/cep.py advance_chain_automaton): buffered
+        # invoke/response rows (bounded by the within window — pruned
+        # every finalize), per-conv scan pointer + match counter
+        self.cep_pending = _empty_cep()
+        self.cep_chunks: list[pd.DataFrame] = []
+        self.cep_ptr: dict[str, int] = {}
+        self.cep_seq: dict[str, int] = {}
 
 
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -140,9 +167,10 @@ def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
 
 @ray.remote
 class StateShard:
-    def __init__(self, shard_id: int, width_s: int, gap_s: int, slide_width_s: int = 0):
+    def __init__(self, shard_id: int, width_s: int, gap_s: int, slide_width_s: int = 0,
+                 cep_within_s: int | None = None):
         self.shard_id = shard_id
-        self.s = _ShardState(width_s, gap_s, slide_width_s)
+        self.s = _ShardState(width_s, gap_s, slide_width_s, cep_within_s)
         # within-epoch apply dedup: a Ray Data map task retried after a
         # worker crash re-issues its apply calls; the deterministic
         # content-derived apply_id lets the shard drop the replay, so
@@ -195,6 +223,17 @@ class StateShard:
             n += len(join_events)
             inv = join_events[join_events["kind"] == "inv"]
             tool = join_events[join_events["kind"] == "tool"]
+            # the CEP chain automaton consumes the SAME invoke/response
+            # rows the join ships — no extra extract traffic
+            st.cep_chunks.append(
+                pd.DataFrame(
+                    {"conv_id": join_events["conv_id"].to_numpy(),
+                     "turn_idx": join_events["turn_idx"].to_numpy(dtype=np.int64),
+                     "ts_us": join_events["ts_us"].to_numpy(dtype=np.int64),
+                     "is_inv": (join_events["kind"].to_numpy() == "inv"),
+                     "tool": join_events["tool"].to_numpy()}
+                )
+            )
             if len(inv):
                 st.inv_chunks.append(
                     pd.DataFrame(
@@ -451,12 +490,32 @@ class StateShard:
                  "__regs": pd.Series([], dtype=object)}
             )
 
+        # --- streamed CEP: decide every candidate the watermark has
+        # passed (stages/cep.py advance_chain_automaton), prune buffer
+        from dataflow_mm_ray.stages.cep import advance_chain_automaton
+
+        cep_frames = ([st.cep_pending] if len(st.cep_pending) else []) + st.cep_chunks
+        st.cep_chunks = []
+        if cep_frames:
+            cep_rows = (pd.concat(cep_frames, ignore_index=True)
+                        if len(cep_frames) > 1 else cep_frames[0])
+            cep_rows = cep_rows.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            cep_out, st.cep_pending = advance_chain_automaton(
+                cep_rows.reset_index(drop=True), st.cep_ptr, st.cep_seq,
+                wm_us, st.cep_within_us, flush=flush,
+            )
+        else:
+            from dataflow_mm_ray.stages.cep import _empty_cep_emissions
+
+            cep_out = _empty_cep_emissions()
+
         frames_out = {
             "windows": win_closed,
             "sessions": sessions_out,
             "joins": join_out,
             "sliding": slide_closed,
             "asof": asof_out,
+            "cep": cep_out,
         }
         if stage_root is None:
             frames_out["wdistinct_partials"] = dcount_out
@@ -516,5 +575,6 @@ class StateShard:
             "pending_inv": int(len(st.inv)) + sum(len(c) for c in st.inv_chunks),
             "pending_tool": int(len(st.tool)) + sum(len(c) for c in st.tool_chunks),
             "pending_asof": int(len(st.asof_pending)) + sum(len(c) for c in st.asof_chunks),
+            "pending_cep": int(len(st.cep_pending)) + sum(len(c) for c in st.cep_chunks),
             "open_dcount_windows": int(len(st.dcount)) + sum(len(c) for c in st.dcount_chunks),
         }

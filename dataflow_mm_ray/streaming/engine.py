@@ -59,7 +59,7 @@ from dataflow_mm_ray.state.store import StateShard
 from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
-STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "wdistinct", "late")
+STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "cep", "wdistinct", "late")
 
 
 def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
@@ -149,6 +149,7 @@ class StreamingEngine:
         lateness_s: int = 0,
         slide_width_s: int = 7200,
         slide_s: int = 3600,
+        cep_within_s: int | None = None,
     ):
         self.transcripts_path = transcripts_path
         self.out_dir = out_dir
@@ -173,9 +174,13 @@ class StreamingEngine:
             raise ValueError("slide_width_s must be a multiple of slide_s")
         self.slide_width_s = slide_width_s
         self.slide_s = slide_s
+        from dataflow_mm_ray.stages.cep import ROUNDTRIP_WITHIN_S
+
+        self.cep_within_s = ROUNDTRIP_WITHIN_S if cep_within_s is None else cep_within_s
         self.sink = EpochSink(out_dir, STREAMS)
         self.shards = [
-            StateShard.remote(i, width_s, gap_s, slide_width_s) for i in range(n_shards)
+            StateShard.remote(i, width_s, gap_s, slide_width_s, self.cep_within_s)
+            for i in range(n_shards)
         ]
         self.watermark_us = -(1 << 62)
         self.next_epoch = 0
@@ -205,6 +210,7 @@ class StreamingEngine:
             "lateness_us": self.lateness_us,
             "slide_width_s": self.slide_width_s,
             "slide_s": self.slide_s,
+            "cep_within_s": self.cep_within_s,
         }
 
     def _checkpoint(self, epoch: int) -> None:
@@ -519,7 +525,7 @@ class StreamingEngine:
             ]
         )
         emitted_counts = {}
-        for stream in ("windows", "sliding", "sessions", "joins", "asof"):
+        for stream in ("windows", "sliding", "sessions", "joins", "asof", "cep"):
             files = [f for e in emissions for f in e["files"][stream]]
             rows = sum(e["rows"][stream] for e in emissions)
             emitted_counts[stream] = rows

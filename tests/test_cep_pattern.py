@@ -184,3 +184,58 @@ def test_partition_count_invariance(ray_session, policy):
         outs.append(out.sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
     assert len(outs[0]) > 0
+
+
+def test_streamed_automaton_equals_batch_over_random_epochs():
+    """advance_chain_automaton across arbitrary epoch splits and
+    watermark advances == the batch skip_past kernel over the rows that
+    were ever applied (late rows dropped at arrival, engine-style)."""
+    from dataflow_mm_ray.stages.cep import advance_chain_automaton
+
+    for trial in range(12):
+        rng = np.random.default_rng(trial)
+        frames = []
+        for c in range(10):
+            n = rng.integers(2, 50)
+            is_inv = rng.random(n) < 0.5
+            ts = np.sort(rng.integers(0, 5000, size=n)).astype(np.int64) * US
+            frames.append(pd.DataFrame({
+                "conv_id": f"c{c:03d}", "turn_idx": np.arange(n, dtype=np.int64),
+                "ts_us": ts, "is_inv": is_inv,
+                "tool": np.where(is_inv, "tool_x", None),
+            }))
+        allrows = pd.concat(frames, ignore_index=True)
+        within_us = int(rng.integers(50, 2000)) * US
+        epoch_of = rng.integers(0, 5, size=len(allrows))
+
+        ptrs, seqs = {}, {}
+        pending = allrows.iloc[0:0]
+        emitted, applied_parts = [], []
+        wm = -(1 << 62)
+        for e in range(5):
+            arrive = allrows[epoch_of == e]
+            arrive = arrive[arrive["ts_us"].to_numpy() >= wm]  # late quarantine
+            applied_parts.append(arrive)
+            rows = (pd.concat([pending, arrive], ignore_index=True)
+                    .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+            if len(arrive):
+                wm = max(wm, int(arrive["ts_us"].max()))
+            em, pending = advance_chain_automaton(
+                rows, ptrs, seqs, wm, within_us, flush=(e == 4))
+            emitted.append(em)
+        got = pd.concat(emitted, ignore_index=True)
+
+        applied = (pd.concat(applied_parts)
+                   .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+        t = applied.copy()
+        t["role"] = np.where(t["is_inv"], "assistant", "tool")
+        t["ts"] = t["ts_us"].astype("datetime64[us]")
+        from dataflow_mm_ray.stages.cep import TOOL_CHAIN_STEPS
+        want = match_pattern_kernel(t, TOOL_CHAIN_STEPS, within_us=within_us,
+                                    policy="skip_past", carry=("tool",))
+        cols = ["conv_id", "match_seq", "invoke_turn_idx",
+                "response_turn_idx", "reinvoke_turn_idx", "span_us"]
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True).astype(
+            {c: np.int64 for c in cols if c != "conv_id"})
+        pd.testing.assert_frame_equal(g, w, check_exact=True), trial

@@ -358,3 +358,75 @@ def test_counter_key_collision_safe(ray_session, tmp_path):
     assert n_late + applied == 3  # nothing swallowed by counter filtering
     if n_late:
         assert set(res["late"]["conv_id"]).issubset({"__counter__", "conv-x"})
+
+
+def _batch_cep_chain(turns_df: pd.DataFrame) -> pd.DataFrame:
+    """Batch skip_past chain over a pandas transcript frame, mapped to
+    the streamed emission schema (int64 ts columns)."""
+    from dataflow_mm_ray.stages.cep import tool_chain_kernel
+
+    t = turns_df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    out = tool_chain_kernel(t, "skip_past")
+    out["ts_start_us"] = out.pop("ts_start").astype("datetime64[us]").astype(np.int64)
+    out["ts_end_us"] = out.pop("ts_end").astype("datetime64[us]").astype(np.int64)
+    return out
+
+
+def test_cep_stream_matches_batch_when_nothing_late(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    eng = _run_engine(transcripts_path, tmp_path / "out", BIG_LATENESS)
+    got = eng.results()["cep"]
+    assert len(got) > 0
+    want = _batch_cep_chain(transcripts_from_events(SF_TINY).to_pandas())
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
+
+
+@pytest.mark.parametrize("lateness_s", [0, 3600])
+def test_cep_stream_matches_batch_over_applied_rows(ray_session, transcripts_path, tmp_path, lateness_s):
+    # with a tight watermark the quarantined rows never reach the
+    # automaton: committed cep == batch kernel over the non-late subset
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    eng = _run_engine(transcripts_path, tmp_path / f"out{lateness_s}", lateness_s)
+    res = eng.results()
+    late = res["late"]
+    assert len(late) > 0
+    t = transcripts_from_events(SF_TINY).to_pandas()
+    late_keys = set(zip(late["conv_id"], late["turn_idx"].astype(int)))
+    applied = t[[
+        (c, int(i)) not in late_keys for c, i in zip(t["conv_id"], t["turn_idx"])
+    ]]
+    want = _batch_cep_chain(applied)
+    got = res["cep"]
+    if not len(got):  # a stream with zero committed files has no columns
+        assert len(want) == 0
+        return
+    assert len(want) > 0  # 3600s lateness must leave some chains
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
+
+
+def test_cep_state_bounded_by_within_window(ray_session, transcripts_path, tmp_path):
+    # pending CEP rows after each non-flush finalize are only unstable
+    # rows or rows from the first undecided candidate on — i.e. the
+    # within window, never the whole history
+    import ray as _ray
+
+    from dataflow_mm_ray.streaming.engine import StreamingEngine
+
+    eng = StreamingEngine(
+        transcripts_path, str(tmp_path / "out"), n_epochs=5, n_shards=3,
+        width_s=WIDTH_S, gap_s=GAP_S, lateness_s=0,
+    )
+    eng.run(stop_after=2)  # three epochs, no flush yet
+    stats = _ray.get([sh.stats.remote() for sh in eng.shards])
+    # the invariant: pending counts stay far below the total
+    # invoke/response rows seen (half the stream) — pruning works
+    import pyarrow.parquet as pq
+
+    total = pq.read_table(transcripts_path).num_rows
+    assert sum(s["pending_cep"] for s in stats) < total / 2
