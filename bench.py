@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "scene_segments",
     "asof_enrich",
     "range_join_incidents",
+    "cep_tool_roundtrip",
+    "cep_tool_chain_nonoverlap",
     # text analysis over documents
     "rule_filter",
     "text_stats",
@@ -103,6 +105,7 @@ CEP_QUERIES = {
     "transcripts", "tumbling_window", "sliding_window", "session_window",
     "tool_join", "dedup_exact", "conversation_digest", "hot_conversations",
     "late_events", "scene_segments", "asof_enrich", "range_join_incidents",
+    "cep_tool_roundtrip", "cep_tool_chain_nonoverlap",
 }
 
 

@@ -1808,3 +1808,33 @@ def q_approx_distinct_props(sf_dir: str):
 
     ev = read_table(sf_dir, "events", columns=["event_type", "props"])
     return approx_distinct(ev, "event_type", "props")
+
+
+# ---------------------------------------------------------------------------
+# guaranteed-exact heavy hitters (stages/heavyhitters.py)
+# ---------------------------------------------------------------------------
+
+HH_NUM, HH_DEN = 7, 200  # phi = 3.5% of all token occurrences
+
+
+@register(
+    "heavy_hitters",
+    f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY 1
+HAVING count(*) * {HH_DEN} > {HH_NUM} * (SELECT count(*) FROM toks)
+""",
+)
+def q_heavy_hitters(sf_dir: str):
+    """Every token above phi of all occurrences, EXACT counts: MG
+    candidate sketch (bounded counters per batch) -> broadcast -> exact
+    verify pass. Output is batch/partition invariant even though the
+    intermediate candidate set is not (superset guarantee)."""
+    from dataflow_mm_ray.stages.heavyhitters import heavy_hitters, whitespace_tokens
+
+    docs = _documents(sf_dir)
+    return heavy_hitters(docs, whitespace_tokens, HH_NUM, HH_DEN)
