@@ -1221,3 +1221,85 @@ def q_cep_tool_chain_nonoverlap(sf_dir: str):
     return transcripts_partitioned(
         sf_dir, lambda t: tool_chain_kernel(t, "skip_past"), fast=True
     )
+
+
+FUNNEL_WITHIN_S = 150_000
+
+
+def _cep_funnel_sql() -> str:
+    # the same recursive scan automaton as the chain oracle, over the
+    # RAW events table: view -> first click -> first purchase per user,
+    # ordered by (ts, event_id), non-overlapping episodes
+    w = FUNNEL_WITHIN_S * 1_000_000
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_id, ts, user_id, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS pos
+  FROM events
+), nxt AS (
+  SELECT user_id, pos, event_id, ts,
+     MIN(CASE WHEN event_type = 'view' THEN pos END)
+        OVER (PARTITION BY user_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS view_here,
+     MIN(CASE WHEN event_type = 'click' THEN pos END) OVER wf AS next_click,
+     MIN(CASE WHEN event_type = 'purchase' THEN pos END) OVER wf AS next_purchase
+  FROM ev
+  WINDOW wf AS (PARTITION BY user_id ORDER BY pos
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), rec AS (
+  SELECT user_id, 0 AS p, 0 AS seq, FALSE AS emit,
+         CAST(NULL AS BIGINT) AS i_id, CAST(NULL AS BIGINT) AS j_id,
+         CAST(NULL AS BIGINT) AS k_id,
+         CAST(NULL AS TIMESTAMP) AS ts_i, CAST(NULL AS TIMESTAMP) AS ts_k
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT r.user_id,
+         CASE WHEN epoch_us(ka.ts) - epoch_us(ia.ts) <= {w}
+              THEN ka.pos + 1 ELSE ia.pos + 1 END AS p,
+         CASE WHEN epoch_us(ka.ts) - epoch_us(ia.ts) <= {w}
+              THEN r.seq + 1 ELSE r.seq END AS seq,
+         epoch_us(ka.ts) - epoch_us(ia.ts) <= {w} AS emit,
+         ia.event_id AS i_id, ja.event_id AS j_id, ka.event_id AS k_id,
+         ia.ts AS ts_i, ka.ts AS ts_k
+  FROM rec r
+  JOIN nxt pa ON pa.user_id = r.user_id AND pa.pos = r.p
+  JOIN nxt ia ON ia.user_id = r.user_id AND ia.pos = pa.view_here
+  JOIN nxt ja ON ja.user_id = r.user_id AND ja.pos = ia.next_click
+  JOIN nxt ka ON ka.user_id = r.user_id AND ka.pos = ja.next_purchase
+)
+SELECT user_id, CAST(seq - 1 AS BIGINT) AS match_seq,
+       i_id AS view_event_id, j_id AS click_event_id,
+       k_id AS purchase_event_id,
+       ts_i AS ts_start, ts_k AS ts_end,
+       epoch_us(ts_k) - epoch_us(ts_i) AS span_us
+FROM rec WHERE emit
+"""
+
+
+@register("cep_funnel", _cep_funnel_sql())
+def q_cep_funnel(sf_dir: str):
+    """Conversion funnel over the RAW events table (view -> first
+    click -> first purchase per user, within FUNNEL_WITHIN_S,
+    non-overlapping episodes) — the generic match_pattern operator on a
+    non-transcript stream, ordered by (ts, event_id)."""
+    import numpy as np
+
+    from dataflow_mm_ray.stages.cep import match_pattern
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def typ(name):
+        return lambda df: df["event_type"].to_numpy() == name
+
+    return match_pattern(
+        ev,
+        (("view", typ("view")), ("click", typ("click")),
+         ("purchase", typ("purchase"))),
+        within_us=FUNNEL_WITHIN_S * 1_000_000,
+        policy="skip_past",
+        conv_col="user_id",
+        idx_col="event_id",
+        order_by=("ts", "event_id"),
+    )

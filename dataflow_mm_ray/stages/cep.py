@@ -219,11 +219,15 @@ def match_pattern(
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     ts_col: str = "ts",
+    order_by: Sequence[str] | None = None,
     num_partitions=None,
 ):
     """Pattern-match a Dataset of keyed, indexed events: ONE hash
     shuffle on ``conv_col`` (whole conversations co-located), kernel
-    vectorized per partition."""
+    vectorized per partition. ``order_by`` sets the within-key event
+    order when it is not the ``idx_col`` itself (e.g. ``("ts",
+    "event_id")`` for a raw event table); ``idx_col`` then only names
+    the per-step output columns."""
     from dataflow_mm_ray.partition import partition_map
     from dataflow_mm_ray.schema import DEFAULT_NUM_PARTITIONS
 
@@ -235,7 +239,7 @@ def match_pattern(
             conv_col=conv_col, idx_col=idx_col, ts_col=ts_col,
         ),
         num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
-        sort_by=[conv_col, idx_col],
+        sort_by=[conv_col, *(order_by or (idx_col,))],
     )
 
 
