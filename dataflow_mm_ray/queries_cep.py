@@ -1303,3 +1303,83 @@ def q_cep_funnel(sf_dir: str):
         idx_col="event_id",
         order_by=("ts", "event_id"),
     )
+
+
+def _cep_burst_sql() -> str:
+    # view -> click+ -> purchase (policy 'all'): the Kleene-collect is
+    # two prefix-sum windows — clicks-in-(v,k) = cum_click[k] -
+    # cum_click[v] (neither endpoint is a click), last collected =
+    # last-click-at-or-before row k
+    w = FUNNEL_WITHIN_S * 1_000_000
+    return f"""
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS pos
+  FROM events
+), agg AS (
+  SELECT user_id, pos, event_id, ts, event_type,
+     COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+        OVER (PARTITION BY user_id ORDER BY pos) AS cum_click,
+     MAX(CASE WHEN event_type = 'click' THEN pos END)
+        OVER (PARTITION BY user_id ORDER BY pos) AS lc_pos,
+     MIN(CASE WHEN event_type = 'click' THEN pos END) OVER wf AS next_click,
+     MIN(CASE WHEN event_type = 'purchase' THEN pos END) OVER wf AS next_purchase
+  FROM ev
+  WINDOW wf AS (PARTITION BY user_id ORDER BY pos
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), cand AS (
+  SELECT a.user_id, a.pos AS vp, a.event_id AS view_event_id,
+         a.ts AS ts_start, a.cum_click AS cv,
+         a.next_click AS b1, b.next_purchase AS kp
+  FROM agg a JOIN agg b ON b.user_id = a.user_id AND b.pos = a.next_click
+  WHERE a.event_type = 'view' AND a.next_click IS NOT NULL
+    AND b.next_purchase IS NOT NULL
+), m AS (
+  SELECT c.user_id, c.vp, c.view_event_id, c.ts_start,
+         jb.event_id AS click_event_id,
+         jk.cum_click - c.cv AS click_count,
+         jl.event_id AS click_last_event_id,
+         jk.event_id AS purchase_event_id,
+         jk.ts AS ts_end,
+         epoch_us(jk.ts) - epoch_us(c.ts_start) AS span_us
+  FROM cand c
+  JOIN agg jb ON jb.user_id = c.user_id AND jb.pos = c.b1
+  JOIN agg jk ON jk.user_id = c.user_id AND jk.pos = c.kp
+  JOIN agg jl ON jl.user_id = c.user_id AND jl.pos = jk.lc_pos
+  WHERE epoch_us(jk.ts) - epoch_us(c.ts_start) <= {w}
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY vp) - 1 AS BIGINT)
+         AS match_seq,
+       view_event_id,
+       click_event_id, CAST(click_count AS BIGINT) AS click_count,
+       click_last_event_id, purchase_event_id,
+       ts_start, ts_end, span_us
+FROM m
+"""
+
+
+@register("cep_view_click_burst", _cep_burst_sql())
+def q_cep_view_click_burst(sf_dir: str):
+    """view -> click+ -> purchase per user: the Kleene-collect
+    quantifier (first click anchors, every click before the purchase is
+    collected — count and last emitted)."""
+    from dataflow_mm_ray.stages.cep import match_pattern
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def typ(name):
+        return lambda df: df["event_type"].to_numpy() == name
+
+    return match_pattern(
+        ev,
+        (("view", typ("view")), ("click", typ("click"), "+"),
+         ("purchase", typ("purchase"))),
+        within_us=FUNNEL_WITHIN_S * 1_000_000,
+        policy="all",
+        conv_col="user_id",
+        idx_col="event_id",
+        order_by=("ts", "event_id"),
+    )

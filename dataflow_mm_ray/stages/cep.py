@@ -92,17 +92,33 @@ def match_pattern_kernel(
     """
     if policy not in ("all", "skip_past"):
         raise ValueError(f"unknown policy {policy!r}")
-    names = [nm for nm, _ in steps]
+    # a step is (name, fn) or (name, fn, "+"): the "+" (Kleene-collect)
+    # quantifier anchors the chain at the FIRST match, then collects
+    # every further match before the next step's row — emitted as
+    # <name>_count and <name>_last_<idx> alongside the first-row column
+    norm: list[tuple] = []
+    for st in steps:
+        nm, fn = st[0], st[1]
+        coll = len(st) > 2 and st[2] in ("+", "collect", True)
+        norm.append((nm, fn, coll))
+    names = [nm for nm, _, _ in norm]
+    collect = [c for _, _, c in norm]
     if len(names) < 2:
         raise ValueError("a pattern needs at least 2 steps")
+    if collect[0] or collect[-1]:
+        raise ValueError("the '+' quantifier needs a following step to "
+                         "terminate the collection (middle steps only)")
 
     def empty() -> pd.DataFrame:
         cols: dict = {
             conv_col: pd.Series([], dtype=object),
             "match_seq": pd.Series([], dtype=np.int64),
         }
-        for nm in names:
+        for nm, coll in zip(names, collect):
             cols[f"{nm}_{idx_col}"] = pd.Series([], dtype=np.int64)
+            if coll:
+                cols[f"{nm}_count"] = pd.Series([], dtype=np.int64)
+                cols[f"{nm}_last_{idx_col}"] = pd.Series([], dtype=np.int64)
         for c in carry:
             cols[c] = pd.Series([], dtype=part[c].dtype if len(part) else object)
         cols["ts_start"] = pd.Series([], dtype="datetime64[us]")
@@ -117,7 +133,7 @@ def match_pattern_kernel(
     conv = part[conv_col].to_numpy()
     ts_us = part[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
     starts, ends, run_id = _segments(conv)
-    pos = [np.flatnonzero(np.asarray(fn(part), dtype=bool)) for _, fn in steps]
+    pos = [np.flatnonzero(np.asarray(fn(part), dtype=bool)) for _, fn, _ in norm]
 
     if policy == "all":
         a = pos[0]
@@ -200,8 +216,18 @@ def match_pattern_kernel(
     a = rows[0]
     out = {conv_col: conv[a], "match_seq": seq.astype(np.int64)}
     idx_vals = part[idx_col].to_numpy()
-    for nm, r in zip(names, rows):
+    for s, (nm, r) in enumerate(zip(names, rows)):
         out[f"{nm}_{idx_col}"] = idx_vals[r].astype(np.int64)
+        if collect[s]:
+            # every step-s match in [first, next step's row): count and
+            # last via two searchsorteds on the step's position array
+            lo = np.searchsorted(pos[s], r)
+            hi = np.searchsorted(pos[s], rows[s + 1])
+            out[f"{nm}_count"] = (hi - lo).astype(np.int64)
+            out[f"{nm}_last_{idx_col}"] = (
+                idx_vals[pos[s][np.maximum(hi - 1, 0)]].astype(np.int64)
+                if pos[s].size else np.zeros(len(r), dtype=np.int64)
+            )
     for c in carry:
         out[c] = part[c].to_numpy()[a]
     out["ts_start"] = part[ts_col].to_numpy()[a]

@@ -239,3 +239,91 @@ def test_streamed_automaton_equals_batch_over_random_epochs():
         w = want[cols].sort_values(cols).reset_index(drop=True).astype(
             {c: np.int64 for c in cols if c != "conv_id"})
         pd.testing.assert_frame_equal(g, w, check_exact=True), trial
+
+
+@pytest.mark.parametrize("policy", ["all", "skip_past"])
+@pytest.mark.parametrize("within_s", [None, 300, 3000])
+def test_collect_quantifier_matches_naive(policy, within_s):
+    """A B+ C: B+ anchors at the first B and collects every B before
+    the next step's row — pinned to a per-conv Python transcription."""
+    rng = np.random.default_rng(42 + (within_s or 0))
+    frames = []
+    for c in range(30):
+        n = rng.integers(2, 60)
+        typ = rng.choice(["a", "b", "c", "x"], size=n, p=[0.2, 0.4, 0.2, 0.2])
+        ts = np.sort(rng.integers(0, 10_000, size=n)).astype("datetime64[s]").astype("datetime64[us]")
+        frames.append(pd.DataFrame({
+            "conv_id": f"c{c:03d}", "turn_idx": np.arange(n, dtype=np.int64),
+            "typ": typ, "ts": ts}))
+    df = pd.concat(frames, ignore_index=True)
+    within_us = None if within_s is None else within_s * US
+
+    def is_t(t):
+        return lambda d: d["typ"].to_numpy() == t
+
+    got = match_pattern_kernel(
+        df, (("a", is_t("a")), ("b", is_t("b"), "+"), ("c", is_t("c"))),
+        within_us=within_us, policy=policy)
+
+    # naive transcription
+    rows = []
+    for cid, g in df.groupby("conv_id", sort=True):
+        g = g.sort_values("turn_idx").reset_index(drop=True)
+        typ = g["typ"].to_numpy()
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        p, seq = 0, 0
+        cand_from = range(len(g)) if policy == "all" else None
+        def chain(i):
+            b1 = next((x for x in range(i + 1, len(g)) if typ[x] == "b"), None)
+            if b1 is None:
+                return None
+            k = next((x for x in range(b1 + 1, len(g)) if typ[x] == "c"), None)
+            if k is None:
+                return None
+            bs = [x for x in range(i + 1, k) if typ[x] == "b"]
+            return b1, bs, k
+        if policy == "all":
+            seq = 0
+            for i in range(len(g)):
+                if typ[i] != "a":
+                    continue
+                r = chain(i)
+                if r and (within_us is None or ts[r[2]] - ts[i] <= within_us):
+                    rows.append((cid, seq, i, r[0], len(r[1]), r[1][-1], r[2],
+                                 int(ts[r[2]] - ts[i])))
+                    seq += 1
+        else:
+            while True:
+                i = next((x for x in range(p, len(g)) if typ[x] == "a"), None)
+                if i is None:
+                    break
+                r = chain(i)
+                if r is None:
+                    break
+                if within_us is None or ts[r[2]] - ts[i] <= within_us:
+                    rows.append((cid, seq, i, r[0], len(r[1]), r[1][-1], r[2],
+                                 int(ts[r[2]] - ts[i])))
+                    seq += 1
+                    p = r[2] + 1
+                else:
+                    p = i + 1
+    want = pd.DataFrame(rows, columns=[
+        "conv_id", "match_seq", "a_turn_idx", "b_turn_idx", "b_count",
+        "b_last_turn_idx", "c_turn_idx", "span_us"])
+    cols = list(want.columns)
+    assert len(want) > 0
+    g2 = got[cols].sort_values(cols).reset_index(drop=True)
+    w2 = want.sort_values(cols).reset_index(drop=True).astype(
+        {c: np.int64 for c in cols if c != "conv_id"})
+    pd.testing.assert_frame_equal(g2, w2, check_exact=True)
+
+
+def test_collect_quantifier_rejects_edges():
+    with pytest.raises(ValueError):
+        match_pattern_kernel(
+            pd.DataFrame({"conv_id": [], "turn_idx": [], "role": [], "tool": [], "ts": []}),
+            (("a", lambda d: d["role"] == "x", "+"), ("b", lambda d: d["role"] == "y")))
+    with pytest.raises(ValueError):
+        match_pattern_kernel(
+            pd.DataFrame({"conv_id": [], "turn_idx": [], "role": [], "tool": [], "ts": []}),
+            (("a", lambda d: d["role"] == "x"), ("b", lambda d: d["role"] == "y", "+")))
