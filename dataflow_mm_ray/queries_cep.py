@@ -1383,3 +1383,50 @@ def q_cep_view_click_burst(sf_dir: str):
         idx_col="event_id",
         order_by=("ts", "event_id"),
     )
+
+
+NEG_WITHIN_S = 30_000
+
+
+def _cep_unanswered_sql() -> str:
+    # absence detection: invocations with NO tool response within the
+    # deadline (LEFT JOIN on the first-next response; NULL or late both
+    # count as unanswered)
+    w = NEG_WITHIN_S * 1_000_000
+    return TRANSCRIPTS_CTE + _CEP_NXT + f"""
+SELECT a.conv_id,
+       CAST(row_number() OVER (PARTITION BY a.conv_id ORDER BY a.turn_idx) - 1
+            AS BIGINT) AS match_seq,
+       CAST(a.turn_idx AS BIGINT) AS invoke_turn_idx,
+       a.tool, a.ts AS ts_start
+FROM nxt a
+LEFT JOIN transcripts t
+  ON t.conv_id = a.conv_id AND t.turn_idx = a.next_resp
+WHERE a.role = 'assistant' AND a.tool IS NOT NULL
+  AND (a.next_resp IS NULL OR epoch_us(t.ts) - epoch_us(a.ts) > {w})
+"""
+
+
+@register("cep_unanswered_invocations", _cep_unanswered_sql())
+def q_cep_unanswered_invocations(sf_dir: str):
+    """Absence detection ('!' marker): tool invocations whose first
+    response does not arrive within NEG_WITHIN_S — the timeout-alert
+    shape of CEP negation."""
+    from dataflow_mm_ray.stages.cep import (
+        TOOL_ROUNDTRIP_STEPS,
+        US,
+        match_pattern_kernel,
+    )
+
+    steps = (TOOL_ROUNDTRIP_STEPS[0],
+             (TOOL_ROUNDTRIP_STEPS[1][0], TOOL_ROUNDTRIP_STEPS[1][1], "!"))
+
+    def kern(t):
+        out = match_pattern_kernel(
+            t, steps, within_us=NEG_WITHIN_S * US, policy="all",
+            carry=("tool",),
+        )
+        # single-positive pattern: ts_end/span are degenerate (== start)
+        return out.drop(columns=["ts_end", "span_us"])
+
+    return transcripts_partitioned(sf_dir, kern, fast=True)

@@ -89,6 +89,12 @@ def match_pattern_kernel(
 
     conv_id, match_seq, <name>_turn_idx per step, <carry cols from the
     step-0 row>, ts_start, ts_end, span_us.
+
+    Step markers: ``(name, fn, "+")`` — Kleene-collect, see above;
+    ``(name, fn, "!")`` on the FINAL step — absence detection: the
+    match succeeds iff NO fn-row occurs within ``within_us`` after the
+    last positive step's row (``within_us`` is the waited-out deadline,
+    not a span bound; the negated step emits no columns).
     """
     if policy not in ("all", "skip_past"):
         raise ValueError(f"unknown policy {policy!r}")
@@ -97,14 +103,28 @@ def match_pattern_kernel(
     # every further match before the next step's row — emitted as
     # <name>_count and <name>_last_<idx> alongside the first-row column
     norm: list[tuple] = []
-    for st in steps:
+    negated = False  # final-step absence marker ("!")
+    for si, st in enumerate(steps):
         nm, fn = st[0], st[1]
-        coll = len(st) > 2 and st[2] in ("+", "collect", True)
+        marker = st[2] if len(st) > 2 else None
+        if marker in ("!", "absent"):
+            if si != len(steps) - 1:
+                raise ValueError("the '!' (absence) marker applies to the "
+                                 "final step only")
+            if within_us is None:
+                raise ValueError("absence detection needs within_us (the "
+                                 "deadline the match waits out)")
+            negated = True
+            norm.append((nm, fn, False))
+            continue
+        coll = marker in ("+", "collect", True)
         norm.append((nm, fn, coll))
-    names = [nm for nm, _, _ in norm]
-    collect = [c for _, _, c in norm]
-    if len(names) < 2:
+    if len(norm) < 2:
         raise ValueError("a pattern needs at least 2 steps")
+    # the negated step is looked up for absence, never chained/emitted
+    n_pos = len(norm) - 1 if negated else len(norm)
+    names = [nm for nm, _, _ in norm[:n_pos]]
+    collect = [c for _, _, c in norm[:n_pos]]
     if collect[0] or collect[-1]:
         raise ValueError("the '+' quantifier needs a following step to "
                          "terminate the collection (middle steps only)")
@@ -143,7 +163,7 @@ def match_pattern_kernel(
         rows = [a]
         ok = np.ones(a.size, dtype=bool)
         cur = a
-        for s in range(1, len(steps)):
+        for s in range(1, n_pos):
             nxt = _next_at_or_after(pos[s], cur + 1, n)
             ok &= nxt < end_a  # stays in step-0's conversation
             rows.append(nxt)
@@ -152,7 +172,14 @@ def match_pattern_kernel(
         # harmless — ok is already False for those candidates
         last = np.where(ok, rows[-1], rows[0])
         span = ts_us[last] - ts_us[rows[0]]
-        if within_us is not None:
+        if negated:
+            # absence: match iff NO negated-step row lands within the
+            # deadline after the last positive row
+            j = _next_at_or_after(pos[-1], last + 1, n)
+            jc = np.minimum(j, n - 1)
+            violated = (j < end_a) & (ts_us[jc] <= ts_us[last] + within_us)
+            ok &= ~violated
+        elif within_us is not None:
             ok &= span <= within_us
         rows = [r[ok] for r in rows]
         span = span[ok]
@@ -172,7 +199,7 @@ def match_pattern_kernel(
         endc_all = ends.astype(np.int64)
         active = np.ones(nconv, dtype=bool)
         seq_state = np.zeros(nconv, dtype=np.int64)
-        acc_rows: list[list[np.ndarray]] = [[] for _ in steps]
+        acc_rows: list[list[np.ndarray]] = [[] for _ in range(n_pos)]
         acc_seq: list[np.ndarray] = []
         while active.any():
             ac = np.flatnonzero(active)
@@ -181,7 +208,7 @@ def match_pattern_kernel(
             chain_ok = i0 < endc
             rowmat = [i0]
             cur = i0
-            for s in range(1, len(steps)):
+            for s in range(1, n_pos):
                 nx = _next_at_or_after(pos[s], cur + 1, n)
                 chain_ok &= nx < endc
                 rowmat.append(nx)
@@ -191,11 +218,18 @@ def match_pattern_kernel(
             last = np.where(chain_ok, rowmat[-1], 0)
             first = np.where(chain_ok, rowmat[0], 0)
             span = ts_us[last] - ts_us[first]
-            matched = chain_ok & (span <= within_us if within_us is not None
-                                  else np.ones(len(ac), dtype=bool))
+            if negated:
+                j = _next_at_or_after(pos[-1], last + 1, n)
+                jc = np.minimum(j, n - 1)
+                violated = (j < endc) & (ts_us[jc] <= ts_us[last] + within_us)
+                matched = chain_ok & ~violated
+            else:
+                matched = chain_ok & (span <= within_us
+                                      if within_us is not None
+                                      else np.ones(len(ac), dtype=bool))
             timeout = chain_ok & ~matched
             if matched.any():
-                for s in range(len(steps)):
+                for s in range(n_pos):
                     acc_rows[s].append(rowmat[s][matched])
                 acc_seq.append(seq_state[ac[matched]])
                 seq_state[ac[matched]] += 1
@@ -206,7 +240,7 @@ def match_pattern_kernel(
             active[ac[~chain_ok]] = False
         if not acc_seq:
             return empty()
-        rows = [np.concatenate(acc_rows[s]) for s in range(len(steps))]
+        rows = [np.concatenate(acc_rows[s]) for s in range(n_pos)]
         seq = np.concatenate(acc_seq)
         order = np.lexsort((rows[0], run_id[rows[0]]))
         rows = [r[order] for r in rows]

@@ -327,3 +327,61 @@ def test_collect_quantifier_rejects_edges():
         match_pattern_kernel(
             pd.DataFrame({"conv_id": [], "turn_idx": [], "role": [], "tool": [], "ts": []}),
             (("a", lambda d: d["role"] == "x"), ("b", lambda d: d["role"] == "y", "+")))
+
+
+@pytest.mark.parametrize("policy", ["all", "skip_past"])
+def test_negation_matches_naive(policy):
+    """A !B within T: emit A iff no B lands within T after it."""
+    rng = np.random.default_rng(5)
+    frames = []
+    for c in range(30):
+        n = rng.integers(2, 60)
+        typ = rng.choice(["a", "b", "x"], size=n, p=[0.35, 0.35, 0.3])
+        ts = np.sort(rng.integers(0, 10_000, size=n)).astype("datetime64[s]").astype("datetime64[us]")
+        frames.append(pd.DataFrame({
+            "conv_id": f"c{c:03d}", "turn_idx": np.arange(n, dtype=np.int64),
+            "typ": typ, "ts": ts}))
+    df = pd.concat(frames, ignore_index=True)
+    T = 400 * US
+
+    def is_t(t):
+        return lambda d: d["typ"].to_numpy() == t
+
+    got = match_pattern_kernel(
+        df, (("a", is_t("a")), ("b", is_t("b"), "!")),
+        within_us=T, policy=policy)
+
+    rows = []
+    for cid, g in df.groupby("conv_id", sort=True):
+        g = g.sort_values("turn_idx").reset_index(drop=True)
+        typ = g["typ"].to_numpy()
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        seq = 0
+        for i in range(len(g)):
+            if typ[i] != "a":
+                continue
+            j = next((x for x in range(i + 1, len(g)) if typ[x] == "b"), None)
+            unanswered = j is None or ts[j] > ts[i] + T
+            if unanswered:
+                rows.append((cid, seq, i))
+                seq += 1
+        # for a single positive step both policies coincide (the match
+        # consumes only row i; the pointer advances identically)
+    want = pd.DataFrame(rows, columns=["conv_id", "match_seq", "a_turn_idx"])
+    assert len(want) > 0
+    cols = list(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want.sort_values(cols).reset_index(drop=True).astype(
+            {c: np.int64 for c in cols if c != "conv_id"}),
+        check_exact=True)
+
+
+def test_negation_validation():
+    df = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0], "typ": ["a"],
+                       "ts": pd.to_datetime([0], unit="s").astype("datetime64[us]")})
+    f = lambda d: d["typ"].to_numpy() == "a"
+    with pytest.raises(ValueError):  # '!' not on the final step
+        match_pattern_kernel(df, (("a", f, "!"), ("b", f)), within_us=US)
+    with pytest.raises(ValueError):  # needs within_us
+        match_pattern_kernel(df, (("a", f), ("b", f, "!")))
