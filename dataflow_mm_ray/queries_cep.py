@@ -1385,14 +1385,17 @@ def q_cep_view_click_burst(sf_dir: str):
     )
 
 
-NEG_WITHIN_S = 30_000
+def _neg_within_s() -> int:
+    from dataflow_mm_ray.stages.cep import ALERT_DEADLINE_S
+
+    return ALERT_DEADLINE_S
 
 
 def _cep_unanswered_sql() -> str:
     # absence detection: invocations with NO tool response within the
     # deadline (LEFT JOIN on the first-next response; NULL or late both
     # count as unanswered)
-    w = NEG_WITHIN_S * 1_000_000
+    w = _neg_within_s() * 1_000_000
     return TRANSCRIPTS_CTE + _CEP_NXT + f"""
 SELECT a.conv_id,
        CAST(row_number() OVER (PARTITION BY a.conv_id ORDER BY a.turn_idx) - 1
@@ -1410,9 +1413,11 @@ WHERE a.role = 'assistant' AND a.tool IS NOT NULL
 @register("cep_unanswered_invocations", _cep_unanswered_sql())
 def q_cep_unanswered_invocations(sf_dir: str):
     """Absence detection ('!' marker): tool invocations whose first
-    response does not arrive within NEG_WITHIN_S — the timeout-alert
-    shape of CEP negation."""
+    response does not arrive within ALERT_DEADLINE_S — the
+    timeout-alert shape of CEP negation; the streamed twin is the
+    engine's 'alerts' stream."""
     from dataflow_mm_ray.stages.cep import (
+        ALERT_DEADLINE_S,
         TOOL_ROUNDTRIP_STEPS,
         US,
         match_pattern_kernel,
@@ -1423,7 +1428,7 @@ def q_cep_unanswered_invocations(sf_dir: str):
 
     def kern(t):
         out = match_pattern_kernel(
-            t, steps, within_us=NEG_WITHIN_S * US, policy="all",
+            t, steps, within_us=ALERT_DEADLINE_S * US, policy="all",
             carry=("tool",),
         )
         # single-positive pattern: ts_end/span are degenerate (== start)

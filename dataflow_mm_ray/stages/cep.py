@@ -508,3 +508,103 @@ def advance_chain_automaton(
     keep = (~stable) | (tix >= thr[run_id])
     kept = rows[keep].reset_index(drop=True)
     return emissions, kept
+
+
+# --- streaming absence detection (timeout alerts) --------------------------
+
+ALERT_COLS = ("conv_id", "alert_seq", "invoke_turn_idx", "tool",
+              "ts_invoke_us", "deadline_us")
+
+#: default response deadline (seconds) — ONE definition shared by the
+#: batch '!' query (cep_unanswered_invocations), the streamed alerts
+#: stream and their parity tests (CLAUDE.md twin rule)
+ALERT_DEADLINE_S = 30_000
+
+
+def _empty_alerts() -> pd.DataFrame:
+    out = {}
+    for c in ALERT_COLS:
+        out[c] = pd.Series([], dtype=object if c in ("conv_id", "tool")
+                           else np.int64)
+    return pd.DataFrame(out)
+
+
+def advance_absence_automaton(
+    rows: pd.DataFrame,
+    seqs: dict,
+    wm_us: int,
+    deadline_us: int,
+    flush: bool = False,
+):
+    """One watermark advance of streamed absence detection: emit every
+    invocation whose first response did not arrive within
+    ``deadline_us`` (the streamed twin of the batch '!' marker).
+
+    ``rows``: buffered invoke/response rows sorted by (conv_id,
+    turn_idx) — same layout as the chain automaton's buffer. An invoke
+    i is decidable once ``ts_i + deadline < wm`` (every row that could
+    answer it has ts <= ts_i + deadline < wm, hence has arrived); it
+    alerts iff no response with turn_idx > i has ts <= ts_i + deadline.
+    Candidates are independent (policy 'all') — no scan pointer.
+
+    Returns (alerts, kept_rows): kept = undecided invokes plus
+    responses inside the trailing deadline window (``ts > wm -
+    deadline``) — state bounded by the deadline window per conversation.
+    """
+    if not len(rows):
+        return _empty_alerts(), rows
+
+    conv = rows["conv_id"].to_numpy()
+    tix = rows["turn_idx"].to_numpy(dtype=np.int64)
+    ts = rows["ts_us"].to_numpy(dtype=np.int64)
+    is_inv = rows["is_inv"].to_numpy(dtype=bool)
+    n = len(rows)
+    starts, ends, run_id = _segments(conv)
+
+    inv_rows = np.flatnonzero(is_inv)
+    pos_resp = np.flatnonzero(~is_inv)
+    if flush:
+        decidable = np.ones(inv_rows.size, dtype=bool)
+    else:
+        decidable = ts[inv_rows] + deadline_us < wm_us
+    dec = inv_rows[decidable]
+    j = _next_at_or_after(pos_resp, dec + 1, n)
+    jc = np.minimum(j, n - 1)
+    answered = (j < ends[run_id[dec]]) & (ts[jc] <= ts[dec] + deadline_us)
+    alert_rows = dec[~answered]
+
+    if alert_rows.size:
+        # per-conv continuation of alert_seq, in turn order (alert_rows
+        # ascending => segment-relative cumcount)
+        rid = run_id[alert_rows]
+        chg = np.empty(rid.size, dtype=bool)
+        chg[0] = True
+        chg[1:] = rid[1:] != rid[:-1]
+        rel = np.arange(rid.size) - np.flatnonzero(chg)[np.cumsum(chg) - 1]
+        conv_names = conv[alert_rows]
+        base = np.array([seqs.get(c, 0) for c in conv_names], dtype=np.int64)
+        seq = base + rel
+        for c, k in zip(conv[starts][np.unique(rid)],
+                        np.bincount(rid, minlength=len(starts))[np.unique(rid)]):
+            seqs[c] = seqs.get(c, 0) + int(k)
+        alerts = pd.DataFrame(
+            {
+                "conv_id": conv_names,
+                "alert_seq": seq,
+                "invoke_turn_idx": tix[alert_rows],
+                "tool": rows["tool"].to_numpy()[alert_rows],
+                "ts_invoke_us": ts[alert_rows],
+                "deadline_us": ts[alert_rows] + deadline_us,
+            }
+        )
+    else:
+        alerts = _empty_alerts()
+
+    # prune: undecided invokes + responses in the trailing window
+    undecided = np.zeros(n, dtype=bool)
+    undecided[inv_rows[~decidable]] = True
+    if flush:
+        keep = np.zeros(n, dtype=bool)
+    else:
+        keep = undecided | ((~is_inv) & (ts > wm_us - deadline_us))
+    return alerts, rows[keep].reset_index(drop=True)

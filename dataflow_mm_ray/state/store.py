@@ -95,11 +95,16 @@ def _empty_cep() -> pd.DataFrame:
 
 class _ShardState:
     def __init__(self, width_s: int, gap_s: int, slide_width_s: int = 0,
-                 cep_within_s: int | None = None):
+                 cep_within_s: int | None = None,
+                 alert_deadline_s: int | None = None):
         from dataflow_mm_ray.stages.cep import ROUNDTRIP_WITHIN_S
 
         self.cep_within_us = (ROUNDTRIP_WITHIN_S if cep_within_s is None
                               else cep_within_s) * US
+        from dataflow_mm_ray.stages.cep import ALERT_DEADLINE_S
+
+        self.alert_deadline_us = (ALERT_DEADLINE_S if alert_deadline_s is None
+                                  else alert_deadline_s) * US
         self.width_us = width_s * US
         self.gap_us = gap_s * US
         self.slide_width_us = slide_width_s * US
@@ -132,6 +137,11 @@ class _ShardState:
         self.cep_chunks: list[pd.DataFrame] = []
         self.cep_ptr: dict[str, int] = {}
         self.cep_seq: dict[str, int] = {}
+        # streamed absence detection (timeout alerts): same row layout,
+        # separate buffer (different pruning policy) + per-conv counter
+        self.alert_pending = _empty_cep()
+        self.alert_chunks: list[pd.DataFrame] = []
+        self.alert_seq: dict[str, int] = {}
 
 
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -168,9 +178,11 @@ def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
 @ray.remote
 class StateShard:
     def __init__(self, shard_id: int, width_s: int, gap_s: int, slide_width_s: int = 0,
-                 cep_within_s: int | None = None):
+                 cep_within_s: int | None = None,
+                 alert_deadline_s: int | None = None):
         self.shard_id = shard_id
-        self.s = _ShardState(width_s, gap_s, slide_width_s, cep_within_s)
+        self.s = _ShardState(width_s, gap_s, slide_width_s, cep_within_s,
+                             alert_deadline_s)
         # within-epoch apply dedup: a Ray Data map task retried after a
         # worker crash re-issues its apply calls; the deterministic
         # content-derived apply_id lets the shard drop the replay, so
@@ -223,17 +235,18 @@ class StateShard:
             n += len(join_events)
             inv = join_events[join_events["kind"] == "inv"]
             tool = join_events[join_events["kind"] == "tool"]
-            # the CEP chain automaton consumes the SAME invoke/response
-            # rows the join ships — no extra extract traffic
-            st.cep_chunks.append(
-                pd.DataFrame(
-                    {"conv_id": join_events["conv_id"].to_numpy(),
-                     "turn_idx": join_events["turn_idx"].to_numpy(dtype=np.int64),
-                     "ts_us": join_events["ts_us"].to_numpy(dtype=np.int64),
-                     "is_inv": (join_events["kind"].to_numpy() == "inv"),
-                     "tool": join_events["tool"].to_numpy()}
-                )
+            # the CEP chain + absence automata consume the SAME
+            # invoke/response rows the join ships — no extra extract
+            # traffic (buffers are separate: different pruning policies)
+            cep_chunk = pd.DataFrame(
+                {"conv_id": join_events["conv_id"].to_numpy(),
+                 "turn_idx": join_events["turn_idx"].to_numpy(dtype=np.int64),
+                 "ts_us": join_events["ts_us"].to_numpy(dtype=np.int64),
+                 "is_inv": (join_events["kind"].to_numpy() == "inv"),
+                 "tool": join_events["tool"].to_numpy()}
             )
+            st.cep_chunks.append(cep_chunk)
+            st.alert_chunks.append(cep_chunk)
             if len(inv):
                 st.inv_chunks.append(
                     pd.DataFrame(
@@ -509,6 +522,26 @@ class StateShard:
 
             cep_out = _empty_cep_emissions()
 
+        # --- streamed absence detection: alert every invocation the
+        # watermark has timed out (stages/cep.py advance_absence_automaton)
+        from dataflow_mm_ray.stages.cep import (
+            _empty_alerts,
+            advance_absence_automaton,
+        )
+
+        al_frames = ([st.alert_pending] if len(st.alert_pending) else []) + st.alert_chunks
+        st.alert_chunks = []
+        if al_frames:
+            al_rows = (pd.concat(al_frames, ignore_index=True)
+                       if len(al_frames) > 1 else al_frames[0])
+            al_rows = al_rows.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            alerts_out, st.alert_pending = advance_absence_automaton(
+                al_rows.reset_index(drop=True), st.alert_seq,
+                wm_us, st.alert_deadline_us, flush=flush,
+            )
+        else:
+            alerts_out = _empty_alerts()
+
         frames_out = {
             "windows": win_closed,
             "sessions": sessions_out,
@@ -516,6 +549,7 @@ class StateShard:
             "sliding": slide_closed,
             "asof": asof_out,
             "cep": cep_out,
+            "alerts": alerts_out,
         }
         if stage_root is None:
             frames_out["wdistinct_partials"] = dcount_out
@@ -576,5 +610,6 @@ class StateShard:
             "pending_tool": int(len(st.tool)) + sum(len(c) for c in st.tool_chunks),
             "pending_asof": int(len(st.asof_pending)) + sum(len(c) for c in st.asof_chunks),
             "pending_cep": int(len(st.cep_pending)) + sum(len(c) for c in st.cep_chunks),
+            "pending_alerts": int(len(st.alert_pending)) + sum(len(c) for c in st.alert_chunks),
             "open_dcount_windows": int(len(st.dcount)) + sum(len(c) for c in st.dcount_chunks),
         }

@@ -59,7 +59,7 @@ from dataflow_mm_ray.state.store import StateShard
 from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
-STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "cep", "wdistinct", "late")
+STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "cep", "alerts", "wdistinct", "late")
 
 
 def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
@@ -150,6 +150,7 @@ class StreamingEngine:
         slide_width_s: int = 7200,
         slide_s: int = 3600,
         cep_within_s: int | None = None,
+        alert_deadline_s: int | None = None,
     ):
         self.transcripts_path = transcripts_path
         self.out_dir = out_dir
@@ -174,12 +175,15 @@ class StreamingEngine:
             raise ValueError("slide_width_s must be a multiple of slide_s")
         self.slide_width_s = slide_width_s
         self.slide_s = slide_s
-        from dataflow_mm_ray.stages.cep import ROUNDTRIP_WITHIN_S
+        from dataflow_mm_ray.stages.cep import ALERT_DEADLINE_S, ROUNDTRIP_WITHIN_S
 
         self.cep_within_s = ROUNDTRIP_WITHIN_S if cep_within_s is None else cep_within_s
+        self.alert_deadline_s = (ALERT_DEADLINE_S if alert_deadline_s is None
+                                 else alert_deadline_s)
         self.sink = EpochSink(out_dir, STREAMS)
         self.shards = [
-            StateShard.remote(i, width_s, gap_s, slide_width_s, self.cep_within_s)
+            StateShard.remote(i, width_s, gap_s, slide_width_s,
+                              self.cep_within_s, self.alert_deadline_s)
             for i in range(n_shards)
         ]
         self.watermark_us = -(1 << 62)
@@ -211,6 +215,7 @@ class StreamingEngine:
             "slide_width_s": self.slide_width_s,
             "slide_s": self.slide_s,
             "cep_within_s": self.cep_within_s,
+            "alert_deadline_s": self.alert_deadline_s,
         }
 
     def _checkpoint(self, epoch: int) -> None:
@@ -525,7 +530,7 @@ class StreamingEngine:
             ]
         )
         emitted_counts = {}
-        for stream in ("windows", "sliding", "sessions", "joins", "asof", "cep"):
+        for stream in ("windows", "sliding", "sessions", "joins", "asof", "cep", "alerts"):
             files = [f for e in emissions for f in e["files"][stream]]
             rows = sum(e["rows"][stream] for e in emissions)
             emitted_counts[stream] = rows

@@ -385,3 +385,62 @@ def test_negation_validation():
         match_pattern_kernel(df, (("a", f, "!"), ("b", f)), within_us=US)
     with pytest.raises(ValueError):  # needs within_us
         match_pattern_kernel(df, (("a", f), ("b", f, "!")))
+
+
+def test_streamed_absence_equals_batch_over_random_epochs():
+    """advance_absence_automaton across arbitrary epoch splits ==
+    the batch absence rule over the rows that were ever applied."""
+    from dataflow_mm_ray.stages.cep import advance_absence_automaton
+
+    for trial in range(10):
+        rng = np.random.default_rng(trial)
+        frames = []
+        for c in range(10):
+            n = rng.integers(2, 50)
+            is_inv = rng.random(n) < 0.5
+            ts = np.sort(rng.integers(0, 5000, size=n)).astype(np.int64) * US
+            frames.append(pd.DataFrame({
+                "conv_id": f"c{c:03d}", "turn_idx": np.arange(n, dtype=np.int64),
+                "ts_us": ts, "is_inv": is_inv,
+                "tool": np.where(is_inv, "tool_x", None)}))
+        allrows = pd.concat(frames, ignore_index=True)
+        T = int(rng.integers(50, 2000)) * US
+        epoch_of = rng.integers(0, 5, size=len(allrows))
+
+        seqs = {}
+        pending = allrows.iloc[0:0]
+        emitted, applied_parts = [], []
+        wm = -(1 << 62)
+        for e in range(5):
+            arrive = allrows[epoch_of == e]
+            arrive = arrive[arrive["ts_us"].to_numpy() >= wm]
+            applied_parts.append(arrive)
+            rows = pd.concat([pending, arrive], ignore_index=True).sort_values(
+                ["conv_id", "turn_idx"]).reset_index(drop=True)
+            if len(arrive):
+                wm = max(wm, int(arrive["ts_us"].max()))
+            al, pending = advance_absence_automaton(rows, seqs, wm, T, flush=(e == 4))
+            emitted.append(al)
+        got = pd.concat(emitted, ignore_index=True)
+
+        applied = pd.concat(applied_parts).sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        rows_t = []
+        for cid, g in applied.groupby("conv_id", sort=True):
+            g = g.reset_index(drop=True)
+            seq = 0
+            for i in range(len(g)):
+                if not g["is_inv"][i]:
+                    continue
+                ans = any((not g["is_inv"][x]) and g["ts_us"][x] <= g["ts_us"][i] + T
+                          for x in range(i + 1, len(g)))
+                if not ans:
+                    rows_t.append((cid, seq, int(g["turn_idx"][i]), int(g["ts_us"][i])))
+                    seq += 1
+        want = pd.DataFrame(rows_t, columns=[
+            "conv_id", "alert_seq", "invoke_turn_idx", "ts_invoke_us"])
+        cols = list(want.columns)
+        g2 = got[cols].sort_values(cols).reset_index(drop=True)
+        w2 = want.sort_values(cols).reset_index(drop=True).astype(
+            {c: np.int64 for c in cols if c != "conv_id"})
+        pd.testing.assert_frame_equal(g2, w2, check_exact=True), trial

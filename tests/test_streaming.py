@@ -430,3 +430,48 @@ def test_cep_state_bounded_by_within_window(ray_session, transcripts_path, tmp_p
 
     total = pq.read_table(transcripts_path).num_rows
     assert sum(s["pending_cep"] for s in stats) < total / 2
+
+
+def _batch_alerts(turns_df: pd.DataFrame) -> pd.DataFrame:
+    """Batch '!' kernel over a pandas transcript frame, mapped to the
+    streamed alerts schema."""
+    from dataflow_mm_ray.stages.cep import (
+        ALERT_DEADLINE_S,
+        TOOL_ROUNDTRIP_STEPS,
+        match_pattern_kernel,
+    )
+
+    t = turns_df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    steps = (TOOL_ROUNDTRIP_STEPS[0],
+             (TOOL_ROUNDTRIP_STEPS[1][0], TOOL_ROUNDTRIP_STEPS[1][1], "!"))
+    out = match_pattern_kernel(t, steps, within_us=ALERT_DEADLINE_S * 10**6,
+                               policy="all", carry=("tool",))
+    return pd.DataFrame({
+        "conv_id": out["conv_id"],
+        "alert_seq": out["match_seq"].astype(np.int64),
+        "invoke_turn_idx": out["invoke_turn_idx"].astype(np.int64),
+        "tool": out["tool"],
+        "ts_invoke_us": out["ts_start"].astype("datetime64[us]").astype(np.int64),
+    })
+
+
+@pytest.mark.parametrize("lateness_s", [10**9, 3600])
+def test_alerts_stream_matches_batch(ray_session, transcripts_path, tmp_path, lateness_s):
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    eng = _run_engine(transcripts_path, tmp_path / f"out{lateness_s}", lateness_s)
+    res = eng.results()
+    t = transcripts_from_events(SF_TINY).to_pandas()
+    late = res["late"]
+    if len(late):
+        lk = set(zip(late["conv_id"], late["turn_idx"].astype(int)))
+        t = t[[(c, int(i)) not in lk for c, i in zip(t["conv_id"], t["turn_idx"])]]
+    want = _batch_alerts(t)
+    got = res["alerts"]
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
+    # deadline carried correctly
+    d = got["deadline_us"] - got["ts_invoke_us"]
+    assert (d == eng.alert_deadline_s * 10**6).all()
