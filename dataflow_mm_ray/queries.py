@@ -40,6 +40,9 @@ _DRIVER_PRIORITY = [
     "transcripts", "tumbling_window", "sliding_window", "session_window",
     "tool_join", "late_events", "window_distinct_convs_exact",
     "hot_conversations", "token_doc_freq", "knn_percentile",
+    # CEP pattern matching + exact heavy hitters (round-4 additions)
+    "cep_tool_roundtrip", "cep_tool_chain_nonoverlap", "cep_funnel",
+    "cep_view_click_burst", "cep_unanswered_invocations", "heavy_hitters",
     # text operators (§2.2)
     "rule_filter", "text_stats", "score_filter", "text_normalize",
     "cat_filter", "conversation_message", "udf_refine", "chunk_merge",
@@ -47,16 +50,17 @@ _DRIVER_PRIORITY = [
     # scorer/filter operators (§2.3)
     "clipscore_filter", "alignment_filter", "nli_sensitive_filter",
     "failrate_filter",
-    # video family (§2.2/2.3/2.5)
+    # video family (§2.2/2.3/2.5) — resolution/info twins demoted below
+    # the fold (same probe shape as video_clip_filter; still covered by
+    # tools/check_correctness.py + pytest)
     "video_clip_filter", "video_score_filter", "video_luminance_filter",
-    "video_resolution_filter", "scene_segments", "video_info_probe",
-    "video_caption_qa",
-    # generators (§2.4)
+    "scene_segments", "video_caption_qa",
+    # generators (§2.4) — the same-shape prompt variants
+    # (prompt_templated/batch/pers) demoted below the fold
     "prompted_qa", "templated_qa", "prompted_vqa", "cot_qa",
-    "llm_judge_score", "prompted_image_gen",
-    # §2.4 VQA prompt variants (new this round)
-    "fix_prompted_vqa", "prompt_templated_vqa", "batch_vqa", "vlm_bbox",
-    "visual_reasoning", "multimodal_math", "pers_qa",
+    "llm_judge_score",
+    "fix_prompted_vqa", "vlm_bbox",
+    "visual_reasoning", "multimodal_math",
     # refine operators (new this round)
     "visual_grounding_refine", "visual_dependency_refine",
     "seg_cutout_refine",
