@@ -74,6 +74,67 @@ def _next_at_or_after(pos: np.ndarray, frm: np.ndarray, n: int) -> np.ndarray:
     return np.where(idx < pos.size, pos[np.minimum(idx, pos.size - 1)], n)
 
 
+#: active-conversation count below which the skip_past rounds loop
+#: hands the remainder to the scalar bisect tail
+_TAIL_ACTIVE = 16
+
+
+def _scalar_skip_past(c, starts, ends, pos, ts_us, p0, seq0, n_pos,
+                      within_us, negated, acc_rows, acc_seq) -> None:
+    """Finish ONE conversation's skip_past scan with a tight bisect
+    loop (the vectorized rounds loop costs ~60us/round of numpy-call
+    overhead once only a handful of conversations remain active — a
+    single hot conversation with k matches would pay it k times).
+    Emits into acc_rows/acc_seq exactly like a vectorized round."""
+    from bisect import bisect_left
+
+    s0, e0 = int(starts[c]), int(ends[c])
+    cpos = [ps[np.searchsorted(ps, s0):np.searchsorted(ps, e0)].tolist()
+            for ps in pos]
+    neg = cpos[n_pos] if negated else None
+    out: list[list[int]] = [[] for _ in range(n_pos)]
+    seqs: list[int] = []
+    pr, sq = p0, seq0
+    while True:
+        ii = bisect_left(cpos[0], pr)
+        if ii == len(cpos[0]):
+            break
+        i0 = cpos[0][ii]
+        rowlist = [i0]
+        cur = i0
+        ok_chain = True
+        for s in range(1, n_pos):
+            jj = bisect_left(cpos[s], cur + 1)
+            if jj == len(cpos[s]):
+                ok_chain = False
+                break
+            cur = cpos[s][jj]
+            rowlist.append(cur)
+        if not ok_chain:
+            break  # no later candidate can complete either
+        last = rowlist[-1]
+        if negated:
+            kk = bisect_left(neg, last + 1)
+            violated = (kk < len(neg)
+                        and int(ts_us[neg[kk]]) <= int(ts_us[last]) + within_us)
+            m = not violated
+        else:
+            m = (within_us is None
+                 or int(ts_us[last]) - int(ts_us[i0]) <= within_us)
+        if m:
+            for s in range(n_pos):
+                out[s].append(rowlist[s])
+            seqs.append(sq)
+            sq += 1
+            pr = last + 1
+        else:
+            pr = i0 + 1
+    if seqs:
+        for s in range(n_pos):
+            acc_rows[s].append(np.asarray(out[s], dtype=np.int64))
+        acc_seq.append(np.asarray(seqs, dtype=np.int64))
+
+
 def match_pattern_kernel(
     part: pd.DataFrame,
     steps: Sequence[Step],
@@ -203,6 +264,18 @@ def match_pattern_kernel(
         acc_seq: list[np.ndarray] = []
         while active.any():
             ac = np.flatnonzero(active)
+            if ac.size <= _TAIL_ACTIVE:
+                # few conversations left: the per-round numpy overhead
+                # dominates (a single hot conversation would otherwise
+                # pay ~60us per match) — finish them in the scalar
+                # bisect tail (~1us per match)
+                for c in ac:
+                    _scalar_skip_past(
+                        int(c), starts, ends, pos, ts_us, int(p[c]),
+                        int(seq_state[c]), n_pos, within_us, negated,
+                        acc_rows, acc_seq,
+                    )
+                break
             endc = endc_all[ac]
             i0 = _next_at_or_after(pos[0], p[ac], n)
             chain_ok = i0 < endc
@@ -431,8 +504,66 @@ def advance_chain_automaton(
     acc_k: list[np.ndarray] = []
     acc_c: list[np.ndarray] = []
     acc_s: list[np.ndarray] = []
+
+    def scalar_tail(c: int) -> None:
+        # same scalar bisect tail as the batch kernel (hot-conversation
+        # fix), with the streamed rules: undecided stop, mid-stream
+        # missing-step = timeout retry, flush missing-step = dead
+        from bisect import bisect_left
+
+        s0, e0 = int(starts[c]), int(ends[c])
+        cinv = pos_inv[np.searchsorted(pos_inv, s0):np.searchsorted(pos_inv, e0)].tolist()
+        cresp = pos_resp[np.searchsorted(pos_resp, s0):np.searchsorted(pos_resp, e0)].tolist()
+        oi: list[int] = []
+        oj: list[int] = []
+        ok_: list[int] = []
+        osq: list[int] = []
+        pr = int(p_row[c])
+        sq = int(seq_arr[c])
+        while True:
+            ii = bisect_left(cinv, pr)
+            if ii == len(cinv):
+                break
+            i0s = cinv[ii]
+            if not flush and int(ts[i0s]) + within_us >= wm_us:
+                thr[c] = tix[i0s]
+                break
+            jj = bisect_left(cresp, i0s + 1)
+            js = cresp[jj] if jj < len(cresp) else None
+            kk = bisect_left(cinv, js + 1) if js is not None else len(cinv)
+            ks = cinv[kk] if js is not None and kk < len(cinv) else None
+            if js is None or ks is None:
+                if flush:
+                    ptr_arr[c] = HUGE
+                    break
+                ptr_arr[c] = tix[i0s] + 1
+                pr = i0s + 1
+                continue
+            if int(ts[ks]) - int(ts[i0s]) <= within_us:
+                oi.append(i0s)
+                oj.append(js)
+                ok_.append(ks)
+                osq.append(sq)
+                sq += 1
+                ptr_arr[c] = tix[ks] + 1
+                pr = ks + 1
+            else:
+                ptr_arr[c] = tix[i0s] + 1
+                pr = i0s + 1
+        seq_arr[c] = sq
+        if osq:
+            acc_c.append(np.full(len(osq), c, dtype=np.int64))
+            acc_s.append(np.asarray(osq, dtype=np.int64))
+            acc_i.append(np.asarray(oi, dtype=np.int64))
+            acc_j.append(np.asarray(oj, dtype=np.int64))
+            acc_k.append(np.asarray(ok_, dtype=np.int64))
+
     while active.any():
         ac = np.flatnonzero(active)
+        if ac.size <= _TAIL_ACTIVE:
+            for c in ac:
+                scalar_tail(int(c))
+            break
         endc = ends[ac]
         i0 = _next_at_or_after(pos_inv, p_row[ac], n)
         has0 = i0 < endc

@@ -444,3 +444,29 @@ def test_streamed_absence_equals_batch_over_random_epochs():
         w2 = want.sort_values(cols).reset_index(drop=True).astype(
             {c: np.int64 for c in cols if c != "conv_id"})
         pd.testing.assert_frame_equal(g2, w2, check_exact=True), trial
+
+
+def test_hot_conversation_scalar_tail_correct():
+    """One conversation with 8k turns drives the scalar bisect tail
+    (active count 1 from round one) — output must equal the naive scan
+    (kept small: the naive reference is quadratic)."""
+    n = 8_000
+    role = np.where(np.arange(n) % 2 == 0, "assistant", "tool")
+    df = pd.DataFrame({
+        "conv_id": "hot", "turn_idx": np.arange(n, dtype=np.int64),
+        "role": role, "tool": np.where(role == "assistant", "tool_x", None),
+        "ts": (np.arange(n, dtype=np.int64) * US).astype("datetime64[us]"),
+    })
+    from dataflow_mm_ray.stages.cep import TOOL_CHAIN_STEPS
+    got = match_pattern_kernel(df, TOOL_CHAIN_STEPS, within_us=None,
+                               policy="skip_past")
+    # alternating I R I R ...: matches are (4m, 4m+1, 4m+2)*? -> verify
+    # against the generic naive transcription (subset columns)
+    want = naive_match(df, TOOL_CHAIN_STEPS, None, "skip_past")
+    cols = list(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want.sort_values(cols).reset_index(drop=True).astype(
+            {c: np.int64 for c in cols if c != "conv_id"}),
+        check_exact=True)
+    assert len(got) == n // 4
