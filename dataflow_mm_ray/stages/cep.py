@@ -435,30 +435,34 @@ def _empty_cep_emissions() -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def advance_chain_automaton(
+def advance_pattern_automaton(
     rows: pd.DataFrame,
+    steps: Sequence[Step],
     ptrs: dict,
     seqs: dict,
     wm_us: int,
     within_us: int,
     flush: bool = False,
+    carry: Sequence[str] = (),
 ):
-    """One watermark advance of the streamed skip_past TOOL_CHAIN
-    automaton (invoke -> first response -> next invoke, within bound).
+    """One watermark advance of a streamed skip_past pattern scan —
+    the incremental twin of ``match_pattern_kernel(policy="skip_past")``
+    for any chain of positive steps.
 
-    ``rows``: this shard's buffered invoke/response rows, sorted by
-    (conv_id, turn_idx), columns conv_id/turn_idx/ts_us/is_inv/tool.
-    ``ptrs``/``seqs``: per-conversation scan pointer (turn space) and
-    match counter, mutated in place.
+    ``rows``: this shard's buffered step-relevant rows, sorted by
+    (conv_id, turn_idx), columns conv_id/turn_idx/ts_us + whatever the
+    step predicates and ``carry`` read. ``ptrs``/``seqs``:
+    per-conversation scan pointer (turn space) and match counter,
+    mutated in place.
 
     Decidability: turn order == ts order within a conversation (the
     derivation breaks ts ties by event_id), and every future non-late
-    arrival has ts >= wm. A candidate invoke i is decidable once
+    arrival has ts >= wm. A candidate step-0 row i is decidable once
     ``ts_i + within < wm`` — all rows that could beat the within bound
     have arrived, and a chain step missing from the stable set
     (ts < wm) can only be supplied by a row with ts >= wm >
     ts_i + within, i.e. a timeout either way. Candidates are therefore
-    decided strictly in order (skip_past is sequential); the loop stops
+    decided strictly in order (skip_past is sequential); the scan stops
     at the first undecided one. Emissions are a pure function of
     (applied rows, wm), so checkpoint replay reproduces them exactly,
     and the final output equals the batch kernel over all applied rows
@@ -466,26 +470,48 @@ def advance_chain_automaton(
     but a conversation with a missing step can never match again, so
     the emission sets coincide).
 
-    Returns (emissions, kept_rows): emissions sorted by
-    (conv_id, invoke_turn_idx); kept_rows = the pruned buffer — unstable
-    rows (ts >= wm) plus stable rows at-or-after the first undecided
-    candidate. State is thus bounded by the within window per
-    conversation.
+    Hot conversations hand off to the same scalar bisect tail as the
+    batch kernel once at most ``_TAIL_ACTIVE`` conversations remain
+    active.
+
+    Returns (emissions, kept_rows): emissions sorted by (conv_id,
+    step-0 turn_idx) with columns conv_id, match_seq,
+    <name>_turn_idx per step, <carry cols from the step-0 row>,
+    ts_start_us, ts_end_us, span_us; kept_rows = the pruned buffer —
+    unstable rows (ts >= wm) plus stable rows at-or-after the first
+    undecided candidate. State is thus bounded by the within window
+    per conversation.
     """
+    names = [nm for nm, _ in steps]
+    K = len(names)
+    if K < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+
+    def empty() -> pd.DataFrame:
+        out: dict = {"conv_id": pd.Series([], dtype=object),
+                     "match_seq": pd.Series([], dtype=np.int64)}
+        for nm in names:
+            out[f"{nm}_turn_idx"] = pd.Series([], dtype=np.int64)
+        for c in carry:
+            out[c] = pd.Series([], dtype=object)
+        out["ts_start_us"] = pd.Series([], dtype=np.int64)
+        out["ts_end_us"] = pd.Series([], dtype=np.int64)
+        out["span_us"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(out)
+
     if not len(rows):
-        return _empty_cep_emissions(), rows
+        return empty(), rows
 
     conv = rows["conv_id"].to_numpy()
     tix = rows["turn_idx"].to_numpy(dtype=np.int64)
     ts = rows["ts_us"].to_numpy(dtype=np.int64)
-    is_inv = rows["is_inv"].to_numpy(dtype=bool)
     n = len(rows)
     stable = np.ones(n, dtype=bool) if flush else ts < wm_us
     starts, ends, run_id = _segments(conv)
     nconv = len(starts)
     conv_names = conv[starts]
-    pos_inv = np.flatnonzero(is_inv & stable)
-    pos_resp = np.flatnonzero(~is_inv & stable)
+    pos = [np.flatnonzero(np.asarray(fn(rows), dtype=bool) & stable)
+           for _, fn in steps]
 
     ptr_arr = np.array([ptrs.get(c, 0) for c in conv_names], dtype=np.int64)
     seq_arr = np.array([seqs.get(c, 0) for c in conv_names], dtype=np.int64)
@@ -499,9 +525,7 @@ def advance_chain_automaton(
     HUGE = np.int64(1 << 62)
     active = np.ones(nconv, dtype=bool)
     thr = np.full(nconv, HUGE, dtype=np.int64)  # stable-prune threshold (turn space)
-    acc_i: list[np.ndarray] = []
-    acc_j: list[np.ndarray] = []
-    acc_k: list[np.ndarray] = []
+    acc_rows: list[list[np.ndarray]] = [[] for _ in range(K)]
     acc_c: list[np.ndarray] = []
     acc_s: list[np.ndarray] = []
 
@@ -512,41 +536,44 @@ def advance_chain_automaton(
         from bisect import bisect_left
 
         s0, e0 = int(starts[c]), int(ends[c])
-        cinv = pos_inv[np.searchsorted(pos_inv, s0):np.searchsorted(pos_inv, e0)].tolist()
-        cresp = pos_resp[np.searchsorted(pos_resp, s0):np.searchsorted(pos_resp, e0)].tolist()
-        oi: list[int] = []
-        oj: list[int] = []
-        ok_: list[int] = []
+        cpos = [ps[np.searchsorted(ps, s0):np.searchsorted(ps, e0)].tolist()
+                for ps in pos]
+        out: list[list[int]] = [[] for _ in range(K)]
         osq: list[int] = []
         pr = int(p_row[c])
         sq = int(seq_arr[c])
         while True:
-            ii = bisect_left(cinv, pr)
-            if ii == len(cinv):
+            ii = bisect_left(cpos[0], pr)
+            if ii == len(cpos[0]):
                 break
-            i0s = cinv[ii]
+            i0s = cpos[0][ii]
             if not flush and int(ts[i0s]) + within_us >= wm_us:
                 thr[c] = tix[i0s]
                 break
-            jj = bisect_left(cresp, i0s + 1)
-            js = cresp[jj] if jj < len(cresp) else None
-            kk = bisect_left(cinv, js + 1) if js is not None else len(cinv)
-            ks = cinv[kk] if js is not None and kk < len(cinv) else None
-            if js is None or ks is None:
+            rowlist = [i0s]
+            cur = i0s
+            ok_chain = True
+            for s in range(1, K):
+                jj = bisect_left(cpos[s], cur + 1)
+                if jj == len(cpos[s]):
+                    ok_chain = False
+                    break
+                cur = cpos[s][jj]
+                rowlist.append(cur)
+            if not ok_chain:
                 if flush:
                     ptr_arr[c] = HUGE
                     break
                 ptr_arr[c] = tix[i0s] + 1
                 pr = i0s + 1
                 continue
-            if int(ts[ks]) - int(ts[i0s]) <= within_us:
-                oi.append(i0s)
-                oj.append(js)
-                ok_.append(ks)
+            if int(ts[cur]) - int(ts[i0s]) <= within_us:
+                for s in range(K):
+                    out[s].append(rowlist[s])
                 osq.append(sq)
                 sq += 1
-                ptr_arr[c] = tix[ks] + 1
-                pr = ks + 1
+                ptr_arr[c] = tix[cur] + 1
+                pr = cur + 1
             else:
                 ptr_arr[c] = tix[i0s] + 1
                 pr = i0s + 1
@@ -554,9 +581,8 @@ def advance_chain_automaton(
         if osq:
             acc_c.append(np.full(len(osq), c, dtype=np.int64))
             acc_s.append(np.asarray(osq, dtype=np.int64))
-            acc_i.append(np.asarray(oi, dtype=np.int64))
-            acc_j.append(np.asarray(oj, dtype=np.int64))
-            acc_k.append(np.asarray(ok_, dtype=np.int64))
+            for s in range(K):
+                acc_rows[s].append(np.asarray(out[s], dtype=np.int64))
 
     while active.any():
         ac = np.flatnonzero(active)
@@ -565,7 +591,7 @@ def advance_chain_automaton(
                 scalar_tail(int(c))
             break
         endc = ends[ac]
-        i0 = _next_at_or_after(pos_inv, p_row[ac], n)
+        i0 = _next_at_or_after(pos[0], p_row[ac], n)
         has0 = i0 < endc
         i0c = np.where(has0, i0, 0)
         # NB: `not flush`, never `~flush` — bitwise NOT of a Python
@@ -584,10 +610,16 @@ def advance_chain_automaton(
         agc = ac[go]
         i0g = i0[go]
         endg = endc[go]
-        j = _next_at_or_after(pos_resp, i0g + 1, n)
-        k = _next_at_or_after(pos_inv, np.minimum(j + 1, n), n)
-        chain_ok = (j < endg) & (k < endg)
-        span = ts[np.where(chain_ok, k, i0g)] - ts[i0g]
+        rowmat = [i0g]
+        cur = i0g
+        chain_ok = np.ones(len(agc), dtype=bool)
+        for s in range(1, K):
+            nx = _next_at_or_after(pos[s], np.minimum(cur + 1, n), n)
+            chain_ok &= nx < endg
+            rowmat.append(nx)
+            cur = nx
+        last = np.where(chain_ok, rowmat[-1], 0)
+        span = ts[last] - ts[np.where(chain_ok, i0g, 0)]
         matched = chain_ok & (span <= within_us)
         # mid-stream a missing stable step is a timeout (any unseen row
         # has ts >= wm > ts_i + within); at flush it is terminal
@@ -596,12 +628,11 @@ def advance_chain_automaton(
         if matched.any():
             acc_c.append(agc[matched])
             acc_s.append(seq_arr[agc[matched]].copy())
-            acc_i.append(i0g[matched])
-            acc_j.append(j[matched])
-            acc_k.append(k[matched])
+            for s in range(K):
+                acc_rows[s].append(rowmat[s][matched])
             seq_arr[agc[matched]] += 1
-            p_row[agc[matched]] = k[matched] + 1
-            ptr_arr[agc[matched]] = tix[k[matched]] + 1
+            p_row[agc[matched]] = rowmat[-1][matched] + 1
+            ptr_arr[agc[matched]] = tix[rowmat[-1][matched]] + 1
         p_row[agc[timeout]] = i0g[timeout] + 1
         ptr_arr[agc[timeout]] = tix[i0g[timeout]] + 1
         if dead.any():
@@ -614,31 +645,53 @@ def advance_chain_automaton(
 
     if acc_c:
         ci = np.concatenate(acc_c)
-        ii = np.concatenate(acc_i)
-        jj = np.concatenate(acc_j)
-        kk = np.concatenate(acc_k)
+        mats = [np.concatenate(acc_rows[s]) for s in range(K)]
         sq = np.concatenate(acc_s)
-        order = np.lexsort((ii, ci))
-        ci, ii, jj, kk, sq = ci[order], ii[order], jj[order], kk[order], sq[order]
-        emissions = pd.DataFrame(
-            {
-                "conv_id": conv_names[ci],
-                "match_seq": sq.astype(np.int64),
-                "invoke_turn_idx": tix[ii],
-                "response_turn_idx": tix[jj],
-                "reinvoke_turn_idx": tix[kk],
-                "tool": rows["tool"].to_numpy()[ii],
-                "ts_start_us": ts[ii],
-                "ts_end_us": ts[kk],
-                "span_us": ts[kk] - ts[ii],
-            }
-        )
+        order = np.lexsort((mats[0], ci))
+        ci = ci[order]
+        mats = [m[order] for m in mats]
+        sq = sq[order]
+        out = {"conv_id": conv_names[ci], "match_seq": sq.astype(np.int64)}
+        for nm, m in zip(names, mats):
+            out[f"{nm}_turn_idx"] = tix[m]
+        for c in carry:
+            out[c] = rows[c].to_numpy()[mats[0]]
+        out["ts_start_us"] = ts[mats[0]]
+        out["ts_end_us"] = ts[mats[-1]]
+        out["span_us"] = ts[mats[-1]] - ts[mats[0]]
+        emissions = pd.DataFrame(out)
     else:
-        emissions = _empty_cep_emissions()
+        emissions = empty()
 
     keep = (~stable) | (tix >= thr[run_id])
     kept = rows[keep].reset_index(drop=True)
     return emissions, kept
+
+
+#: the streamed TOOL_CHAIN steps over the shard buffer's row layout
+#: (conv_id/turn_idx/ts_us/is_inv/tool)
+_STREAM_CHAIN_STEPS: tuple[Step, ...] = (
+    ("invoke", lambda r: r["is_inv"].to_numpy(dtype=bool)),
+    ("response", lambda r: ~r["is_inv"].to_numpy(dtype=bool)),
+    ("reinvoke", lambda r: r["is_inv"].to_numpy(dtype=bool)),
+)
+
+
+def advance_chain_automaton(
+    rows: pd.DataFrame,
+    ptrs: dict,
+    seqs: dict,
+    wm_us: int,
+    within_us: int,
+    flush: bool = False,
+):
+    """The TOOL_CHAIN instance of ``advance_pattern_automaton`` (the
+    engine's ``cep`` stream): invoke -> first response -> next invoke,
+    within bound, tool carried from the invoke."""
+    return advance_pattern_automaton(
+        rows, _STREAM_CHAIN_STEPS, ptrs, seqs, wm_us, within_us,
+        flush=flush, carry=("tool",),
+    )
 
 
 # --- streaming absence detection (timeout alerts) --------------------------
