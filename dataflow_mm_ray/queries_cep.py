@@ -1435,3 +1435,81 @@ def q_cep_unanswered_invocations(sf_dir: str):
         return out.drop(columns=["ts_end", "span_us"])
 
     return transcripts_partitioned(sf_dir, kern, fast=True)
+
+
+TOP_TOOLS_K = 3
+
+
+@register(
+    "windowed_top_tools",
+    TRANSCRIPTS_CTE
+    + f"""
+, wt AS (
+  SELECT make_timestamp(epoch_us(ts) // (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000)
+                        * (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000)) AS window_start,
+         tool, count(*) AS n_invocations
+  FROM transcripts
+  WHERE role = 'assistant' AND tool IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT window_start, tool, CAST(n_invocations AS BIGINT) AS n_invocations,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_invocations DESC, tool) AS rank
+  FROM wt
+)
+WHERE rank <= {TOP_TOOLS_K}
+""",
+)
+def q_windowed_top_tools(sf_dir: str):
+    """Hot tools per tumbling window (windowed top-k): per-batch
+    partial (window, tool) counts — a hot window contributes one row
+    per tool per batch — then ONE window-keyed exchange with a
+    vectorized per-window rank cut (count desc, tool asc tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    from dataflow_mm_ray.groupsum import group_sum, group_sum_df
+    from dataflow_mm_ray.partition import partition_map
+
+    width_us = TUMBLING_WIDTH_S * 1_000_000
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        inv = b[(b["role"].to_numpy() == "assistant") & b["tool"].notna().to_numpy()]
+        if not len(inv):
+            return pd.DataFrame({"window_start_us": pd.Series([], dtype=np.int64),
+                                 "tool": pd.Series([], dtype=object),
+                                 "n_invocations": pd.Series([], dtype=np.int64)})
+        us = inv["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return group_sum(
+            {"window_start_us": (us // width_us) * width_us,
+             "tool": inv["tool"].to_numpy()},
+            {"n_invocations": np.ones(len(inv), dtype=np.int64)},
+        )
+
+    def topk(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({"window_start": pd.Series([], dtype="datetime64[us]"),
+                                 "tool": pd.Series([], dtype=object),
+                                 "n_invocations": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        agg = group_sum_df(p, ["window_start_us", "tool"], ["n_invocations"])
+        agg = agg.sort_values(["window_start_us", "n_invocations", "tool"],
+                              ascending=[True, False, True], kind="mergesort")
+        w = agg["window_start_us"].to_numpy(dtype=np.int64)
+        chg = np.empty(len(agg), dtype=bool)
+        chg[0] = True
+        chg[1:] = w[1:] != w[:-1]
+        rank = np.arange(len(agg)) - np.flatnonzero(chg)[np.cumsum(chg) - 1] + 1
+        keep = rank <= TOP_TOOLS_K
+        out = agg[keep]
+        return pd.DataFrame(
+            {"window_start": out["window_start_us"].to_numpy(dtype=np.int64).astype("datetime64[us]"),
+             "tool": out["tool"].to_numpy(),
+             "n_invocations": out["n_invocations"].to_numpy(dtype=np.int64),
+             "rank": rank[keep].astype(np.int64)}
+        )
+
+    part = transcripts_from_events(sf_dir).map_batches(partials, batch_format="pandas")
+    return partition_map(part, "window_start_us", topk, num_partitions=8)
