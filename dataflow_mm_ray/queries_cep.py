@@ -1463,10 +1463,11 @@ WHERE rank <= {TOP_TOOLS_K}
 """,
 )
 def q_windowed_top_tools(sf_dir: str):
-    """Hot tools per tumbling window (windowed top-k): per-batch
-    partial (window, tool) counts — a hot window contributes one row
-    per tool per batch — then ONE window-keyed exchange with a
-    vectorized per-window rank cut (count desc, tool asc tie-break)."""
+    """Hot tools per tumbling window (windowed top-k): the partial
+    (window, tool) counts are FUSED into the transcript-derivation
+    shuffle (fast=True — raw text never materializes), then ONE tiny
+    window-keyed exchange applies a vectorized per-window rank cut
+    (count desc, tool asc tie-break)."""
     import numpy as np
     import pandas as pd
 
@@ -1511,5 +1512,5 @@ def q_windowed_top_tools(sf_dir: str):
              "rank": rank[keep].astype(np.int64)}
         )
 
-    part = transcripts_from_events(sf_dir).map_batches(partials, batch_format="pandas")
+    part = transcripts_partitioned(sf_dir, partials, fast=True)
     return partition_map(part, "window_start_us", topk, num_partitions=8)
