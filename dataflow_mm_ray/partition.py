@@ -154,16 +154,18 @@ def _reduce_partition(fn, sort_by, *pieces) -> pd.DataFrame:
     frames = _pieces_to_frames(pieces)
     if not frames:
         # empty partition (fewer distinct keys than P): still run fn on
-        # a correctly-columned empty frame (the split pieces carry the
-        # input schema) so every output block has fn's schema — a
-        # column-less block would KeyError downstream kernels and break
-        # Dataset schema unification
-        if pieces:
-            p0 = pieces[0]
-            empty = p0 if isinstance(p0, pd.DataFrame) else p0.to_pandas()
-            empty = empty.iloc[:0]
-        else:
-            empty = pd.DataFrame()
+        # a correctly-columned empty frame so every output block has
+        # fn's schema — a column-less block would KeyError downstream
+        # kernels and break Dataset schema unification. Scan for a piece
+        # that CARRIES a schema: Ray's map_batches emits column-less
+        # blocks for empty input blocks, so pieces[0] alone isn't
+        # trustworthy.
+        empty = pd.DataFrame()
+        for p in pieces:
+            pdf = p if isinstance(p, pd.DataFrame) else p.to_pandas()
+            if len(pdf.columns):
+                empty = pdf.iloc[:0]
+                break
         return fn(empty.reset_index(drop=True))
     df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0].reset_index(drop=True)
     if sort_by:
@@ -204,9 +206,15 @@ def _merge_pieces(*pieces) -> pd.DataFrame:
     """Order-preserving pandas coalesce of one reducer's chunk."""
     frames = _pieces_to_frames(pieces)
     if not frames:
-        p0 = pieces[0]
-        empty = p0 if isinstance(p0, pd.DataFrame) else p0.to_pandas()
-        return empty.iloc[:0]
+        # prefer a schema-bearing piece (map_batches emits column-less
+        # blocks for empty inputs — see _reduce_partition)
+        empty = pd.DataFrame()
+        for p in pieces:
+            pdf = p if isinstance(p, pd.DataFrame) else p.to_pandas()
+            if len(pdf.columns):
+                empty = pdf.iloc[:0]
+                break
+        return empty
     return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
 

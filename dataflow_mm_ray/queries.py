@@ -64,9 +64,10 @@ _DRIVER_PRIORITY = [
     # refine operators (new this round)
     "visual_grounding_refine", "visual_dependency_refine",
     "seg_cutout_refine",
-    # dedup / similarity (§2.6)
+    # dedup / similarity (§2.6) — distinct_tools (trivial distinct)
+    # demoted for the duplicate-cluster CC operator
     "dedup_exact", "embedding_neardup", "ngram_jaccard_dedup",
-    "distinct_tools",
+    "dup_clusters",
 ]
 
 

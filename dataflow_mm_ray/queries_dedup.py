@@ -301,11 +301,10 @@ def q_embedding_srp_neardup(sf_dir: str):
 
 NGRAM_JACCARD_THRESHOLD = 0.5
 
-
-@register(
-    "ngram_jaccard_dedup",
-    f"""
-WITH norm AS (
+# shared by the first-wins dedup and the duplicate-cluster oracles:
+# normalized word-3-gram shingles -> per-pair intersection counts
+_NGRAM_PAIR_CTES = f"""
+norm AS (
   SELECT doc_id,
     regexp_replace(trim(lower(regexp_replace(text, '{_NGRAM_PUNCT}', '', 'g')), {_NGRAM_WS}),
                    '[' || {_NGRAM_WS} || ']+', ' ', 'g') AS nt
@@ -324,7 +323,13 @@ pairs AS (
   SELECT a.doc_id AS lo, b.doc_id AS hi, count(*) AS inter
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-), near AS (
+)"""
+
+
+@register(
+    "ngram_jaccard_dedup",
+    f"""
+WITH {_NGRAM_PAIR_CTES}, near AS (
   SELECT hi FROM pairs JOIN sizes sa ON sa.doc_id = lo JOIN sizes sb ON sb.doc_id = hi
   WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {NGRAM_JACCARD_THRESHOLD}
 )
@@ -337,6 +342,40 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     ngram_jaccard_dedup) — the verification kernel of the MinHash path
     promoted to a standalone exact operator, fully SQL-oracled."""
     return neardup.ngram_jaccard_dedup(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
+
+
+@register(
+    "dup_clusters",
+    f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES}, near_pairs AS (
+  SELECT lo, hi FROM pairs JOIN sizes sa ON sa.doc_id = lo JOIN sizes sb ON sb.doc_id = hi
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {NGRAM_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT lo AS a, hi AS b FROM near_pairs
+  UNION ALL
+  SELECT hi AS a, lo AS b FROM near_pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+), comp AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s USING (cluster_id)
+ORDER BY c.doc_id
+""",
+)
+def q_dup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS over the exact n-gram Jaccard graph:
+    (doc_id, cluster_id, cluster_size) by distributed min-label
+    propagation with pointer jumping (stages/components.py) — the
+    cluster-then-canonicalize complement of the first-wins dedup,
+    oracled by a recursive-CTE transitive closure."""
+    from dataflow_mm_ray.stages.components import ngram_dup_clusters
+
+    return ngram_dup_clusters(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
 
 
 @register(

@@ -533,6 +533,36 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, source: str = "docu
     oracle uses the shingle strings; a 64-bit collision inside one
     document's set is the only (negligible, ~1e-13 at 10^6 shingles)
     divergence."""
+    membership, ne_membership, sh, verified = ngram_verified_pairs(
+        sf_dir, threshold, source, id_col, text_col, ds, num_partitions, max_posting
+    )
+    rep_keep = _keep_from_pairs(sh, verified, id_col, num_partitions=num_partitions)
+    expanded = expand_rep_decisions(ne_membership, rep_keep, id_col, num_partitions)
+
+    def empty_keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.fromiter((len(s) == 0 for s in b["__sh"]), dtype=bool, count=len(b))
+        return pd.DataFrame(
+            {id_col: b.loc[m, "doc_id"].to_numpy().astype(np.int64),
+             "keep": np.ones(int(m.sum()), dtype=bool)}
+        )
+
+    empties = membership.map_batches(empty_keep, batch_format="pandas")
+    return expanded.map_batches(
+        lambda b: b[[id_col, "keep"]], batch_format="pandas"
+    ).union(empties)
+
+
+def ngram_verified_pairs(sf_dir: str, threshold: float = 0.5, source: str = "documents",
+                         id_col: str = "doc_id", text_col: str = "text", ds=None,
+                         num_partitions: int = 16, max_posting: int | None = None):
+    """The shared exact-n-gram pair pipeline (shingle → exact collapse →
+    inverted-index partials → Jaccard verify). Returns
+    ``(membership, ne_membership, sh, verified)``: the full collapse
+    membership, its non-empty subset (materialized), the representative
+    shingle table (materialized), and the verified (lo, hi) pair
+    Dataset over representatives. Consumed by both the first-wins keep
+    (``ngram_jaccard_dedup``) and the duplicate-cluster labeling
+    (``stages/components.ngram_dup_clusters``)."""
     from dataflow_mm_ray.partition import partition_map
 
     docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
@@ -541,13 +571,6 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, source: str = "docu
 
     def nonempty(b: pd.DataFrame) -> pd.DataFrame:
         return b[np.fromiter((len(s) > 0 for s in b["__sh"]), dtype=bool, count=len(b))]
-
-    def empty_keep(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.fromiter((len(s) == 0 for s in b["__sh"]), dtype=bool, count=len(b))
-        return pd.DataFrame(
-            {id_col: b.loc[m, "doc_id"].to_numpy().astype(np.int64),
-             "keep": np.ones(int(m.sum()), dtype=bool)}
-        )
 
     # materialized: consumed by both collapse_reps and the final
     # expansion (CLAUDE.md multi-pass rule)
@@ -605,12 +628,7 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, source: str = "docu
         return agg.loc[keep, ["lo", "hi"]]
 
     verified = partition_map(partials, "lo", verify, num_partitions=num_partitions)
-    rep_keep = _keep_from_pairs(sh, verified, id_col, num_partitions=num_partitions)
-    expanded = expand_rep_decisions(ne_membership, rep_keep, id_col, num_partitions)
-    empties = membership.map_batches(empty_keep, batch_format="pandas")
-    return expanded.map_batches(
-        lambda b: b[[id_col, "keep"]], batch_format="pandas"
-    ).union(empties)
+    return membership, ne_membership, sh, verified
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3, source: str = "documents",
