@@ -142,6 +142,10 @@ class _ShardState:
         self.alert_pending = _empty_cep()
         self.alert_chunks: list[pd.DataFrame] = []
         self.alert_seq: dict[str, int] = {}
+        # update-mode changelog for tumbling windows: per-key emission
+        # counter, GC'd when the window closes (a closed window can
+        # never change again — late rows are quarantined upstream)
+        self.upsert_seq: dict[tuple, int] = {}
 
 
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -283,6 +287,63 @@ class StateShard:
         closed = agg[m].sort_values(["conv_id", "window_start_us"], kind="mergesort")
         return closed.reset_index(drop=True)[cols], agg[~m].reset_index(drop=True)[cols]
 
+    @staticmethod
+    def _window_upserts(st, win_chunks: list, win_closed: pd.DataFrame) -> pd.DataFrame:
+        """Update-mode changelog for the tumbling windows (the engine's
+        other output mode — the ``windows`` stream is append-on-close).
+        Emits one row per window whose aggregate CHANGED this epoch
+        (its current running value), plus a final row when the window
+        closes (``is_final=True``, same values as the ``windows``
+        emission). ``revision`` counts the key's emissions, so a
+        consumer materializes the latest state per
+        ``(conv_id, window_start_us)`` by max revision; the is_final
+        rows alone reproduce the append-mode stream exactly."""
+        keycols = ["conv_id", "window_start_us"]
+        if not win_chunks and not len(win_closed):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "window_start_us": pd.Series([], dtype=np.int64),
+                    "n_turns": pd.Series([], dtype=np.int64),
+                    "n_user_turns": pd.Series([], dtype=np.int64),
+                    "n_tool_calls": pd.Series([], dtype=np.int64),
+                    "sum_chars": pd.Series([], dtype=np.int64),
+                    "revision": pd.Series([], dtype=np.int64),
+                    "is_final": pd.Series([], dtype=bool),
+                }
+            )
+        if win_chunks:
+            ck = (
+                pd.concat(win_chunks, ignore_index=True)
+                if len(win_chunks) > 1 else win_chunks[0]
+            )[keycols].drop_duplicates()
+        else:
+            ck = win_closed[keycols].iloc[:0]
+        closed_keys = win_closed[keycols]
+        keys = pd.concat([ck, closed_keys], ignore_index=True).drop_duplicates()
+        # current consolidated value: closed ∪ open are disjoint and
+        # unique per key, and every changed/closed key appears in one
+        cur = (
+            pd.concat([win_closed, st.windows], ignore_index=True)
+            if len(st.windows) else win_closed
+        )
+        up = keys.merge(cur, on=keycols, how="inner")
+        up = up.merge(closed_keys.assign(__f=True), on=keycols, how="left")
+        up = up.sort_values(keycols, kind="mergesort").reset_index(drop=True)
+        kv = list(zip(up["conv_id"].tolist(),
+                      up["window_start_us"].to_numpy(dtype=np.int64).tolist()))
+        seq = st.upsert_seq
+        rev = np.fromiter((seq.get(k, 0) for k in kv), dtype=np.int64, count=len(kv)) + 1
+        seq.update(zip(kv, rev.tolist()))
+        is_final = up["__f"].notna().to_numpy()
+        for k, f in zip(kv, is_final):
+            if f:
+                seq.pop(k, None)
+        out = up[_WIN_COLS].copy(deep=False)
+        out["revision"] = rev
+        out["is_final"] = is_final
+        return out
+
     def finalize(self, wm_us: int, flush: bool = False,
                  stage_root: str | None = None, epoch: int | None = None) -> dict:
         """Emit closed constructs (vectorized). With ``stage_root``, the
@@ -292,10 +353,12 @@ class StateShard:
         self._seen_applies.clear()
         st = self.s
 
+        win_chunks = st.win_chunks
         win_closed, st.windows = self._consolidate(
-            st.windows, st.win_chunks, _WIN_COLS, st.width_us, wm_us, flush
+            st.windows, win_chunks, _WIN_COLS, st.width_us, wm_us, flush
         )
         st.win_chunks = []
+        upserts_out = self._window_upserts(st, win_chunks, win_closed)
         slide_closed, st.swindows = self._consolidate(
             st.swindows, st.slide_chunks, _SLIDE_COLS, st.slide_width_us, wm_us, flush
         )
@@ -550,6 +613,7 @@ class StateShard:
             "asof": asof_out,
             "cep": cep_out,
             "alerts": alerts_out,
+            "upserts": upserts_out,
         }
         if stage_root is None:
             frames_out["wdistinct_partials"] = dcount_out

@@ -59,7 +59,8 @@ from dataflow_mm_ray.state.store import StateShard
 from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
-STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "cep", "alerts", "wdistinct", "late")
+STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "cep", "alerts",
+           "upserts", "wdistinct", "late")
 
 
 def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
@@ -530,7 +531,8 @@ class StreamingEngine:
             ]
         )
         emitted_counts = {}
-        for stream in ("windows", "sliding", "sessions", "joins", "asof", "cep", "alerts"):
+        for stream in ("windows", "sliding", "sessions", "joins", "asof", "cep",
+                       "alerts", "upserts"):
             files = [f for e in emissions for f in e["files"][stream]]
             rows = sum(e["rows"][stream] for e in emissions)
             emitted_counts[stream] = rows

@@ -475,3 +475,38 @@ def test_alerts_stream_matches_batch(ray_session, transcripts_path, tmp_path, la
     # deadline carried correctly
     d = got["deadline_us"] - got["ts_invoke_us"]
     assert (d == eng.alert_deadline_s * 10**6).all()
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600])
+def test_upsert_stream_materializes_to_windows(ray_session, transcripts_path, tmp_path,
+                                               lateness_s):
+    """Update-mode changelog invariants: per-key revisions are
+    contiguous from 1; exactly one is_final row per key; the is_final
+    rows reproduce the append-mode ``windows`` stream exactly; and the
+    max-revision row per key IS the final row (so a consumer
+    materializing latest-state-per-key lands on the closed aggregate)."""
+    keyc = ["conv_id", "window_start_us"]
+    eng = _run_engine(transcripts_path, tmp_path / f"up{lateness_s}", lateness_s)
+    res = eng.results()
+    up = res["upserts"]
+    win = res["windows"]
+    assert len(up) >= len(win) > 0
+
+    g = up.sort_values(keyc + ["revision"]).groupby(keyc)["revision"]
+    assert (g.min() == 1).all()
+    assert g.apply(
+        lambda s: (s.to_numpy() == np.arange(1, len(s) + 1)).all()
+    ).all()
+
+    finals = up[up["is_final"]]
+    assert (finals.groupby(keyc).size() == 1).all()
+    pd.testing.assert_frame_equal(
+        _canon(finals[win.columns.tolist()]), _canon(win), check_dtype=False
+    )
+
+    latest = up.loc[up.groupby(keyc)["revision"].idxmax()]
+    assert latest["is_final"].all()
+
+    # the stream genuinely revises: with 5 arrival epochs some window
+    # must have been updated across epochs before closing
+    assert (up["revision"] > 1).any()
