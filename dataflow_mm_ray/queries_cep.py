@@ -1437,7 +1437,7 @@ def q_cep_unanswered_invocations(sf_dir: str):
     return transcripts_partitioned(sf_dir, kern, fast=True)
 
 
-TOP_TOOLS_K = 3
+from dataflow_mm_ray.stages.stats import TOP_TOOLS_K
 
 
 @register(
@@ -1490,26 +1490,18 @@ def q_windowed_top_tools(sf_dir: str):
         )
 
     def topk(p: pd.DataFrame) -> pd.DataFrame:
-        if not len(p):
-            return pd.DataFrame({"window_start": pd.Series([], dtype="datetime64[us]"),
-                                 "tool": pd.Series([], dtype=object),
-                                 "n_invocations": pd.Series([], dtype=np.int64),
-                                 "rank": pd.Series([], dtype=np.int64)})
-        agg = group_sum_df(p, ["window_start_us", "tool"], ["n_invocations"])
-        agg = agg.sort_values(["window_start_us", "n_invocations", "tool"],
-                              ascending=[True, False, True], kind="mergesort")
-        w = agg["window_start_us"].to_numpy(dtype=np.int64)
-        chg = np.empty(len(agg), dtype=bool)
-        chg[0] = True
-        chg[1:] = w[1:] != w[:-1]
-        rank = np.arange(len(agg)) - np.flatnonzero(chg)[np.cumsum(chg) - 1] + 1
-        keep = rank <= TOP_TOOLS_K
-        out = agg[keep]
+        from dataflow_mm_ray.stages.stats import window_topk_cut
+
+        cut = window_topk_cut(
+            group_sum_df(p, ["window_start_us", "tool"], ["n_invocations"])
+            if len(p) else p,
+            TOP_TOOLS_K,
+        )
         return pd.DataFrame(
-            {"window_start": out["window_start_us"].to_numpy(dtype=np.int64).astype("datetime64[us]"),
-             "tool": out["tool"].to_numpy(),
-             "n_invocations": out["n_invocations"].to_numpy(dtype=np.int64),
-             "rank": rank[keep].astype(np.int64)}
+            {"window_start": cut["window_start_us"].to_numpy(dtype=np.int64).astype("datetime64[us]"),
+             "tool": cut["tool"].to_numpy(),
+             "n_invocations": cut["n_invocations"].to_numpy(dtype=np.int64),
+             "rank": cut["rank"].to_numpy(dtype=np.int64)}
         )
 
     part = transcripts_partitioned(sf_dir, partials, fast=True)

@@ -146,3 +146,36 @@ def conversation_digest(transcripts, num_partitions: int = DEFAULT_NUM_PARTITION
         transcripts, "conv_id", digest_kernel, num_partitions=num_partitions,
         sort_by=("conv_id", "turn_idx"),
     )
+
+
+TOP_TOOLS_K = 3  # hot tools per window (batch query + wtopk stream)
+
+
+def window_topk_cut(agg: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Vectorized per-window rank cut over merged (window_start_us,
+    tool, n_invocations) counts: rank by (count desc, tool asc) within
+    each window, keep rank <= k. Shared by the batch
+    ``windowed_top_tools`` query and the streamed ``wtopk`` stream so
+    tie-breaks are bit-identical."""
+    if not len(agg):
+        return pd.DataFrame(
+            {"window_start_us": pd.Series([], dtype=np.int64),
+             "tool": pd.Series([], dtype=object),
+             "n_invocations": pd.Series([], dtype=np.int64),
+             "rank": pd.Series([], dtype=np.int64)}
+        )
+    agg = agg.sort_values(["window_start_us", "n_invocations", "tool"],
+                          ascending=[True, False, True], kind="mergesort")
+    w = agg["window_start_us"].to_numpy(dtype=np.int64)
+    chg = np.empty(len(agg), dtype=bool)
+    chg[0] = True
+    chg[1:] = w[1:] != w[:-1]
+    rank = np.arange(len(agg)) - np.flatnonzero(chg)[np.cumsum(chg) - 1] + 1
+    keep = rank <= k
+    out = agg[keep]
+    return pd.DataFrame(
+        {"window_start_us": out["window_start_us"].to_numpy(dtype=np.int64),
+         "tool": out["tool"].to_numpy(),
+         "n_invocations": out["n_invocations"].to_numpy(dtype=np.int64),
+         "rank": rank[keep].astype(np.int64)}
+    )

@@ -50,12 +50,13 @@ import numpy as np
 import pandas as pd
 import ray
 
-from dataflow_mm_ray.groupsum import group_sum_df
+from dataflow_mm_ray.groupsum import group_sum, group_sum_df
 
 US = 1_000_000
 _DCOUNT_P = 12  # windowed-distinct HLL precision: 4 KiB/window, ~1.6% err
 
 _WIN_COLS = ["conv_id", "window_start_us", "n_turns", "n_user_turns", "n_tool_calls", "sum_chars"]
+_WTOPK_COLS = ["window_start_us", "tool", "n_invocations"]
 _SLIDE_COLS = ["conv_id", "window_start_us", "n_turns", "sum_chars"]
 _SESS_STATE_COLS = ["conv_id", "start_us", "end_us", "n_turns"]
 _INV_COLS = ["conv_id", "turn_idx", "tool", "ts_us"]
@@ -146,6 +147,15 @@ class _ShardState:
         # counter, GC'd when the window closes (a closed window can
         # never change again — late rows are quarantined upstream)
         self.upsert_seq: dict[tuple, int] = {}
+        # windowed top-k tool partials: this shard's exact per-(window,
+        # tool) invocation counts, returned to the driver at window
+        # close for the cross-shard merge + rank cut (wtopk stream).
+        # State is open-windows x distinct-tools rows; for an unbounded
+        # tool vocabulary cap with the Misra-Gries machinery of
+        # stages/heavyhitters.py (documented trade: counts become
+        # candidates needing a verify pass).
+        self.wtopk = _empty(_WTOPK_COLS)
+        self.wtopk_chunks: list[pd.DataFrame] = []
 
 
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -258,6 +268,16 @@ class StateShard:
                          "turn_idx": inv["turn_idx"].to_numpy(dtype=np.int64),
                          "tool": inv["tool"].to_numpy(),
                          "ts_us": inv["ts_us"].to_numpy(dtype=np.int64)}
+                    )
+                )
+                # windowed top-k tool partials ride the same inv rows
+                # (combined per apply — a per-batch pre-aggregate)
+                ius = inv["ts_us"].to_numpy(dtype=np.int64)
+                st.wtopk_chunks.append(
+                    group_sum(
+                        {"window_start_us": (ius // st.width_us) * st.width_us,
+                         "tool": inv["tool"].to_numpy()},
+                        {"n_invocations": np.ones(len(inv), dtype=np.int64)},
                     )
                 )
             if len(tool):
@@ -566,6 +586,26 @@ class StateShard:
                  "__regs": pd.Series([], dtype=object)}
             )
 
+        # --- windowed top-k tool partials: consolidate this shard's
+        # per-(window, tool) counts, return the closed-window rows to
+        # the driver (NOT staged — the rank cut needs the cross-shard
+        # sum; the partial table is tiny: windows x tools)
+        wt_frames = ([st.wtopk] if len(st.wtopk) else []) + st.wtopk_chunks
+        st.wtopk_chunks = []
+        if wt_frames:
+            allt = (pd.concat(wt_frames, ignore_index=True)
+                    if len(wt_frames) > 1 else wt_frames[0])
+            tagg = group_sum_df(allt, ["window_start_us", "tool"], ["n_invocations"])
+            tm = (np.ones(len(tagg), dtype=bool) if flush
+                  else (tagg["window_start_us"].to_numpy(dtype=np.int64) + st.width_us) <= wm_us)
+            wtopk_partials = (
+                tagg[tm].sort_values(["window_start_us", "tool"], kind="mergesort")
+                .reset_index(drop=True)[_WTOPK_COLS]
+            )
+            st.wtopk = tagg[~tm].reset_index(drop=True)[_WTOPK_COLS]
+        else:
+            wtopk_partials = _empty(_WTOPK_COLS)
+
         # --- streamed CEP: decide every candidate the watermark has
         # passed (stages/cep.py advance_chain_automaton), prune buffer
         from dataflow_mm_ray.stages.cep import advance_chain_automaton
@@ -617,6 +657,7 @@ class StateShard:
         }
         if stage_root is None:
             frames_out["wdistinct_partials"] = dcount_out
+            frames_out["wtopk_partials"] = wtopk_partials
             return frames_out
 
         import os
@@ -640,6 +681,7 @@ class StateShard:
             fsync_file_and_dir(path)
             out["files"][stream] = [os.path.relpath(path, stage_root)]
         out["wdistinct_partials"] = dcount_out  # small: merged driver-side
+        out["wtopk_partials"] = wtopk_partials  # small: merged driver-side
         return out
 
     # ------------------------------------------------------------------
@@ -676,4 +718,5 @@ class StateShard:
             "pending_cep": int(len(st.cep_pending)) + sum(len(c) for c in st.cep_chunks),
             "pending_alerts": int(len(st.alert_pending)) + sum(len(c) for c in st.alert_chunks),
             "open_dcount_windows": int(len(st.dcount)) + sum(len(c) for c in st.dcount_chunks),
+            "open_wtopk_rows": int(len(st.wtopk)) + sum(len(c) for c in st.wtopk_chunks),
         }

@@ -60,7 +60,7 @@ from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
 STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "cep", "alerts",
-           "upserts", "wdistinct", "late")
+           "upserts", "wdistinct", "wtopk", "late")
 
 
 def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
@@ -563,6 +563,29 @@ class StreamingEngine:
             )
         emitted_counts["wdistinct"] = int(len(wd))
         self.sink.stage_and_commit("wdistinct", epoch, wd, self.watermark_us)
+        # windowed top-k tools: shards return exact per-(window, tool)
+        # count partials for closed windows; sum across shards, then
+        # the shared rank cut (bit-identical tie-breaks with the batch
+        # windowed_top_tools query)
+        from dataflow_mm_ray.groupsum import group_sum_df
+        from dataflow_mm_ray.stages.stats import TOP_TOOLS_K, window_topk_cut
+
+        tparts = [e["wtopk_partials"] for e in emissions if len(e["wtopk_partials"])]
+        if tparts:
+            allt = pd.concat(tparts, ignore_index=True)
+            wt = window_topk_cut(
+                group_sum_df(allt, ["window_start_us", "tool"], ["n_invocations"]),
+                TOP_TOOLS_K,
+            )
+        else:
+            wt = pd.DataFrame(
+                {"window_start_us": pd.Series([], dtype=np.int64),
+                 "tool": pd.Series([], dtype=object),
+                 "n_invocations": pd.Series([], dtype=np.int64),
+                 "rank": pd.Series([], dtype=np.int64)}
+            )
+        emitted_counts["wtopk"] = int(len(wt))
+        self.sink.stage_and_commit("wtopk", epoch, wt, self.watermark_us)
         # late rows were staged by the map tasks (distributed, like the
         # six shard-staged streams); the driver commits the manifest only
         self.sink.commit_files("late", epoch, late_files, n_late, self.watermark_us)

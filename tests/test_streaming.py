@@ -510,3 +510,43 @@ def test_upsert_stream_materializes_to_windows(ray_session, transcripts_path, tm
     # the stream genuinely revises: with 5 arrival epochs some window
     # must have been updated across epochs before closing
     assert (up["revision"] > 1).any()
+
+
+def _batch_wtopk(t: pd.DataFrame, width_s: int) -> pd.DataFrame:
+    from dataflow_mm_ray.stages.stats import TOP_TOOLS_K, window_topk_cut
+
+    inv = t[(t["role"] == "assistant") & t["tool"].notna()]
+    us = inv["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    width_us = width_s * 10**6
+    counts = (
+        pd.DataFrame({"window_start_us": (us // width_us) * width_us,
+                      "tool": inv["tool"].to_numpy()})
+        .groupby(["window_start_us", "tool"], as_index=False).size()
+        .rename(columns={"size": "n_invocations"})
+    )
+    return window_topk_cut(counts, TOP_TOOLS_K)
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600])
+def test_wtopk_stream_matches_batch(ray_session, transcripts_path, tmp_path, lateness_s):
+    """Streamed windowed top-k tools == the batch kernel over the
+    applied (non-late) rows: per-shard exact (window, tool) partials,
+    cross-shard sum at window close, shared rank cut."""
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    eng = _run_engine(transcripts_path, tmp_path / f"wt{lateness_s}", lateness_s)
+    res = eng.results()
+    t = transcripts_from_events(SF_TINY).to_pandas()
+    late = res["late"]
+    if len(late):
+        lk = set(zip(late["conv_id"], late["turn_idx"].astype(int)))
+        t = t[[(c, int(i)) not in lk for c, i in zip(t["conv_id"], t["turn_idx"])]]
+    want = _batch_wtopk(t, WIDTH_S)
+    got = res["wtopk"]
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
+    # every committed window emits at most k rows with contiguous ranks
+    g = got.sort_values(["window_start_us", "rank"]).groupby("window_start_us")["rank"]
+    assert g.apply(lambda s: (s.to_numpy() == np.arange(1, len(s) + 1)).all()).all()
