@@ -379,6 +379,43 @@ def q_dup_clusters(sf_dir: str):
 
 
 @register(
+    "dup_cluster_canonical",
+    f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES}, near_pairs AS (
+  SELECT lo, hi FROM pairs JOIN sizes sa ON sa.doc_id = lo JOIN sizes sb ON sb.doc_id = hi
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {NGRAM_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT lo AS a, hi AS b FROM near_pairs
+  UNION ALL
+  SELECT hi AS a, lo AS b FROM near_pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+), comp AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY length(d.text) DESC, c.doc_id) = 1 AS keep
+FROM comp c
+JOIN documents d USING (doc_id)
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s USING (cluster_id)
+ORDER BY c.doc_id
+""",
+)
+def q_dup_cluster_canonical(sf_dir: str):
+    """Duplicate-aware canonical selection: keep the LONGEST document
+    per near-dup cluster (ties: lowest doc id) — the quality-pick
+    complement of first-wins (which keeps the earliest). Clusters by
+    the distributed CC operator, then one keyed exchange per cluster
+    applies the pick."""
+    from dataflow_mm_ray.stages.components import dup_cluster_canonical
+
+    return dup_cluster_canonical(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
+
+
+@register(
     "ivf_topk_fullprobe",
     _EMB_CTE
     + f"""

@@ -241,3 +241,51 @@ def ngram_dup_clusters(sf_dir: str, threshold: float = 0.5, source: str = "docum
         return out.sort_values(id_col)
 
     return partition_map(labeled, "cluster_id", add_size, num_partitions=num_partitions)
+
+
+def dup_cluster_canonical(sf_dir: str, threshold: float = 0.5, source: str = "documents",
+                          id_col: str = "doc_id", text_col: str = "text", ds=None,
+                          num_partitions: int = 16):
+    """Duplicate-aware canonical selection: for every near-dup cluster
+    keep exactly one document — the longest text (ties: lowest doc id).
+    The quality-pick complement of first-wins dedup: first-wins keeps
+    the EARLIEST duplicate, this keeps the BEST, the selection rule a
+    production training-data pipeline actually wants when crawl order
+    is arbitrary. Output: (doc_id, cluster_id, cluster_size, keep),
+    one row per document.
+    """
+    from dataflow_mm_ray.partition import hash_join, partition_map
+    from dataflow_mm_ray.sources.tables import read_table
+
+    clusters = ngram_dup_clusters(sf_dir, threshold, source, id_col, text_col, ds,
+                                  num_partitions)
+    docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
+
+    def doc_len(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(dtype=np.int64),
+             "__len": b[text_col].str.len().fillna(0).to_numpy(dtype=np.int64)}
+        )
+
+    joined = hash_join(
+        clusters, docs.map_batches(doc_len, batch_format="pandas"), id_col,
+        num_partitions=num_partitions,
+    )
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "cluster_id": pd.Series([], dtype=np.int64),
+                 "cluster_size": pd.Series([], dtype=np.int64),
+                 "keep": pd.Series([], dtype=bool)}
+            )
+        part = part.sort_values([  # best first within each cluster
+            "cluster_id", "__len", id_col
+        ], ascending=[True, False, True], kind="mergesort")
+        first = ~part["cluster_id"].duplicated()
+        out = part[[id_col, "cluster_id", "cluster_size"]].copy(deep=False)
+        out["keep"] = first.to_numpy()
+        return out.sort_values(id_col)
+
+    return partition_map(joined, "cluster_id", pick, num_partitions=num_partitions)

@@ -141,3 +141,15 @@ def test_cc_nonconvergence_guard(ray_session):
     df = pd.DataFrame({"lo": [0, 1], "hi": [1, 2]}, dtype=np.int64)
     with pytest.raises(RuntimeError):
         connected_components(rd.from_pandas(df), num_partitions=2, max_rounds=0)
+
+
+def test_dup_cluster_canonical_matches_oracle(ray_session, oracle):
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.testing import assert_matches_oracle
+
+    q = registry()["dup_cluster_canonical"]
+    got = assert_matches_oracle(q.fn(SF_TINY), oracle, q.sql)
+    # exactly one keeper per cluster, and it is a longest member
+    g = got.groupby("cluster_id")["keep"].sum()
+    assert (g == 1).all()
+    assert got["keep"].sum() == got["cluster_id"].nunique()
