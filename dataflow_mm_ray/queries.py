@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     # sources + CEP/windowing core (north star)
     "transcripts", "tumbling_window", "sliding_window", "session_window",
     "tool_join", "late_events", "window_distinct_convs_exact",
+    "window_latency_pctl",
     "hot_conversations", "token_doc_freq", "knn_percentile",
     # CEP pattern matching + exact heavy hitters (round-4 additions)
     "cep_tool_roundtrip", "cep_tool_chain_nonoverlap", "cep_funnel",
@@ -56,8 +57,8 @@ _DRIVER_PRIORITY = [
     "video_clip_filter", "video_score_filter", "video_luminance_filter",
     "scene_segments", "video_caption_qa",
     # generators (§2.4) — the same-shape prompt variants
-    # (prompt_templated/batch/pers) demoted below the fold
-    "prompted_qa", "templated_qa", "prompted_vqa", "cot_qa",
+    # (templated/prompt_templated/batch/pers) demoted below the fold
+    "prompted_qa", "prompted_vqa", "cot_qa",
     "llm_judge_score",
     "fix_prompted_vqa", "vlm_bbox",
     "visual_reasoning", "multimodal_math",

@@ -727,6 +727,82 @@ def q_tool_join(sf_dir: str):
 
 
 @register(
+    "window_latency_pctl",
+    TRANSCRIPTS_CTE
+    + f"""
+, inv AS (
+  SELECT conv_id, turn_idx, ts FROM transcripts
+  WHERE role = 'assistant' AND tool IS NOT NULL
+), resp AS (
+  SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'tool'
+), m AS (
+  SELECT epoch_us(r.ts) AS rts, epoch_us(r.ts) - epoch_us(i.ts) AS lat
+  FROM inv i JOIN resp r
+    ON r.conv_id = i.conv_id AND r.turn_idx > i.turn_idx
+  QUALIFY row_number() OVER (PARTITION BY i.conv_id, i.turn_idx ORDER BY r.turn_idx) = 1
+), ranked AS (
+  SELECT (rts // {TUMBLING_WIDTH_S * _US}) * {TUMBLING_WIDTH_S * _US} AS window_start_us,
+         lat,
+         row_number() OVER (PARTITION BY rts // {TUMBLING_WIDTH_S * _US} ORDER BY lat) AS rn,
+         count(*) OVER (PARTITION BY rts // {TUMBLING_WIDTH_S * _US}) AS n
+  FROM m
+)
+SELECT window_start_us, max(n) AS n_matched,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN lat END) AS p50_lo_us,
+       max(CASE WHEN rn = CAST(ceil((n - 1) * 0.5) AS BIGINT) + 1 THEN lat END) AS p50_hi_us,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1 THEN lat END) AS p95_lo_us,
+       max(CASE WHEN rn = CAST(ceil((n - 1) * 0.95) AS BIGINT) + 1 THEN lat END) AS p95_hi_us
+FROM ranked GROUP BY 1 ORDER BY 1
+""",
+)
+def q_window_latency_pctl(sf_dir: str):
+    """Per-tumbling-window EXACT latency percentiles of matched
+    tool-join pairs, keyed by the RESPONSE timestamp's window (the
+    same watermark-aligned keying as the streamed wlat sketch).
+    Percentiles are order statistics (the floor/ceil elements straddling
+    (n-1)*q) — pure int64 picks, no interpolation float to flap. The
+    per-invocation latency rows ship through ONE window-keyed exchange;
+    the streamed histogram sketch is the no-row-shipping scale twin."""
+    import numpy as np
+
+    from dataflow_mm_ray.partition import partition_map
+
+    width_us = TUMBLING_WIDTH_S * _US
+
+    def lat_rows(part: pd.DataFrame) -> pd.DataFrame:
+        j = join._join_partition(part, with_response_ts=True)
+        lat = j["latency_us"].to_numpy()
+        m = np.isfinite(lat)
+        if not m.any():
+            return pd.DataFrame({"window_start_us": pd.Series([], dtype=np.int64),
+                                 "lat": pd.Series([], dtype=np.int64)})
+        rts = j["ts_response_us"].to_numpy()[m].astype(np.int64)
+        return pd.DataFrame(
+            {"window_start_us": (rts // width_us) * width_us,
+             "lat": lat[m].astype(np.int64)}
+        )
+
+    def pctl(p: pd.DataFrame) -> pd.DataFrame:
+        cols = ["window_start_us", "n_matched", "p50_lo_us", "p50_hi_us",
+                "p95_lo_us", "p95_hi_us"]
+        if not len(p):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+        rows = []
+        for w, g in p.groupby("window_start_us", sort=True):
+            lat = np.sort(g["lat"].to_numpy(dtype=np.int64))
+            n = len(lat)
+            rows.append((
+                int(w), n,
+                int(lat[int(np.floor((n - 1) * 0.5))]), int(lat[int(np.ceil((n - 1) * 0.5))]),
+                int(lat[int(np.floor((n - 1) * 0.95))]), int(lat[int(np.ceil((n - 1) * 0.95))]),
+            ))
+        return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+    part = transcripts_partitioned(sf_dir, lat_rows, fast=True)
+    return partition_map(part, "window_start_us", pctl, num_partitions=8)
+
+
+@register(
     "dedup_exact",
     TRANSCRIPTS_CTE
     + """

@@ -33,10 +33,16 @@ _EMPTY = pd.DataFrame(
 )
 
 
-def _join_partition(part: pd.DataFrame) -> pd.DataFrame:
-    """part is sorted by (conv_id, turn_idx)."""
+def _join_partition(part: pd.DataFrame, with_response_ts: bool = False) -> pd.DataFrame:
+    """part is sorted by (conv_id, turn_idx). With ``with_response_ts``
+    an extra ``ts_response_us`` float64 column (NaN unmatched) is
+    appended — consumed by the windowed-latency aggregates, which key
+    on the response timestamp."""
     if len(part) == 0:
-        return _EMPTY.copy()
+        out = _EMPTY.copy()
+        if with_response_ts:
+            out["ts_response_us"] = pd.Series([], dtype=np.float64)
+        return out
     is_tool_turn = (part["role"] == "tool").to_numpy()
     turn = part["turn_idx"].to_numpy()
     ts_us = part["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
@@ -66,6 +72,8 @@ def _join_partition(part: pd.DataFrame) -> pd.DataFrame:
             ),
         }
     )
+    if with_response_ts:
+        out["ts_response_us"] = next_tool_ts.to_numpy()[inv_mask].astype(np.float64)
     return out
 
 

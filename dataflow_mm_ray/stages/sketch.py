@@ -225,3 +225,49 @@ def hll_estimate_sqlexact(regs: np.ndarray) -> int:
     # e <= 2^64/30 (~6.1e17 — unreachable, but the contract should be
     # unconditional).
     return int(e)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable latency histogram (the windowed-percentile sketch): quarter-
+# octave log2 bins over integer microseconds. Bin 0 holds lat <= 1us;
+# bin b holds (2^((b-1)/4), 2^(b/4)] us; the last bin is open-ended at
+# ~2^44 us (~200 days). A window's histogram is 177 int64s (1.4 KiB);
+# shard partials merge by elementwise sum, so the cross-shard /
+# cross-epoch split is lossless — the same mergeability contract as the
+# HLL registers above. The quantile estimate returns the covering bin's
+# UPPER edge: a guaranteed overestimate of the exact nearest-rank
+# percentile within a factor of 2^(1/4) (~19%) + 1us of it.
+
+LAT_BINS = 177
+
+
+def lat_bins(lat_us: np.ndarray) -> np.ndarray:
+    """Bin index per latency (int64 us, >= 0)."""
+    lat = np.asarray(lat_us, dtype=np.float64)
+    b = np.zeros(len(lat), dtype=np.int64)
+    pos = lat > 1.0
+    b[pos] = np.minimum(LAT_BINS - 1,
+                        np.ceil(4.0 * np.log2(lat[pos])).astype(np.int64))
+    return b
+
+
+def lat_bin_upper(b: int) -> int:
+    """Inclusive upper edge of bin b in integer us."""
+    return 1 if b <= 0 else int(np.ceil(2.0 ** (b / 4.0)))
+
+
+def lat_hist(lat_us: np.ndarray) -> np.ndarray:
+    h = np.zeros(LAT_BINS, dtype=np.int64)
+    np.add.at(h, lat_bins(lat_us), 1)
+    return h
+
+
+def lat_hist_quantile(hist: np.ndarray, q: float) -> int:
+    """Nearest-rank quantile upper bound from a merged histogram:
+    exact_nearest_rank <= result <= exact * 2^(1/4) + 1."""
+    n = int(hist.sum())
+    if n == 0:
+        return 0
+    r = max(1, int(np.ceil(q * n)))
+    b = int(np.searchsorted(np.cumsum(hist), r))
+    return lat_bin_upper(b)

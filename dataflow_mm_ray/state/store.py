@@ -156,6 +156,12 @@ class _ShardState:
         # candidates needing a verify pass).
         self.wtopk = _empty(_WTOPK_COLS)
         self.wtopk_chunks: list[pd.DataFrame] = []
+        # windowed latency percentiles: per-RESPONSE-window mergeable
+        # quarter-octave histogram of settled join latencies (keyed on
+        # the response ts so window close is watermark-aligned: a
+        # response settles strictly before its window closes). bytes =
+        # int64[LAT_BINS]; shard partials sum at the driver.
+        self.wlat: dict[int, bytes] = {}
 
 
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -469,6 +475,25 @@ class StateShard:
                 }
             ).sort_values(["conv_id", "invoke_idx"], kind="mergesort").reset_index(drop=True)
             st.inv = inv_rows[~emit][_INV_COLS].reset_index(drop=True)
+            # windowed-latency partials: settled matches land in the
+            # histogram of their RESPONSE-ts window (accumulated BEFORE
+            # the close split below — a match always settles no later
+            # than the finalize that closes its window)
+            if matched.any():
+                from dataflow_mm_ray.stages.sketch import LAT_BINS, lat_bins
+
+                rts = n_ts[matched].astype(np.int64)
+                lats = (n_ts[matched]
+                        - inv_rows["ts_us"].to_numpy(dtype=np.float64)[matched]).astype(np.int64)
+                wks = (rts // st.width_us) * st.width_us
+                bins = lat_bins(lats)
+                for w in np.unique(wks):
+                    h = np.zeros(LAT_BINS, dtype=np.int64)
+                    np.add.at(h, bins[wks == w], 1)
+                    prev = st.wlat.get(int(w))
+                    if prev is not None:
+                        h += np.frombuffer(prev, dtype=np.int64)
+                    st.wlat[int(w)] = h.tobytes()
         else:
             join_out = pd.DataFrame(
                 {"conv_id": pd.Series([], dtype=object), "invoke_idx": pd.Series([], dtype=np.int32),
@@ -606,6 +631,22 @@ class StateShard:
         else:
             wtopk_partials = _empty(_WTOPK_COLS)
 
+        # --- windowed latency histograms: return closed-window partials
+        # (driver sums them across shards before the quantile read-out)
+        if st.wlat:
+            lk = np.asarray(sorted(st.wlat), dtype=np.int64)
+            lclosed = np.ones(len(lk), dtype=bool) if flush else (lk + st.width_us) <= wm_us
+            wlat_partials = pd.DataFrame(
+                {"window_start_us": lk[lclosed],
+                 "__hist": [st.wlat[int(k)] for k, c in zip(lk, lclosed) if c]}
+            )
+            st.wlat = {int(k): st.wlat[int(k)] for k, c in zip(lk, lclosed) if not c}
+        else:
+            wlat_partials = pd.DataFrame(
+                {"window_start_us": pd.Series([], dtype=np.int64),
+                 "__hist": pd.Series([], dtype=object)}
+            )
+
         # --- streamed CEP: decide every candidate the watermark has
         # passed (stages/cep.py advance_chain_automaton), prune buffer
         from dataflow_mm_ray.stages.cep import advance_chain_automaton
@@ -658,6 +699,7 @@ class StateShard:
         if stage_root is None:
             frames_out["wdistinct_partials"] = dcount_out
             frames_out["wtopk_partials"] = wtopk_partials
+            frames_out["wlat_partials"] = wlat_partials
             return frames_out
 
         import os
@@ -682,6 +724,7 @@ class StateShard:
             out["files"][stream] = [os.path.relpath(path, stage_root)]
         out["wdistinct_partials"] = dcount_out  # small: merged driver-side
         out["wtopk_partials"] = wtopk_partials  # small: merged driver-side
+        out["wlat_partials"] = wlat_partials  # small: merged driver-side
         return out
 
     # ------------------------------------------------------------------
@@ -719,4 +762,5 @@ class StateShard:
             "pending_alerts": int(len(st.alert_pending)) + sum(len(c) for c in st.alert_chunks),
             "open_dcount_windows": int(len(st.dcount)) + sum(len(c) for c in st.dcount_chunks),
             "open_wtopk_rows": int(len(st.wtopk)) + sum(len(c) for c in st.wtopk_chunks),
+            "open_wlat_windows": int(len(st.wlat)),
         }

@@ -60,7 +60,7 @@ from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
 STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "cep", "alerts",
-           "upserts", "wdistinct", "wtopk", "late")
+           "upserts", "wdistinct", "wtopk", "wlat", "late")
 
 
 def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
@@ -586,6 +586,39 @@ class StreamingEngine:
             )
         emitted_counts["wtopk"] = int(len(wt))
         self.sink.stage_and_commit("wtopk", epoch, wt, self.watermark_us)
+        # windowed latency percentiles: sum the shards' per-window
+        # histograms (lossless merge), then the nearest-rank-upper-bound
+        # read-out (stages/sketch.py lat_hist_quantile)
+        from dataflow_mm_ray.stages.sketch import lat_hist_quantile
+
+        lparts = [e["wlat_partials"] for e in emissions if len(e["wlat_partials"])]
+        if lparts:
+            alll = pd.concat(lparts, ignore_index=True)
+            merged_h: dict[int, np.ndarray] = {}
+            for w, hb in zip(alll["window_start_us"].to_numpy(dtype=np.int64),
+                             alll["__hist"]):
+                h = np.frombuffer(hb, dtype=np.int64)
+                prev = merged_h.get(int(w))
+                merged_h[int(w)] = h if prev is None else prev + h
+            lkeys = sorted(merged_h)
+            wl = pd.DataFrame(
+                {"window_start_us": np.asarray(lkeys, dtype=np.int64),
+                 "n_matched": np.asarray(
+                     [int(merged_h[k].sum()) for k in lkeys], dtype=np.int64),
+                 "approx_p50_us": np.asarray(
+                     [lat_hist_quantile(merged_h[k], 0.5) for k in lkeys], dtype=np.int64),
+                 "approx_p95_us": np.asarray(
+                     [lat_hist_quantile(merged_h[k], 0.95) for k in lkeys], dtype=np.int64)}
+            )
+        else:
+            wl = pd.DataFrame(
+                {"window_start_us": pd.Series([], dtype=np.int64),
+                 "n_matched": pd.Series([], dtype=np.int64),
+                 "approx_p50_us": pd.Series([], dtype=np.int64),
+                 "approx_p95_us": pd.Series([], dtype=np.int64)}
+            )
+        emitted_counts["wlat"] = int(len(wl))
+        self.sink.stage_and_commit("wlat", epoch, wl, self.watermark_us)
         # late rows were staged by the map tasks (distributed, like the
         # six shard-staged streams); the driver commits the manifest only
         self.sink.commit_files("late", epoch, late_files, n_late, self.watermark_us)

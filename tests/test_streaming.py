@@ -550,3 +550,56 @@ def test_wtopk_stream_matches_batch(ray_session, transcripts_path, tmp_path, lat
     # every committed window emits at most k rows with contiguous ranks
     g = got.sort_values(["window_start_us", "rank"]).groupby("window_start_us")["rank"]
     assert g.apply(lambda s: (s.to_numpy() == np.arange(1, len(s) + 1)).all()).all()
+
+
+def _batch_wlat(t: pd.DataFrame, width_s: int) -> pd.DataFrame:
+    """Exact per-response-window latency order stats from a pandas
+    transcript frame (the wlat stream's ground truth)."""
+    from dataflow_mm_ray.stages.join import _join_partition
+
+    part = t.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    j = _join_partition(part, with_response_ts=True)
+    lat = j["latency_us"].to_numpy()
+    m = np.isfinite(lat)
+    rts = j["ts_response_us"].to_numpy()[m].astype(np.int64)
+    width_us = width_s * 10**6
+    df = pd.DataFrame({"w": (rts // width_us) * width_us, "lat": lat[m].astype(np.int64)})
+    rows = []
+    for w, g in df.groupby("w", sort=True):
+        v = np.sort(g["lat"].to_numpy())
+        n = len(v)
+        rows.append((int(w), n,
+                     int(v[max(1, int(np.ceil(0.5 * n))) - 1]),
+                     int(v[max(1, int(np.ceil(0.95 * n))) - 1])))
+    return pd.DataFrame(rows, columns=["window_start_us", "n_matched",
+                                       "exact_p50_us", "exact_p95_us"])
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600])
+def test_wlat_stream_bounds_and_counts(ray_session, transcripts_path, tmp_path, lateness_s):
+    """Streamed windowed-latency histograms: per-window match counts are
+    EXACT vs the batch join over applied rows; approx percentiles obey
+    the documented nearest-rank bound exact <= approx <= exact*2^(1/4)+1."""
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    eng = _run_engine(transcripts_path, tmp_path / f"wl{lateness_s}", lateness_s)
+    res = eng.results()
+    t = transcripts_from_events(SF_TINY).to_pandas()
+    late = res["late"]
+    if len(late):
+        lk = set(zip(late["conv_id"], late["turn_idx"].astype(int)))
+        t = t[[(c, int(i)) not in lk for c, i in zip(t["conv_id"], t["turn_idx"])]]
+    want = _batch_wlat(t, WIDTH_S)
+    got = res["wlat"].sort_values("window_start_us").reset_index(drop=True)
+    assert len(want) > 0
+    merged = want.merge(got, on="window_start_us", how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    pd.testing.assert_series_equal(
+        merged["n_matched_x"].astype(np.int64), merged["n_matched_y"].astype(np.int64),
+        check_names=False,
+    )
+    for q in ("p50", "p95"):
+        exact = merged[f"exact_{q}_us"].to_numpy(dtype=np.float64)
+        approx = merged[f"approx_{q}_us"].to_numpy(dtype=np.float64)
+        assert (exact <= approx).all()
+        assert (approx <= exact * 2 ** 0.25 + 1).all()
