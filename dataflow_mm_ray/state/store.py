@@ -144,9 +144,11 @@ class _ShardState:
         self.alert_chunks: list[pd.DataFrame] = []
         self.alert_seq: dict[str, int] = {}
         # update-mode changelog for tumbling windows: per-key emission
-        # counter, GC'd when the window closes (a closed window can
-        # never change again — late rows are quarantined upstream)
-        self.upsert_seq: dict[tuple, int] = {}
+        # counter held as a FRAME (vectorized merges — a python dict of
+        # tuple keys cost ~2x soak wall at 20M turns), GC'd when the
+        # window closes (a closed window can never change again — late
+        # rows are quarantined upstream)
+        self.upsert_rev = _empty(["conv_id", "window_start_us", "revision"])
         # windowed top-k tool partials: this shard's exact per-(window,
         # tool) invocation counts, returned to the driver at window
         # close for the cross-shard merge + rank cut (wtopk stream).
@@ -346,27 +348,35 @@ class StateShard:
         else:
             ck = win_closed[keycols].iloc[:0]
         closed_keys = win_closed[keycols]
+        # emission keys = changed ∪ closed; values come from the two
+        # disjoint consolidated halves (closed, open) — merge each half
+        # instead of concatenating the (large, growing) open state
         keys = pd.concat([ck, closed_keys], ignore_index=True).drop_duplicates()
-        # current consolidated value: closed ∪ open are disjoint and
-        # unique per key, and every changed/closed key appears in one
-        cur = (
-            pd.concat([win_closed, st.windows], ignore_index=True)
-            if len(st.windows) else win_closed
+        up_closed = keys.merge(win_closed, on=keycols, how="inner")
+        up_closed["is_final"] = True
+        up_open = keys.merge(st.windows, on=keycols, how="inner") if len(st.windows) else (
+            win_closed.iloc[:0].copy()
         )
-        up = keys.merge(cur, on=keycols, how="inner")
-        up = up.merge(closed_keys.assign(__f=True), on=keycols, how="left")
+        up_open["is_final"] = False
+        up = pd.concat([up_closed, up_open], ignore_index=True)
         up = up.sort_values(keycols, kind="mergesort").reset_index(drop=True)
-        kv = list(zip(up["conv_id"].tolist(),
-                      up["window_start_us"].to_numpy(dtype=np.int64).tolist()))
-        seq = st.upsert_seq
-        rev = np.fromiter((seq.get(k, 0) for k in kv), dtype=np.int64, count=len(kv)) + 1
-        seq.update(zip(kv, rev.tolist()))
-        is_final = up["__f"].notna().to_numpy()
-        for k, f in zip(kv, is_final):
-            if f:
-                seq.pop(k, None)
+        # vectorized revision counter: left-merge the carried rev frame,
+        # bump, then carry forward the still-open keys only
+        up = up.merge(st.upsert_rev, on=keycols, how="left")
+        rev = up["revision"].to_numpy(dtype=np.float64)
+        rev = np.where(np.isnan(rev), 0.0, rev).astype(np.int64) + 1
+        up["revision"] = rev
+        is_final = up["is_final"].to_numpy(dtype=bool)
+        carried = up.loc[~is_final, ["conv_id", "window_start_us", "revision"]]
+        if len(st.upsert_rev):
+            untouched = st.upsert_rev.merge(keys, on=keycols, how="left", indicator=True)
+            untouched = untouched.loc[untouched["_merge"] == "left_only",
+                                      ["conv_id", "window_start_us", "revision"]]
+            st.upsert_rev = pd.concat([untouched, carried], ignore_index=True)
+        else:
+            st.upsert_rev = carried.reset_index(drop=True)
         out = up[_WIN_COLS].copy(deep=False)
-        out["revision"] = rev
+        out["revision"] = up["revision"].to_numpy(dtype=np.int64)
         out["is_final"] = is_final
         return out
 
