@@ -378,6 +378,18 @@ def q_dup_clusters(sf_dir: str):
     return ngram_dup_clusters(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
 
 
+@register("minhash_dup_clusters", None)
+def q_minhash_dup_clusters(sf_dir: str):
+    """Duplicate clusters over the MinHash-LSH edge source — the
+    web-scale edge generator feeding the shared connected-components
+    labeling. Rows-only (LSH banding recall is not SQL-expressible);
+    pytest pins refinement of the exact n-gram clusters at the same
+    threshold plus partition invariance."""
+    from dataflow_mm_ray.stages.components import minhash_dup_clusters
+
+    return minhash_dup_clusters(sf_dir, threshold=0.7)
+
+
 @register(
     "dup_cluster_canonical",
     f"""

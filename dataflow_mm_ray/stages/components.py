@@ -289,3 +289,82 @@ def dup_cluster_canonical(sf_dir: str, threshold: float = 0.5, source: str = "do
         return out.sort_values(id_col)
 
     return partition_map(joined, "cluster_id", pick, num_partitions=num_partitions)
+
+
+def minhash_dup_clusters(sf_dir: str, threshold: float = 0.7, source: str = "documents",
+                         id_col: str = "doc_id", text_col: str = "text", ds=None,
+                         num_partitions: int = 16):
+    """Duplicate clusters over the MinHash-LSH edge source — the
+    web-scale edge generator (banded candidates, Jaccard-verified)
+    feeding the same distributed connected-components labeling as
+    :func:`ngram_dup_clusters`. Edge recall follows the LSH banding
+    (candidate set misses a near pair only when all bands miss —
+    tests/test_neardup.py pins recall); every emitted edge is
+    Jaccard-verified, so clusters can only ever be SPLIT relative to
+    the exact graph, never merged across a sub-threshold pair.
+
+    Semantics follow the MinHash path's conventions: exact-collapse
+    groups cluster with their representative INCLUDING the empty-text
+    group (identical empties collapse — minhash_lsh_dedup first-wins
+    drops them the same way; the exact n-gram operator instead treats
+    empties as singletons, matching its SQL oracle).
+
+    Output: (doc_id, cluster_id, cluster_size), one row per document.
+    """
+    from dataflow_mm_ray.partition import hash_join, partition_map
+    from dataflow_mm_ray.stages.neardup import minhash_verified_pairs
+
+    membership, sh, verified = minhash_verified_pairs(
+        sf_dir, threshold, source, id_col, text_col, ds, num_partitions
+    )
+    comp = connected_components(verified, num_partitions=num_partitions)
+
+    def self_label(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": ids, "comp": ids})
+
+    rep_labels = partition_map(
+        comp.union(sh.map_batches(self_label, batch_format="pandas")),
+        "node", _min_label_per_node, num_partitions=num_partitions,
+    )
+
+    def mem_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: b["doc_id"].to_numpy(dtype=np.int64),
+             "node": b["__rep"].to_numpy(dtype=np.int64)}
+        )
+
+    def rep_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b["node"].to_numpy(dtype=np.int64),
+             "cluster_id": b["comp"].to_numpy(dtype=np.int64)}
+        )
+
+    members = hash_join(
+        membership.map_batches(mem_rows, batch_format="pandas"),
+        rep_labels.map_batches(rep_rows, batch_format="pandas"),
+        "node", num_partitions=num_partitions,
+    )
+
+    def member_out(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(dtype=np.int64),
+             "cluster_id": b["cluster_id"].to_numpy(dtype=np.int64)}
+        )
+
+    labeled = members.map_batches(member_out, batch_format="pandas")
+
+    def add_size(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "cluster_id": pd.Series([], dtype=np.int64),
+                 "cluster_size": pd.Series([], dtype=np.int64)}
+            )
+        out = part.copy(deep=False)
+        out["cluster_size"] = (
+            part.groupby("cluster_id", sort=False)[id_col].transform("size").to_numpy(dtype=np.int64)
+        )
+        return out.sort_values(id_col)
+
+    return partition_map(labeled, "cluster_id", add_size, num_partitions=num_partitions)

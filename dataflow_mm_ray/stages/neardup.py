@@ -388,6 +388,22 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
     Dataset of (doc_id, keep, n_dup_partners) for every document; keep
     follows first-wins order (duplicate = later member of a verified
     pair)."""
+    membership, sh, verified = minhash_verified_pairs(
+        sf_dir, threshold, source, id_col, text_col, ds, num_partitions
+    )
+    rep_keep = _keep_from_pairs(sh, verified, id_col, num_partitions=num_partitions)
+    return expand_rep_decisions(membership, rep_keep, id_col, num_partitions)
+
+
+def minhash_verified_pairs(sf_dir: str, threshold: float = 0.7, source: str = "documents",
+                           id_col: str = "doc_id", text_col: str = "text", ds=None,
+                           num_partitions: int = 16):
+    """The MinHash-LSH candidate + Jaccard-verify pipeline, exposed:
+    returns ``(membership, sh, verified)`` — the exact-collapse
+    membership, the representative shingle table, and the verified
+    (lo, hi) pairs over representatives. Consumed by the first-wins
+    keep (``minhash_lsh_dedup``) and the LSH-edged duplicate clustering
+    (``stages/components.minhash_dup_clusters``)."""
     from dataflow_mm_ray.partition import hash_join
 
     docs = ds if ds is not None else read_table(sf_dir, source, columns=[id_col, text_col])
@@ -446,8 +462,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.7, source: str = "docume
     # batch_size=None: batches == blocks == whole hash partitions, so
     # the in-verify dedup sees every copy of a pair
     verified = j2.map_batches(verify, batch_format="pandas", batch_size=None)
-    rep_keep = _keep_from_pairs(sh, verified, id_col, num_partitions=num_partitions)
-    return expand_rep_decisions(membership, rep_keep, id_col, num_partitions)
+    return membership, sh, verified
 
 
 def expand_rep_decisions(membership, rep_keep, id_col: str, num_partitions: int = 16):

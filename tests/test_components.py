@@ -153,3 +153,34 @@ def test_dup_cluster_canonical_matches_oracle(ray_session, oracle):
     g = got.groupby("cluster_id")["keep"].sum()
     assert (g == 1).all()
     assert got["keep"].sum() == got["cluster_id"].nunique()
+
+
+def test_minhash_dup_clusters_refine_exact(ray_session):
+    """Every MinHash-LSH cluster must be CONTAINED in an exact n-gram
+    Jaccard cluster at the same threshold (edges are Jaccard-verified
+    over the same shingle sets, so LSH can only split, never merge),
+    restricted to non-empty docs (the two operators' documented
+    empty-text conventions differ). Also partition-invariant."""
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.stages.components import minhash_dup_clusters, ngram_dup_clusters
+    from dataflow_mm_ray.testing import to_pandas
+
+    mh = to_pandas(minhash_dup_clusters(SF_TINY, threshold=0.7, num_partitions=5))
+    ex = to_pandas(ngram_dup_clusters(SF_TINY, threshold=0.7, num_partitions=5))
+    docs = pq.read_table(SF_TINY + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    nonempty = set(docs.loc[docs["text"].fillna("").str.strip() != "", "doc_id"])
+    mh = mh[mh["doc_id"].isin(nonempty)]
+    m = mh.merge(ex[["doc_id", "cluster_id"]], on="doc_id", suffixes=("_mh", "_ex"))
+    # containment: all members of one mh cluster share one exact cluster
+    g = m.groupby("cluster_id_mh")["cluster_id_ex"].nunique()
+    assert (g == 1).all()
+    # at tiny scale LSH recall is 1 here: the clusterings agree exactly
+    assert (m["cluster_id_mh"] == m["cluster_id_ex"]).all()
+
+    b = to_pandas(minhash_dup_clusters(SF_TINY, threshold=0.7, num_partitions=16))
+    a = to_pandas(minhash_dup_clusters(SF_TINY, threshold=0.7, num_partitions=3))
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
