@@ -727,6 +727,81 @@ def q_tool_join(sf_dir: str):
 
 
 @register(
+    "window_dedup_first",
+    TRANSCRIPTS_CTE
+    + f"""
+, keyed AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // {TUMBLING_WIDTH_S * _US}) * {TUMBLING_WIDTH_S * _US} AS window_start_us,
+         regexp_replace(text, ' #[0-9]+ ', ' ', 'g') AS k
+  FROM transcripts
+)
+SELECT window_start_us, conv_id, turn_idx, ts_us, n_copies FROM (
+  SELECT window_start_us, conv_id, turn_idx, ts_us,
+         row_number() OVER (PARTITION BY window_start_us, k
+                            ORDER BY ts_us, conv_id, turn_idx) AS rn,
+         count(*) OVER (PARTITION BY window_start_us, k) AS n_copies
+  FROM keyed
+) WHERE rn = 1
+""",
+)
+def q_window_dedup_first(sf_dir: str):
+    """Windowed exact dedup (dropDuplicates-within-watermark, batch
+    twin): within each tumbling window keep the first occurrence per
+    content key (event-id-stripped text) under (ts, conv_id, turn_idx)
+    order, with the window-local copy count. ONE content-key-hashed
+    exchange — the bounded-state production shape of `dedup_exact`
+    (whose global key state a stream cannot hold); the streamed twin is
+    the `wdedup` output stream (key-hash-routed shard state)."""
+    import numpy as np
+
+    from dataflow_mm_ray.partition import partition_map
+    from dataflow_mm_ray.stages.dedup import _EVENT_ID_RE
+
+    width_us = TUMBLING_WIDTH_S * _US
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "window_start_us": (ts_us // width_us) * width_us,
+                "k": b["text"].str.replace(_EVENT_ID_RE, " ", regex=True).to_numpy(),
+                "conv_id": b["conv_id"].to_numpy(),
+                "turn_idx": b["turn_idx"].to_numpy(dtype=np.int32),
+                "ts_us": ts_us,
+            }
+        )
+
+    rows = transcripts_from_events(sf_dir).map_batches(prep, batch_format="pandas")
+
+    def winner(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {"window_start_us": pd.Series([], dtype=np.int64),
+                 "conv_id": pd.Series([], dtype=object),
+                 "turn_idx": pd.Series([], dtype=np.int32),
+                 "ts_us": pd.Series([], dtype=np.int64),
+                 "n_copies": pd.Series([], dtype=np.int64)}
+            )
+        part = part.sort_values(["ts_us", "conv_id", "turn_idx"], kind="mergesort")
+        counts = part.groupby(["window_start_us", "k"], sort=False).size()
+        win = part.drop_duplicates(subset=["window_start_us", "k"], keep="first")
+        return pd.DataFrame(
+            {
+                "window_start_us": win["window_start_us"].to_numpy(dtype=np.int64),
+                "conv_id": win["conv_id"].to_numpy(),
+                "turn_idx": win["turn_idx"].to_numpy(dtype=np.int32),
+                "ts_us": win["ts_us"].to_numpy(dtype=np.int64),
+                "n_copies": counts.loc[
+                    pd.MultiIndex.from_frame(win[["window_start_us", "k"]])
+                ].to_numpy(dtype=np.int64),
+            }
+        ).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+
+    return partition_map(rows, "k", winner)
+
+
+@register(
     "window_latency_pctl",
     TRANSCRIPTS_CTE
     + f"""

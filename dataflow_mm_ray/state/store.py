@@ -80,6 +80,14 @@ def _empty(cols) -> pd.DataFrame:
 
 
 _CEP_COLS = ["conv_id", "turn_idx", "ts_us", "is_inv", "tool"]
+_DEDUP_COLS = ["window_start_us", "dk1", "dk2", "ts_us", "conv_id", "turn_idx", "n_copies"]
+
+
+def _empty_dedup() -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series([], dtype=object if c == "conv_id" else np.int64)
+         for c in _DEDUP_COLS}
+    )
 
 
 def _empty_cep() -> pd.DataFrame:
@@ -158,6 +166,12 @@ class _ShardState:
         # candidates needing a verify pass).
         self.wtopk = _empty(_WTOPK_COLS)
         self.wtopk_chunks: list[pd.DataFrame] = []
+        # windowed exact dedup (dropDuplicates-within-watermark): the
+        # current (window, key-hash) winner + copy count for this
+        # shard's KEY-ROUTED rows (dshard, not conv shard); emitted and
+        # dropped at window close
+        self.dedup = _empty_dedup()
+        self.dedup_chunks: list[pd.DataFrame] = []
         # windowed latency percentiles: per-RESPONSE-window mergeable
         # quarter-octave histogram of settled join latencies (keyed on
         # the response ts so window close is watermark-aligned: a
@@ -223,6 +237,7 @@ class StateShard:
         sliding_partials: pd.DataFrame | None = None,
         asof_rows: pd.DataFrame | None = None,
         dcount_partials: pd.DataFrame | None = None,
+        dedup_rows: pd.DataFrame | None = None,
         apply_id=None,
     ) -> int:
         """Append one epoch's (pre-aggregated, non-late) rows — O(1);
@@ -253,6 +268,8 @@ class StateShard:
             st.asof_chunks.append(asof_rows[_ASOF_COLS])
         if dcount_partials is not None and len(dcount_partials):
             st.dcount_chunks.append(dcount_partials[["window_start_us", "reg_idx", "rank"]])
+        if dedup_rows is not None and len(dedup_rows):
+            st.dedup_chunks.append(dedup_rows[_DEDUP_COLS])
         if join_events is not None and len(join_events):
             n += len(join_events)
             inv = join_events[join_events["kind"] == "inv"]
@@ -641,6 +658,42 @@ class StateShard:
         else:
             wtopk_partials = _empty(_WTOPK_COLS)
 
+        # --- windowed exact dedup: consolidate the (window, key) winner
+        # state (min over (ts, conv_id, turn_idx), summed copy counts),
+        # emit and drop the windows the watermark has closed
+        dd_frames = ([st.dedup] if len(st.dedup) else []) + st.dedup_chunks
+        st.dedup_chunks = []
+        if dd_frames:
+            alld = (pd.concat(dd_frames, ignore_index=True)
+                    if len(dd_frames) > 1 else dd_frames[0])
+            alld = alld.sort_values(["ts_us", "conv_id", "turn_idx"], kind="mergesort")
+            grp = alld.groupby(["window_start_us", "dk1", "dk2"], sort=False)
+            dagg = grp.agg(
+                ts_us=("ts_us", "first"), conv_id=("conv_id", "first"),
+                turn_idx=("turn_idx", "first"), n_copies=("n_copies", "sum"),
+            ).reset_index()
+            dm = (np.ones(len(dagg), dtype=bool) if flush
+                  else (dagg["window_start_us"].to_numpy(dtype=np.int64) + st.width_us) <= wm_us)
+            closed_dd = dagg[dm].sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            dedup_out = pd.DataFrame(
+                {
+                    "window_start_us": closed_dd["window_start_us"].to_numpy(dtype=np.int64),
+                    "conv_id": closed_dd["conv_id"].to_numpy(),
+                    "turn_idx": closed_dd["turn_idx"].to_numpy(dtype=np.int64).astype(np.int32),
+                    "ts_us": closed_dd["ts_us"].to_numpy(dtype=np.int64),
+                    "n_copies": closed_dd["n_copies"].to_numpy(dtype=np.int64),
+                }
+            ).reset_index(drop=True)
+            st.dedup = dagg[~dm].reset_index(drop=True)[_DEDUP_COLS]
+        else:
+            dedup_out = pd.DataFrame(
+                {"window_start_us": pd.Series([], dtype=np.int64),
+                 "conv_id": pd.Series([], dtype=object),
+                 "turn_idx": pd.Series([], dtype=np.int32),
+                 "ts_us": pd.Series([], dtype=np.int64),
+                 "n_copies": pd.Series([], dtype=np.int64)}
+            )
+
         # --- windowed latency histograms: return closed-window partials
         # (driver sums them across shards before the quantile read-out)
         if st.wlat:
@@ -705,6 +758,7 @@ class StateShard:
             "cep": cep_out,
             "alerts": alerts_out,
             "upserts": upserts_out,
+            "wdedup": dedup_out,
         }
         if stage_root is None:
             frames_out["wdistinct_partials"] = dcount_out
@@ -773,4 +827,5 @@ class StateShard:
             "open_dcount_windows": int(len(st.dcount)) + sum(len(c) for c in st.dcount_chunks),
             "open_wtopk_rows": int(len(st.wtopk)) + sum(len(c) for c in st.wtopk_chunks),
             "open_wlat_windows": int(len(st.wlat)),
+            "open_dedup_keys": int(len(st.dedup)) + sum(len(c) for c in st.dedup_chunks),
         }

@@ -60,7 +60,7 @@ from dataflow_mm_ray.streaming.sink import EpochSink
 
 US = 1_000_000
 STREAMS = ("windows", "sliding", "sessions", "joins", "asof", "cep", "alerts",
-           "upserts", "wdistinct", "wtopk", "wlat", "late")
+           "upserts", "wdedup", "wdistinct", "wtopk", "wlat", "late")
 
 
 def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
@@ -317,6 +317,19 @@ class StreamingEngine:
             out["late"] = out["ts_us"] < wm_us
             out["shard"] = partition_ids(out["conv_id"].to_numpy(), n_shards)
             out["window_start_us"] = (out["ts_us"] // width_us) * width_us
+            # windowed-dedup content key: the text with per-event ids
+            # stripped (stages/dedup.py add_dedup_key), hashed to
+            # 2x64 bits HERE (the only stage that sees raw text — the
+            # stream ships hashes, never strings; ~1e-13 collision odds
+            # at 1e12 keys). Routed by ITS OWN hash, not conv_id: all
+            # copies of a key must land on one shard.
+            key = b["text"].fillna("").str.replace(_DEDUP_KEY_RE, " ", regex=True).to_numpy(dtype=object)
+            out["dk1"] = pd.util.hash_array(key, categorize=False).view(np.int64)
+            out["dk2"] = pd.util.hash_array(
+                key, hash_key="graft-dedup-salt", categorize=False
+            ).view(np.int64)
+            out["dshard"] = (out["dk1"].to_numpy().view(np.uint64)
+                             % np.uint64(n_shards)).astype(np.int32)
             return out
 
         from dataflow_mm_ray.sources.tables import read_parquet_split
@@ -463,6 +476,42 @@ class StreamingEngine:
                         apply_id=apply_id,
                     )
                 )
+            # windowed-dedup rows route by the CONTENT-key hash (all
+            # copies of a key co-locate), pre-combined per batch: the
+            # local (window, key) winner + copy count — the combiner
+            # before the shard state
+            for ds_, g in cur_b.groupby("dshard", sort=False):
+                gs = g.sort_values(["ts_us", "conv_id", "turn_idx"], kind="mergesort")
+                win = gs.drop_duplicates(subset=["window_start_us", "dk1", "dk2"], keep="first")
+                counts = gs.groupby(["window_start_us", "dk1", "dk2"], sort=False).size()
+                dedup_rows = pd.DataFrame(
+                    {
+                        "window_start_us": win["window_start_us"].to_numpy(dtype=np.int64),
+                        "dk1": win["dk1"].to_numpy(dtype=np.int64),
+                        "dk2": win["dk2"].to_numpy(dtype=np.int64),
+                        "ts_us": win["ts_us"].to_numpy(dtype=np.int64),
+                        "conv_id": win["conv_id"].to_numpy(),
+                        "turn_idx": win["turn_idx"].to_numpy(dtype=np.int64),
+                        "n_copies": counts.loc[
+                            pd.MultiIndex.from_frame(win[["window_start_us", "dk1", "dk2"]])
+                        ].to_numpy(dtype=np.int64),
+                    }
+                )
+                dh = stable_hash_array(g["conv_id"].to_numpy())
+                dts = g["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)
+                dti = g["turn_idx"].to_numpy(dtype=np.int64).view(np.uint64)
+                dx = dh ^ (dts * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                    dti + np.uint64(0x94D049BB133111EB)
+                )
+                dx ^= dx >> np.uint64(30)
+                dx *= np.uint64(0xBF58476D1CE4E5B9)
+                dx ^= dx >> np.uint64(31)
+                dedup_id = ("dd", epoch, int(ds_), len(g), int(np.bitwise_xor.reduce(dx)))
+                refs.append(
+                    shards[int(ds_)].apply.remote(
+                        None, None, None, dedup_rows=dedup_rows, apply_id=dedup_id,
+                    )
+                )
             ray.get(refs)  # barrier within the task: applies land before it reports
             # late rows are STAGED by this task (never shipped to the
             # driver — at 100x disorder a tight watermark makes them
@@ -532,7 +581,7 @@ class StreamingEngine:
         )
         emitted_counts = {}
         for stream in ("windows", "sliding", "sessions", "joins", "asof", "cep",
-                       "alerts", "upserts"):
+                       "alerts", "upserts", "wdedup"):
             files = [f for e in emissions for f in e["files"][stream]]
             rows = sum(e["rows"][stream] for e in emissions)
             emitted_counts[stream] = rows
@@ -690,7 +739,15 @@ _EXTRACT_SCHEMA = {
     "late": bool,
     "shard": np.int32,
     "window_start_us": np.int64,
+    "dk1": np.int64,
+    "dk2": np.int64,
+    "dshard": np.int32,
 }
+
+# same strip rule as stages/dedup.py add_dedup_key (one compiled regex)
+import re as _re
+
+_DEDUP_KEY_RE = _re.compile(r" #\d+ ")
 
 _APPLY_OUT_SCHEMA = {
     "__applied": np.int64,

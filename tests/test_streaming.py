@@ -603,3 +603,53 @@ def test_wlat_stream_bounds_and_counts(ray_session, transcripts_path, tmp_path, 
         approx = merged[f"approx_{q}_us"].to_numpy(dtype=np.float64)
         assert (exact <= approx).all()
         assert (approx <= exact * 2 ** 0.25 + 1).all()
+
+
+def _batch_wdedup(t: pd.DataFrame, width_s: int) -> pd.DataFrame:
+    from dataflow_mm_ray.stages.dedup import _EVENT_ID_RE
+
+    ts_us = t["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    width_us = width_s * 10**6
+    df = pd.DataFrame(
+        {"window_start_us": (ts_us // width_us) * width_us,
+         "k": t["text"].str.replace(_EVENT_ID_RE, " ", regex=True).to_numpy(),
+         "conv_id": t["conv_id"].to_numpy(),
+         "turn_idx": t["turn_idx"].to_numpy(dtype=np.int64),
+         "ts_us": ts_us}
+    ).sort_values(["ts_us", "conv_id", "turn_idx"], kind="mergesort")
+    counts = df.groupby(["window_start_us", "k"], sort=False).size()
+    win = df.drop_duplicates(subset=["window_start_us", "k"], keep="first")
+    return pd.DataFrame(
+        {"window_start_us": win["window_start_us"].to_numpy(dtype=np.int64),
+         "conv_id": win["conv_id"].to_numpy(),
+         "turn_idx": win["turn_idx"].to_numpy(dtype=np.int64),
+         "ts_us": win["ts_us"].to_numpy(dtype=np.int64),
+         "n_copies": counts.loc[
+             pd.MultiIndex.from_frame(win[["window_start_us", "k"]])
+         ].to_numpy(dtype=np.int64)}
+    )
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600])
+def test_wdedup_stream_matches_batch(ray_session, transcripts_path, tmp_path, lateness_s):
+    """Streamed windowed exact dedup == the batch first-per-(window,
+    key) kernel over applied rows: key-hash-routed shard state, winner
+    min over (ts, conv_id, turn_idx), summed copy counts."""
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    eng = _run_engine(transcripts_path, tmp_path / f"wd{lateness_s}", lateness_s)
+    res = eng.results()
+    t = transcripts_from_events(SF_TINY).to_pandas()
+    late = res["late"]
+    if len(late):
+        lk = set(zip(late["conv_id"], late["turn_idx"].astype(int)))
+        t = t[[(c, int(i)) not in lk for c, i in zip(t["conv_id"], t["turn_idx"])]]
+    want = _batch_wdedup(t, WIDTH_S)
+    got = res["wdedup"].copy()
+    got["turn_idx"] = got["turn_idx"].astype(np.int64)
+    assert len(want) > 0
+    if lateness_s == BIG_LATENESS:
+        assert (want["n_copies"] > 1).any()  # real in-window duplication exercised
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
