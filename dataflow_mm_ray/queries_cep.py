@@ -1657,3 +1657,91 @@ def q_windowed_top_tools(sf_dir: str):
 
     part = transcripts_partitioned(sf_dir, partials, fast=True)
     return partition_map(part, "window_start_us", topk, num_partitions=8)
+
+
+@register(
+    "window_role_counts",
+    TRANSCRIPTS_CTE
+    + f"""
+SELECT (epoch_us(ts) // {TUMBLING_WIDTH_S * _US}) * {TUMBLING_WIDTH_S * _US} AS window_start_us,
+       role, count(*) AS n_turns
+FROM transcripts
+GROUP BY 1, 2
+""",
+)
+def q_window_role_counts(sf_dir: str):
+    """Global per-(tumbling window, role) turn counts — the batch twin
+    of the shipped ``WindowRoleCounts`` stateful processor
+    (streaming/processor.py): per-batch combiner fused into the
+    transcript shuffle, then one tiny window-keyed exchange."""
+    import numpy as np
+
+    from dataflow_mm_ray.groupsum import group_sum, group_sum_df
+    from dataflow_mm_ray.partition import partition_map
+
+    width_us = TUMBLING_WIDTH_S * _US
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return group_sum(
+            {"window_start_us": (us // width_us) * width_us,
+             "role": b["role"].to_numpy()},
+            {"n_turns": np.ones(len(b), dtype=np.int64)},
+        )
+
+    def total(p: pd.DataFrame) -> pd.DataFrame:
+        return group_sum_df(p, ["window_start_us", "role"], ["n_turns"])
+
+    part = transcripts_partitioned(sf_dir, partials, fast=True)
+    return partition_map(part, "window_start_us", total, num_partitions=8)
+
+
+@register(
+    "conv_span",
+    TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us,
+       count(*) AS n_turns,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+FROM transcripts GROUP BY conv_id
+""",
+)
+def q_conv_span(sf_dir: str):
+    """Per-conversation lifetime span (first/last event-time, turn
+    count) — the batch twin of the shipped ``ConvSpan`` stateful
+    processor (streaming/processor.py). The min/max/sum partials fuse
+    into the transcript shuffle; the conv-keyed exchange is the same
+    one every transcript query rides."""
+    import numpy as np
+
+    from dataflow_mm_ray.partition import partition_map
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"conv_id": b["conv_id"].to_numpy(),
+                 "first_ts_us": us, "last_ts_us": us,
+                 "n_turns": np.ones(len(b), dtype=np.int64)}
+            )
+            .groupby("conv_id", sort=False)
+            .agg(first_ts_us=("first_ts_us", "min"),
+                 last_ts_us=("last_ts_us", "max"),
+                 n_turns=("n_turns", "sum"))
+            .reset_index()
+        )
+
+    def total(p: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            p.groupby("conv_id", sort=False)
+            .agg(first_ts_us=("first_ts_us", "min"),
+                 last_ts_us=("last_ts_us", "max"),
+                 n_turns=("n_turns", "sum"))
+            .reset_index()
+        )
+        agg["span_us"] = (agg["last_ts_us"].to_numpy(dtype=np.int64)
+                          - agg["first_ts_us"].to_numpy(dtype=np.int64))
+        return agg
+
+    part = transcripts_partitioned(sf_dir, partials, fast=True)
+    return partition_map(part, "conv_id", total)

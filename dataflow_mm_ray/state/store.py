@@ -178,6 +178,12 @@ class _ShardState:
         # response settles strictly before its window closes). bytes =
         # int64[LAT_BINS]; shard partials sum at the driver.
         self.wlat: dict[int, bytes] = {}
+        # plugin stateful processors (streaming/processor.py): state
+        # frame + pending chunks per processor name. Lives HERE (not on
+        # the actor) so checkpoint snapshot/restore covers plugins for
+        # free.
+        self.proc_state: dict[str, pd.DataFrame] = {}
+        self.proc_chunks: dict[str, list[pd.DataFrame]] = {}
 
 
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -215,10 +221,15 @@ def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
 class StateShard:
     def __init__(self, shard_id: int, width_s: int, gap_s: int, slide_width_s: int = 0,
                  cep_within_s: int | None = None,
-                 alert_deadline_s: int | None = None):
+                 alert_deadline_s: int | None = None,
+                 processors: list | None = None):
         self.shard_id = shard_id
         self.s = _ShardState(width_s, gap_s, slide_width_s, cep_within_s,
                              alert_deadline_s)
+        # plugin processors (streaming/processor.py) — instances are
+        # CODE (pickled once at actor creation); their STATE lives in
+        # self.s so snapshot/restore needs no special casing
+        self.procs = {p.name: p for p in (processors or [])}
         # within-epoch apply dedup: a Ray Data map task retried after a
         # worker crash re-issues its apply calls; the deterministic
         # content-derived apply_id lets the shard drop the replay, so
@@ -238,6 +249,7 @@ class StateShard:
         asof_rows: pd.DataFrame | None = None,
         dcount_partials: pd.DataFrame | None = None,
         dedup_rows: pd.DataFrame | None = None,
+        proc_rows: dict | None = None,
         apply_id=None,
     ) -> int:
         """Append one epoch's (pre-aggregated, non-late) rows — O(1);
@@ -270,6 +282,11 @@ class StateShard:
             st.dcount_chunks.append(dcount_partials[["window_start_us", "reg_idx", "rank"]])
         if dedup_rows is not None and len(dedup_rows):
             st.dedup_chunks.append(dedup_rows[_DEDUP_COLS])
+        if proc_rows:
+            for pname, pdf in proc_rows.items():
+                if len(pdf):
+                    n += len(pdf)
+                    st.proc_chunks.setdefault(pname, []).append(pdf)
         if join_events is not None and len(join_events):
             n += len(join_events)
             inv = join_events[join_events["kind"] == "inv"]
@@ -760,6 +777,22 @@ class StateShard:
             "upserts": upserts_out,
             "wdedup": dedup_out,
         }
+
+        # --- plugin processors: consolidate chunks into state, let the
+        # processor emit what the watermark settled (see
+        # streaming/processor.py for the merge/on_watermark contract)
+        for pname, proc in self.procs.items():
+            chunks = st.proc_chunks.pop(pname, [])
+            state = st.proc_state.get(pname)
+            if state is None:
+                state = proc.init_state()
+            if chunks:
+                rows = (pd.concat(chunks, ignore_index=True)
+                        if len(chunks) > 1 else chunks[0])
+                state = proc.merge(state, rows)
+            emit, state = proc.on_watermark(state, wm_us, flush)
+            st.proc_state[pname] = state
+            frames_out[pname] = emit
         if stage_root is None:
             frames_out["wdistinct_partials"] = dcount_out
             frames_out["wtopk_partials"] = wtopk_partials
@@ -828,4 +861,14 @@ class StateShard:
             "open_wtopk_rows": int(len(st.wtopk)) + sum(len(c) for c in st.wtopk_chunks),
             "open_wlat_windows": int(len(st.wlat)),
             "open_dedup_keys": int(len(st.dedup)) + sum(len(c) for c in st.dedup_chunks),
-        }
+        } | (
+            {
+                "open_proc_rows": {
+                    p: int(len(st.proc_state.get(p, ())))
+                    + sum(len(c) for c in st.proc_chunks.get(p, ()))
+                    for p in self.procs
+                }
+            }
+            if self.procs
+            else {}
+        )

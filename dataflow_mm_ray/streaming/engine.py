@@ -152,6 +152,7 @@ class StreamingEngine:
         slide_s: int = 3600,
         cep_within_s: int | None = None,
         alert_deadline_s: int | None = None,
+        processors: list | None = None,
     ):
         self.transcripts_path = transcripts_path
         self.out_dir = out_dir
@@ -181,10 +182,21 @@ class StreamingEngine:
         self.cep_within_s = ROUNDTRIP_WITHIN_S if cep_within_s is None else cep_within_s
         self.alert_deadline_s = (ALERT_DEADLINE_S if alert_deadline_s is None
                                  else alert_deadline_s)
-        self.sink = EpochSink(out_dir, STREAMS)
+        # plugin stateful processors (streaming/processor.py): each adds
+        # one first-class exactly-once output stream
+        self.processors = list(processors or [])
+        pnames = [p.name for p in self.processors]
+        if len(set(pnames)) != len(pnames) or set(pnames) & set(STREAMS):
+            raise ValueError(
+                f"processor stream names must be unique and distinct from "
+                f"the built-in streams {STREAMS}; got {pnames}"
+            )
+        self.stream_names = STREAMS + tuple(pnames)
+        self.sink = EpochSink(out_dir, self.stream_names)
         self.shards = [
             StateShard.remote(i, width_s, gap_s, slide_width_s,
-                              self.cep_within_s, self.alert_deadline_s)
+                              self.cep_within_s, self.alert_deadline_s,
+                              processors=self.processors)
             for i in range(n_shards)
         ]
         self.watermark_us = -(1 << 62)
@@ -217,6 +229,7 @@ class StreamingEngine:
             "slide_s": self.slide_s,
             "cep_within_s": self.cep_within_s,
             "alert_deadline_s": self.alert_deadline_s,
+            "processors": [p.name for p in self.processors],
         }
 
     def _checkpoint(self, epoch: int) -> None:
@@ -369,6 +382,8 @@ class StreamingEngine:
         # commutativity).
         shards = self.shards
         out_dir = self.out_dir
+        processors = self.processors
+        n_shards = self.n_shards
 
         from dataflow_mm_ray.hashing import stable_hash_array
 
@@ -512,6 +527,36 @@ class StreamingEngine:
                         None, None, None, dedup_rows=dedup_rows, apply_id=dedup_id,
                     )
                 )
+            # plugin processors: extract (per-batch combiner), route by
+            # the processor's own key, ship with a content-derived
+            # apply id (batch digest x shard x name — a retried task
+            # re-derives identical ids, so replays drop at the shard)
+            if processors and len(cur_b):
+                bh = stable_hash_array(cur_b["conv_id"].to_numpy())
+                bts = cur_b["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)
+                bti = cur_b["turn_idx"].to_numpy(dtype=np.int64).view(np.uint64)
+                bx = bh ^ (bts * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                    bti + np.uint64(0x94D049BB133111EB)
+                )
+                bx ^= bx >> np.uint64(30)
+                bx *= np.uint64(0xBF58476D1CE4E5B9)
+                bx ^= bx >> np.uint64(31)
+                batch_digest = int(np.bitwise_xor.reduce(bx))
+                for p in processors:
+                    pr = p.extract(cur_b)
+                    if pr is None or not len(pr):
+                        continue
+                    ps = partition_ids(pr[p.route_key].to_numpy(), n_shards)
+                    for s2 in np.unique(ps):
+                        g2 = pr[ps == s2]
+                        refs.append(
+                            shards[int(s2)].apply.remote(
+                                None, None, None,
+                                proc_rows={p.name: g2},
+                                apply_id=("proc", p.name, epoch, int(s2),
+                                          len(cur_b), batch_digest),
+                            )
+                        )
             ray.get(refs)  # barrier within the task: applies land before it reports
             # late rows are STAGED by this task (never shipped to the
             # driver — at 100x disorder a tight watermark makes them
@@ -581,7 +626,8 @@ class StreamingEngine:
         )
         emitted_counts = {}
         for stream in ("windows", "sliding", "sessions", "joins", "asof", "cep",
-                       "alerts", "upserts", "wdedup"):
+                       "alerts", "upserts", "wdedup",
+                       *(p.name for p in self.processors)):
             files = [f for e in emissions for f in e["files"][stream]]
             rows = sum(e["rows"][stream] for e in emissions)
             emitted_counts[stream] = rows
@@ -718,14 +764,14 @@ class StreamingEngine:
     # -- results -----------------------------------------------------------
     def results(self) -> dict[str, pd.DataFrame]:
         """Driver-side pandas results (test/verification convenience)."""
-        return {s: self.sink.read_committed(s) for s in STREAMS}
+        return {s: self.sink.read_committed(s) for s in self.stream_names}
 
     def results_ds(self) -> dict:
         """Committed outputs as lazy Datasets (manifest-listed
         ``read_parquet``) — the consumer path that never funnels rows
         through the driver. Streams with no committed files map to
         None."""
-        return {s: self.sink.read_committed_ds(s) for s in STREAMS}
+        return {s: self.sink.read_committed_ds(s) for s in self.stream_names}
 
 
 _EXTRACT_SCHEMA = {

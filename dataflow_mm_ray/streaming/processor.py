@@ -1,0 +1,229 @@
+"""User-extensible stateful stream processors (the engine's
+``mapGroupsWithState`` analog).
+
+The built-in output streams (windows, sessions, joins, CEP, ...) are
+fixed pipelines compiled into the engine. A :class:`StatefulProcessor`
+is the same machinery exposed as a plugin: a keyed, watermark-driven
+state transform that rides the engine's distributed extract -> shard
+apply -> finalize -> exactly-once 2PC commit path, with its state
+snapshotted into every checkpoint (resume is automatic, nothing extra
+to implement).
+
+Contract (all frames are pandas, all callables must be deterministic
+and VECTORIZED — a processor that loops rows in ``extract`` will be
+the slowest stage of the epoch):
+
+- ``name``       — the output stream name; becomes a first-class sink
+  stream (``staging/<name>/epoch=K`` + manifests). Must not collide
+  with a built-in stream.
+- ``route_key``  — column OF THE EXTRACTED FRAME whose stable hash
+  routes rows to state shards. Everything with equal ``route_key``
+  lands on one shard (that is the co-location guarantee the merge can
+  rely on); pick the coarsest key that still co-locates your state
+  (conv_id for per-conversation state, window_start_us for global
+  per-window state, a content hash for dedup-like state).
+- ``extract(rows)``   — runs INSIDE the distributed epoch-scan map
+  task on the engine's extract frame (columns: conv_id, turn_idx,
+  role, tool, ts_us, text_len, is_click, window_start_us — never raw
+  text; hash content upstream like the wdedup stream if you need
+  identity). Acts as the per-batch combiner: return pre-aggregated
+  rows, not raw turns, whenever the state is additive.
+- ``init_state()``    — the empty state frame (stable schema).
+- ``merge(state, rows)`` — fold newly-arrived extracted rows into
+  state. Within an epoch, applies are unordered and may be split
+  across many batches: merge MUST be commutative+associative over row
+  multisets (sums, min/max, set-union — not "latest seen").
+- ``on_watermark(state, wm_us, flush)`` — called once per epoch after
+  the barrier with the advanced watermark; returns
+  ``(emit, new_state)``. Emit everything the watermark has settled
+  (and everything at ``flush=True``, the end-of-stream tick); rows
+  kept in ``new_state`` may still change. Emitted frames must be
+  deterministically ordered (sort by your key) — committed bytes are
+  compared across reruns and resumes.
+
+Exactly-once: the engine stamps every shipped row-group with a
+content-derived apply id (replays from retried map tasks are dropped
+by the shard) and commits emissions through the per-epoch 2PC sink,
+so a processor inherits the same guarantees as the built-in streams
+without doing anything. Checkpoint/restore pickles the state frame
+with the shard snapshot; a resumed run replays the in-flight epoch
+against the restored state (idempotent by the apply-id dedup).
+
+Reference anchor: this generalizes DataFlow-MM's FunctionalRefiner UDF
+hook (operators/general_text/refine/functional_refiner.py) from a
+stateless per-row map to keyed, watermark-driven state — the operator
+surface its pipelines lack for continuous queries.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dataflow_mm_ray.groupsum import group_sum, group_sum_df
+
+US = 1_000_000
+
+
+class StatefulProcessor:
+    """Base class; subclass and pass instances to
+    ``StreamingEngine(processors=[...])``."""
+
+    #: output stream name (unique, not a built-in stream)
+    name: str
+    #: column of the EXTRACTED frame to shard-route on
+    route_key: str = "conv_id"
+
+    def extract(self, rows: pd.DataFrame) -> pd.DataFrame:
+        """Map one scan batch's non-late extract rows to the rows this
+        processor ships to its shards (per-batch combiner)."""
+        raise NotImplementedError
+
+    def init_state(self) -> pd.DataFrame:
+        raise NotImplementedError
+
+    def merge(self, state: pd.DataFrame, rows: pd.DataFrame) -> pd.DataFrame:
+        raise NotImplementedError
+
+    def on_watermark(
+        self, state: pd.DataFrame, wm_us: int, flush: bool
+    ) -> tuple[pd.DataFrame, pd.DataFrame]:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Shipped processors — both demos AND the API's conformance fixtures
+# (tests/test_processors.py pins them frame-equal to batch kernels).
+# ---------------------------------------------------------------------------
+
+
+class WindowRoleCounts(StatefulProcessor):
+    """Per-(tumbling window, role) turn counts, emitted at window close.
+
+    Routes on ``window_start_us`` — a GLOBAL per-window aggregate (not
+    per-conversation), so all of a window's rows must co-locate; with
+    hour-wide windows the key space is large enough that shards stay
+    balanced. State is at most (open windows x roles) rows."""
+
+    name = "wroles"
+    route_key = "window_start_us"
+    _COLS = ("window_start_us", "role", "n_turns")
+
+    def __init__(self, width_s: int = 3600):
+        self.width_us = width_s * US
+
+    def _empty(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start_us": pd.Series([], dtype=np.int64),
+                "role": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    def extract(self, rows: pd.DataFrame) -> pd.DataFrame:
+        return group_sum(
+            {
+                "window_start_us": rows["window_start_us"].to_numpy(dtype=np.int64),
+                "role": rows["role"].to_numpy(),
+            },
+            {"n_turns": np.ones(len(rows), dtype=np.int64)},
+        )
+
+    def init_state(self) -> pd.DataFrame:
+        return self._empty()
+
+    def merge(self, state: pd.DataFrame, rows: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([state, rows], ignore_index=True) if len(state) else rows
+        return group_sum_df(both, ["window_start_us", "role"], ["n_turns"])
+
+    def on_watermark(self, state, wm_us, flush):
+        if not len(state):
+            return self._empty(), state
+        closed = (
+            np.ones(len(state), dtype=bool)
+            if flush
+            else (state["window_start_us"].to_numpy(dtype=np.int64) + self.width_us)
+            <= wm_us
+        )
+        emit = (
+            state[closed]
+            .sort_values(["window_start_us", "role"], kind="mergesort")
+            .reset_index(drop=True)[list(self._COLS)]
+        )
+        return emit, state[~closed].reset_index(drop=True)
+
+
+class ConvSpan(StatefulProcessor):
+    """Per-conversation lifetime span: first/last event-time and turn
+    count, emitted once at end-of-stream (``flush``).
+
+    The flush-only shape: state is one row per live conversation for
+    the whole run (min/max/sum merges — commutative), nothing settles
+    before the stream ends because any conversation may still grow."""
+
+    name = "convspan"
+    route_key = "conv_id"
+    _COLS = ("conv_id", "first_ts_us", "last_ts_us", "n_turns", "span_us")
+
+    def _empty_state(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "first_ts_us": pd.Series([], dtype=np.int64),
+                "last_ts_us": pd.Series([], dtype=np.int64),
+                "n_turns": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    @staticmethod
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("conv_id", sort=False)
+            .agg(
+                first_ts_us=("first_ts_us", "min"),
+                last_ts_us=("last_ts_us", "max"),
+                n_turns=("n_turns", "sum"),
+            )
+            .reset_index()
+        )
+
+    def extract(self, rows: pd.DataFrame) -> pd.DataFrame:
+        ts = rows["ts_us"].to_numpy(dtype=np.int64)
+        return self._agg(
+            pd.DataFrame(
+                {
+                    "conv_id": rows["conv_id"].to_numpy(),
+                    "first_ts_us": ts,
+                    "last_ts_us": ts,
+                    "n_turns": np.ones(len(rows), dtype=np.int64),
+                }
+            )
+        )
+
+    def init_state(self) -> pd.DataFrame:
+        return self._empty_state()
+
+    def merge(self, state: pd.DataFrame, rows: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([state, rows], ignore_index=True) if len(state) else rows
+        return self._agg(both)
+
+    def on_watermark(self, state, wm_us, flush):
+        if not flush:
+            return (
+                pd.DataFrame(
+                    {
+                        "conv_id": pd.Series([], dtype=object),
+                        "first_ts_us": pd.Series([], dtype=np.int64),
+                        "last_ts_us": pd.Series([], dtype=np.int64),
+                        "n_turns": pd.Series([], dtype=np.int64),
+                        "span_us": pd.Series([], dtype=np.int64),
+                    }
+                ),
+                state,
+            )
+        emit = state.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+        emit = emit.assign(
+            span_us=emit["last_ts_us"].to_numpy(dtype=np.int64)
+            - emit["first_ts_us"].to_numpy(dtype=np.int64)
+        )[list(self._COLS)]
+        return emit, self._empty_state()

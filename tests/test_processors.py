@@ -1,0 +1,210 @@
+"""Pluggable stateful-processor API (streaming/processor.py):
+
+1. the shipped processors' streamed output is frame-equal to their
+   batch twins (the SQL-oracled `window_role_counts` / `conv_span`
+   queries) over the applied (non-late) rows, at both lateness regimes;
+2. processor streams inherit exactly-once: rerun is a no-op, kill-and-
+   resume reproduces an uninterrupted run byte-for-byte (plugin state
+   rides the checkpoint snapshots);
+3. resuming with a different processor list raises (config guard);
+4. a custom user processor (defined in-test) runs end-to-end.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_TINY
+
+WIDTH_S = 3600
+GAP_S = 1800
+BIG_LATENESS = 10**9
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(ray_session, tmp_path_factory):
+    from dataflow_mm_ray.streaming.engine import prepare_transcripts
+
+    p = tmp_path_factory.mktemp("procstream") / "transcripts"
+    return prepare_transcripts(SF_TINY, str(p))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    if not len(df):
+        return df
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _procs():
+    from dataflow_mm_ray.streaming.processor import ConvSpan, WindowRoleCounts
+
+    return [WindowRoleCounts(width_s=WIDTH_S), ConvSpan()]
+
+
+def _run(transcripts_path, out_dir, lateness_s, stop_after=None, processors=None):
+    from dataflow_mm_ray.streaming.engine import StreamingEngine
+
+    eng = StreamingEngine(
+        transcripts_path,
+        str(out_dir),
+        n_epochs=5,
+        n_shards=3,
+        width_s=WIDTH_S,
+        gap_s=GAP_S,
+        lateness_s=lateness_s,
+        processors=_procs() if processors is None else processors,
+    )
+    eng.run(stop_after=stop_after)
+    return eng
+
+
+def _applied_transcripts(res) -> pd.DataFrame:
+    """Batch transcript table minus the rows the stream quarantined."""
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(SF_TINY).to_pandas()
+    late = res["late"]
+    if len(late):
+        lk = set(zip(late["conv_id"], late["turn_idx"].astype(int)))
+        t = t[[(c, int(i)) not in lk for c, i in zip(t["conv_id"], t["turn_idx"])]]
+    return t
+
+
+def _batch_wroles(t: pd.DataFrame) -> pd.DataFrame:
+    us = t["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    w = (us // (WIDTH_S * 10**6)) * (WIDTH_S * 10**6)
+    return (
+        pd.DataFrame({"window_start_us": w, "role": t["role"].to_numpy()})
+        .groupby(["window_start_us", "role"], sort=False)
+        .size()
+        .rename("n_turns")
+        .reset_index()
+    )
+
+
+def _batch_convspan(t: pd.DataFrame) -> pd.DataFrame:
+    us = t["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    agg = (
+        pd.DataFrame({"conv_id": t["conv_id"].to_numpy(), "us": us})
+        .groupby("conv_id", sort=False)
+        .agg(first_ts_us=("us", "min"), last_ts_us=("us", "max"), n_turns=("us", "size"))
+        .reset_index()
+    )
+    agg["span_us"] = agg["last_ts_us"] - agg["first_ts_us"]
+    return agg
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600])
+def test_processor_streams_match_batch(ray_session, transcripts_path, tmp_path, lateness_s):
+    eng = _run(transcripts_path, tmp_path / f"p{lateness_s}", lateness_s)
+    res = eng.results()
+    t = _applied_transcripts(res)
+
+    want_w = _batch_wroles(t)
+    got_w = res["wroles"]
+    assert len(got_w) > 0
+    pd.testing.assert_frame_equal(
+        _canon(got_w[want_w.columns.tolist()]), _canon(want_w), check_dtype=False
+    )
+
+    want_c = _batch_convspan(t)
+    got_c = res["convspan"]
+    assert len(got_c) == len(want_c) > 0
+    pd.testing.assert_frame_equal(
+        _canon(got_c[want_c.columns.tolist()]), _canon(want_c), check_dtype=False
+    )
+
+
+def test_processor_streams_match_sql_twin_queries(ray_session, transcripts_path, tmp_path):
+    """With nothing late, the streamed emissions equal the registered
+    (SQL-oracled) batch queries — closing the loop streamed == batch
+    == SQL."""
+    from dataflow_mm_ray.queries import registry
+
+    eng = _run(transcripts_path, tmp_path / "psql", BIG_LATENESS)
+    res = eng.results()
+    assert len(res["late"]) == 0
+
+    batch_w = registry()["window_role_counts"].fn(SF_TINY).to_pandas()
+    pd.testing.assert_frame_equal(
+        _canon(res["wroles"][batch_w.columns.tolist()]), _canon(batch_w), check_dtype=False
+    )
+    batch_c = registry()["conv_span"].fn(SF_TINY).to_pandas()
+    pd.testing.assert_frame_equal(
+        _canon(res["convspan"][batch_c.columns.tolist()]), _canon(batch_c), check_dtype=False
+    )
+
+
+def test_processor_rerun_is_noop_and_resume_matches(ray_session, transcripts_path, tmp_path):
+    full = _run(transcripts_path, tmp_path / "full", BIG_LATENESS).results()
+
+    # kill after epoch 1, then resume: byte-identical committed streams
+    _run(transcripts_path, tmp_path / "killed", BIG_LATENESS, stop_after=1)
+    resumed = _run(transcripts_path, tmp_path / "killed", BIG_LATENESS).results()
+    for s in ("wroles", "convspan"):
+        pd.testing.assert_frame_equal(_canon(resumed[s]), _canon(full[s]))
+
+    # re-running the COMPLETED stream changes nothing
+    rerun = _run(transcripts_path, tmp_path / "killed", BIG_LATENESS).results()
+    for s in ("wroles", "convspan"):
+        pd.testing.assert_frame_equal(_canon(rerun[s]), _canon(full[s]))
+
+
+def test_resume_with_changed_processors_raises(ray_session, transcripts_path, tmp_path):
+    _run(transcripts_path, tmp_path / "cfg", BIG_LATENESS, stop_after=0)
+    with pytest.raises(ValueError, match="processors"):
+        _run(transcripts_path, tmp_path / "cfg", BIG_LATENESS, processors=[])
+
+
+def test_name_collision_rejected(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.streaming.processor import WindowRoleCounts
+
+    bad = WindowRoleCounts(width_s=WIDTH_S)
+    bad.name = "windows"  # collides with a built-in stream
+    with pytest.raises(ValueError, match="distinct"):
+        _run(transcripts_path, tmp_path / "bad", BIG_LATENESS, processors=[bad])
+
+
+def test_custom_processor_end_to_end(ray_session, transcripts_path, tmp_path):
+    """A user-defined processor (per-tool invocation totals, flush
+    emission) — defined INSIDE the test so cloudpickle ships it by
+    value to the shard actors, proving third-party classes work."""
+    from dataflow_mm_ray.streaming.processor import StatefulProcessor
+
+    class ToolTotals(StatefulProcessor):
+        name = "tooltotals"
+        route_key = "tool"
+
+        def extract(self, rows):
+            inv = rows[(rows["role"].to_numpy() == "assistant")
+                       & rows["tool"].notna().to_numpy()]
+            return (
+                pd.DataFrame({"tool": inv["tool"].to_numpy(),
+                              "n": np.ones(len(inv), dtype=np.int64)})
+                .groupby("tool", sort=False).sum().reset_index()
+            )
+
+        def init_state(self):
+            return pd.DataFrame({"tool": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+
+        def merge(self, state, rows):
+            both = pd.concat([state, rows], ignore_index=True) if len(state) else rows
+            return both.groupby("tool", sort=False).sum().reset_index()
+
+        def on_watermark(self, state, wm_us, flush):
+            if not flush:
+                return self.init_state(), state
+            return (state.sort_values("tool", kind="mergesort").reset_index(drop=True),
+                    self.init_state())
+
+    eng = _run(transcripts_path, tmp_path / "custom", BIG_LATENESS,
+               processors=[ToolTotals()])
+    res = eng.results()
+    t = _applied_transcripts(res)
+    want = (
+        t[(t["role"] == "assistant") & t["tool"].notna()]
+        .groupby("tool", sort=False).size().rename("n").reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        _canon(res["tooltotals"][["tool", "n"]]), _canon(want), check_dtype=False
+    )
