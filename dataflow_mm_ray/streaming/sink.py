@@ -103,9 +103,24 @@ class EpochSink:
         return sorted(out)
 
     def committed_files(self, stream: str) -> list[str]:
-        """Absolute paths of every manifest-listed file, commit order."""
+        """Absolute paths of every committed file, commit order.
+
+        Epochs covered by the compaction pointer (streaming/compact.py)
+        resolve to their compacted segment files; epochs above the
+        highest covered epoch resolve through their own manifests —
+        same rows, same order, fewer files."""
         out = []
+        covered = -1
+        comp_path = os.path.join(self.out_dir, "manifests", stream, "compaction.json")
+        if os.path.exists(comp_path):
+            with open(comp_path) as f:
+                comp = json.load(f)
+            for seg in comp["segments"]:
+                out.extend(os.path.join(self.out_dir, rel) for rel in seg["files"])
+                covered = seg["upto_epoch"]
         for epoch in self.committed_epochs(stream):
+            if epoch <= covered:
+                continue
             with open(self._manifest_path(stream, epoch)) as f:
                 manifest = json.load(f)
             out.extend(os.path.join(self.out_dir, rel) for rel in manifest["files"])
