@@ -99,8 +99,10 @@ def compact_stream(
     if not epochs:
         return {"stream": stream, "compacted": False, "reason": "no uncovered epochs"}
 
-    # per-epoch (files, rows) straight from the manifests — the plan
-    # never opens a data file on the driver
+    # per-file (path, ~rows) straight from the manifests — the plan
+    # never opens a data file on the driver. Manifests carry per-epoch
+    # row counts; files within an epoch are assumed even (they are
+    # shard outputs), which only affects grouping granularity.
     plan: list[tuple[list[str], int]] = []  # (rel files of one epoch, rows)
     for e in epochs:
         with open(sink._manifest_path(stream, e)) as f:
@@ -110,17 +112,21 @@ def compact_stream(
     if n_inputs < min_input_files:
         return {"stream": stream, "compacted": False, "reason": "too few input files"}
 
-    # group whole epochs into output files of ~target_rows
+    # group files (in committed order — epoch asc, manifest file order)
+    # into output files of ~target_rows; a segment may split one
+    # epoch's files across outputs, which readers handle because
+    # committed_files concatenates segment files in order
     groups: list[list[str]] = []
     cur: list[str] = []
-    cur_rows = 0
+    cur_rows = 0.0
     for files, rows in plan:
-        cur.extend(files)
-        cur_rows += rows
-        if cur_rows >= target_rows:
-            if cur:
+        per_file = rows / len(files) if files else 0.0
+        for rel in files:
+            cur.append(rel)
+            cur_rows += per_file
+            if cur_rows >= target_rows:
                 groups.append(cur)
-            cur, cur_rows = [], 0
+                cur, cur_rows = [], 0.0
     if cur:
         groups.append(cur)
     groups = [g for g in groups if g]

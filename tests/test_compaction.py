@@ -147,6 +147,22 @@ def test_incremental_segments_and_multiple_parts(
     )
 
 
+def test_one_oversized_epoch_splits_into_parts(
+    ray_session, transcripts_path, tmp_path
+):
+    """Under lateness=inf every window commits in the FINAL epoch; the
+    grouping must split that one epoch's files across outputs at
+    ~target_rows (file granularity), not emit one giant file/task."""
+    from dataflow_mm_ray.streaming.compact import compact_stream
+
+    out = tmp_path / "c5"
+    eng = _run(transcripts_path, out)  # lateness=INF
+    before = eng.sink.read_committed("windows")
+    r = compact_stream(str(out), "windows", target_rows=max(1, len(before) // 3))
+    assert r["compacted"] and r["output_files"] >= 2
+    pd.testing.assert_frame_equal(eng.sink.read_committed("windows"), before)
+
+
 def test_crashed_attempt_invisible_and_swept(ray_session, transcripts_path, tmp_path):
     from dataflow_mm_ray.streaming.compact import compact_stream
 
