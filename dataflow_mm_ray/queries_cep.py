@@ -897,6 +897,33 @@ def q_dedup_exact(sf_dir: str):
 
 
 @register(
+    "dedup_first_event_time",
+    TRANSCRIPTS_CTE
+    + """
+, keyed AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         regexp_replace(text, ' #[0-9]+ ', ' ') AS dedup_key
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, dedup_key
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY dedup_key ORDER BY ts, conv_id, turn_idx) = 1
+""",
+)
+def q_dedup_first_event_time(sf_dir: str):
+    """Event-time-first exact dedup: the winner per content key is the
+    minimum (ts, conv_id, turn_idx) — the order a watermark can settle,
+    so this is the batch twin of the streamed ``GlobalDedupFirst``
+    processor (streaming/processor.py; pinned frame-equal in
+    tests/test_processors.py). Same one-shuffle plan as ``dedup_exact``,
+    different tie rule."""
+    ds = dedup.add_dedup_key(transcripts_from_events(sf_dir))
+    return dedup.dedup_first_wins(
+        ds, "dedup_key", order_by=("ts", "conv_id", "turn_idx")
+    )
+
+
+@register(
     "score_filter",
     f"""
 SELECT event_id, value AS score,

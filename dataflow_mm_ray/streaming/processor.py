@@ -96,6 +96,96 @@ class StatefulProcessor:
 # ---------------------------------------------------------------------------
 
 
+class GlobalDedupFirst(StatefulProcessor):
+    """Global (non-windowed) exact dedup as a continuous query — the
+    ``dropDuplicates``-without-watermark shape: emit the FIRST event-time
+    occurrence of every content key, exactly once, across the whole
+    stream.
+
+    Complements the built-in windowed ``wdedup`` stream (first per
+    (window, key)) and the batch ``dedup_exact`` query (first per key in
+    (conv_id, turn_idx) order): here the winner is the minimum
+    ``(ts_us, conv_id, turn_idx)`` per content key, because event time is
+    the only order a watermark can settle. Batch twin:
+    ``dedup_first_event_time`` (SQL-oracled).
+
+    Mechanics: routes on the engine-computed content-key hash ``dk1``
+    (the extract frame ships 2x64-bit hashes of the id-stripped text,
+    never strings — engine._extract), so all copies of a key co-locate.
+    A key's winner candidate is emitted once ``ts_us < watermark``:
+    later epochs quarantine rows below the watermark, so no applied row
+    can ever beat a strictly-settled candidate (ties at ``ts == wm``
+    are held one more epoch). State keeps one row per key seen —
+    candidates until settled, then tombstones (``emitted=True``) so a
+    key never re-emits; memory is O(distinct keys), the semantic floor
+    of global dedup (cap the horizon with the windowed ``wdedup``
+    stream when the key universe is unbounded)."""
+
+    name = "gdedup"
+    route_key = "dk1"
+    _COLS = ("dk1", "dk2", "conv_id", "turn_idx", "ts_us")
+    _ORDER = ["dk1", "dk2", "emitted", "ts_us", "conv_id", "turn_idx"]
+    _ASC = [True, True, False, True, True, True]
+
+    def _empty(self, with_emitted: bool = True) -> pd.DataFrame:
+        d = {
+            "dk1": pd.Series([], dtype=np.int64),
+            "dk2": pd.Series([], dtype=np.int64),
+            "conv_id": pd.Series([], dtype=object),
+            "turn_idx": pd.Series([], dtype=np.int32),
+            "ts_us": pd.Series([], dtype=np.int64),
+        }
+        if with_emitted:
+            d["emitted"] = pd.Series([], dtype=bool)
+        return pd.DataFrame(d)
+
+    def extract(self, rows: pd.DataFrame) -> pd.DataFrame:
+        cand = pd.DataFrame(
+            {
+                "dk1": rows["dk1"].to_numpy(dtype=np.int64),
+                "dk2": rows["dk2"].to_numpy(dtype=np.int64),
+                "conv_id": rows["conv_id"].to_numpy(),
+                "turn_idx": rows["turn_idx"].to_numpy(dtype=np.int32),
+                "ts_us": rows["ts_us"].to_numpy(dtype=np.int64),
+            }
+        )
+        cand["emitted"] = False
+        # per-batch combiner: one candidate (the local winner) per key
+        return cand.sort_values(
+            self._ORDER, ascending=self._ASC, kind="mergesort"
+        ).drop_duplicates(["dk1", "dk2"], keep="first")
+
+    def init_state(self) -> pd.DataFrame:
+        return self._empty()
+
+    def merge(self, state: pd.DataFrame, rows: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([state, rows], ignore_index=True) if len(state) else rows
+        # per key: an emitted tombstone beats everything (emitted sorts
+        # first), else the lexicographic-min candidate wins — a pure
+        # min-reduce, commutative over row multisets
+        return (
+            both.sort_values(self._ORDER, ascending=self._ASC, kind="mergesort")
+            .drop_duplicates(["dk1", "dk2"], keep="first")
+            .reset_index(drop=True)
+        )
+
+    def on_watermark(self, state, wm_us, flush):
+        if not len(state):
+            return self._empty(with_emitted=False), state
+        settled = ~state["emitted"].to_numpy(dtype=bool)
+        if not flush:
+            settled &= state["ts_us"].to_numpy(dtype=np.int64) < wm_us
+        emit = (
+            state[settled]
+            .sort_values(["dk1", "dk2"], kind="mergesort")
+            .reset_index(drop=True)[list(self._COLS)]
+        )
+        new_state = state.assign(
+            emitted=state["emitted"].to_numpy(dtype=bool) | settled
+        )
+        return emit, new_state.reset_index(drop=True)
+
+
 class WindowRoleCounts(StatefulProcessor):
     """Per-(tumbling window, role) turn counts, emitted at window close.
 

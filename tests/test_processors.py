@@ -164,6 +164,88 @@ def test_name_collision_rejected(ray_session, transcripts_path, tmp_path):
         _run(transcripts_path, tmp_path / "bad", BIG_LATENESS, processors=[bad])
 
 
+def _batch_gdedup(t: pd.DataFrame) -> pd.DataFrame:
+    """Hash-level transcription of the GlobalDedupFirst semantics over
+    a transcript frame: min (ts_us, conv_id, turn_idx) per content-key
+    hash pair (the same 2x64-bit hashes engine._extract ships)."""
+    key = (
+        t["text"].fillna("").str.replace(r" #\d+ ", " ", regex=True)
+        .to_numpy(dtype=object)
+    )
+    d = pd.DataFrame(
+        {
+            "dk1": pd.util.hash_array(key, categorize=False).view(np.int64),
+            "dk2": pd.util.hash_array(
+                key, hash_key="graft-dedup-salt", categorize=False
+            ).view(np.int64),
+            "conv_id": t["conv_id"].to_numpy(),
+            "turn_idx": t["turn_idx"].to_numpy(dtype=np.int32),
+            "ts_us": t["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
+        }
+    )
+    return (
+        d.sort_values(["dk1", "dk2", "ts_us", "conv_id", "turn_idx"], kind="mergesort")
+        .drop_duplicates(["dk1", "dk2"], keep="first")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600])
+def test_global_dedup_stream_matches_batch(
+    ray_session, transcripts_path, tmp_path, lateness_s
+):
+    """GlobalDedupFirst == the batch event-time-first dedup over applied
+    rows, at both lateness regimes; each key emits exactly once."""
+    from dataflow_mm_ray.streaming.processor import GlobalDedupFirst
+
+    eng = _run(
+        transcripts_path, tmp_path / f"gd{lateness_s}", lateness_s,
+        processors=[GlobalDedupFirst()],
+    )
+    res = eng.results()
+    got = res["gdedup"]
+    assert len(got) > 0
+    assert not got.duplicated(["dk1", "dk2"]).any()
+    want = _batch_gdedup(_applied_transcripts(res))
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
+
+
+def test_global_dedup_matches_sql_twin_query(ray_session, transcripts_path, tmp_path):
+    """With nothing late, the streamed winners equal the SQL-oracled
+    `dedup_first_event_time` batch query (matched on the winning
+    (conv_id, turn_idx) rows — the stream ships hashes, not text)."""
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.streaming.processor import GlobalDedupFirst
+
+    eng = _run(transcripts_path, tmp_path / "gdsql", BIG_LATENESS,
+               processors=[GlobalDedupFirst()])
+    res = eng.results()
+    assert len(res["late"]) == 0
+
+    batch = registry()["dedup_first_event_time"].fn(SF_TINY).to_pandas()
+    got = res["gdedup"]
+    assert len(got) == len(batch)
+    want_keys = set(zip(batch["conv_id"], batch["turn_idx"].astype(int)))
+    got_keys = set(zip(got["conv_id"], got["turn_idx"].astype(int)))
+    assert got_keys == want_keys
+
+
+def test_global_dedup_resume_matches(ray_session, transcripts_path, tmp_path):
+    """Tombstone state rides the checkpoint: kill-and-resume emits the
+    same winners once each, byte-identical to an uninterrupted run."""
+    from dataflow_mm_ray.streaming.processor import GlobalDedupFirst
+
+    full = _run(transcripts_path, tmp_path / "gdfull", 3600,
+                processors=[GlobalDedupFirst()]).results()
+    _run(transcripts_path, tmp_path / "gdkill", 3600,
+         processors=[GlobalDedupFirst()], stop_after=2)
+    resumed = _run(transcripts_path, tmp_path / "gdkill", 3600,
+                   processors=[GlobalDedupFirst()]).results()
+    pd.testing.assert_frame_equal(_canon(resumed["gdedup"]), _canon(full["gdedup"]))
+
+
 def test_custom_processor_end_to_end(ray_session, transcripts_path, tmp_path):
     """A user-defined processor (per-tool invocation totals, flush
     emission) — defined INSIDE the test so cloudpickle ships it by
