@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--stop-after", type=int, default=None,
                     help="stop after this epoch index (simulated kill; "
                          "rerun with the same --out to resume)")
+    ap.add_argument("--processors", default="",
+                    help="comma list of shipped StatefulProcessor streams "
+                         "to run alongside the built-ins: "
+                         "gdedup, wroles, convspan")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -49,6 +53,16 @@ def main() -> None:
         )
 
     from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
+    from dataflow_mm_ray.streaming.processor import (
+        ConvSpan, GlobalDedupFirst, WindowRoleCounts)
+
+    shipped = {"gdedup": GlobalDedupFirst, "convspan": ConvSpan,
+               "wroles": lambda: WindowRoleCounts(width_s=args.width_s)}
+    procs = []
+    for name in filter(None, (s.strip() for s in args.processors.split(","))):
+        if name not in shipped:
+            ap.error(f"unknown processor {name!r}; shipped: {sorted(shipped)}")
+        procs.append(shipped[name]())
 
     tpath = prepare_transcripts(args.sf_dir, os.path.join(args.out, "transcripts"), n_epochs=args.epochs)
     eng = StreamingEngine(
@@ -59,6 +73,7 @@ def main() -> None:
         width_s=args.width_s,
         gap_s=args.gap_s,
         lateness_s=args.lateness_s,
+        processors=procs,
     )
     eng.run(stop_after=args.stop_after)
     res = eng.results()
