@@ -359,6 +359,71 @@ def run_scaling() -> dict:
     }
 
 
+def run_engine_scaling() -> dict:
+    """The north-rule criterion measured LITERALLY: the whole streaming
+    job (`jobs/run_streaming.py` — extract, shard state, exactly-once
+    2PC commit of every output stream, checkpoints) run end-to-end at
+    two cluster sizes on the same input, fresh Ray session each, with
+    the state-shard count FIXED across levels (the cluster grows, the
+    partitioning doesn't). Wall time includes epoch-partitioned input
+    preparation and all sink fsyncs — the honest job, not a kernel.
+    Interleaved repeats, min per level (host swings 2-3x)."""
+    base_sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("GRAFT_ENGINE_SCALE_FACTOR", "20"))
+    scale_dir = scaling_input(base_sf, factor=factor)
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "1,4").split(","))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    epochs = int(os.environ.get("GRAFT_ENGINE_EPOCHS", "5"))
+    shards = int(os.environ.get("GRAFT_ENGINE_SHARDS", "4"))
+    cli = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "jobs", "run_streaming.py")
+
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    n_turns = pq.read_metadata(os.path.join(scale_dir, "events.parquet")).num_rows
+
+    def one(ncpu: int) -> dict:
+        out_dir = f"/tmp/graft_engine_scale_{ncpu}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = subprocess.run(
+            [sys.executable, cli, "--sf-dir", scale_dir, "--out", out_dir,
+             "--epochs", str(epochs), "--shards", str(shards),
+             "--lateness-s", "999999999", "--num-cpus", str(ncpu)],
+            capture_output=True, text=True, check=True,
+        )
+        dt = time.perf_counter() - t0
+        summary = json.loads(res.stdout.strip().splitlines()[-1])
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return {"sec": round(dt, 1), "committed": summary["committed_rows"]}
+
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    # committed counts must be IDENTICAL at every level and repeat —
+    # the determinism half of the criterion
+    all_counts = [r["committed"] for r in runs_lo + runs_hi]
+    assert all(c == all_counts[0] for c in all_counts), all_counts
+    s_lo = min(r["sec"] for r in runs_lo)
+    s_hi = min(r["sec"] for r in runs_hi)
+    eff = (s_lo / s_hi) / (hi / lo)
+    return {
+        "metric": f"STREAMING-ENGINE scaling efficiency (num_cpus {lo} vs {hi}, "
+                  f"{n_turns}-turn input, {epochs} epochs, {shards} shards, "
+                  "every output stream committed exactly-once)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": s_lo, "sec_hi": s_hi,
+        "turns": n_turns,
+        "turns_per_sec_lo": round(n_turns / s_lo, 1),
+        "turns_per_sec_hi": round(n_turns / s_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "committed_rows": all_counts[0],
+    }
+
+
 def _pool_time(fn, arg, procs: int, tasks: int = 8) -> float:
     import multiprocessing as mp
 
@@ -402,7 +467,9 @@ def run_ceilings(lo: int = 1, hi: int = 4) -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-engine" in sys.argv:
+        print(json.dumps(run_engine_scaling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--ceilings" in sys.argv:
         lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "1,4").split(","))

@@ -246,6 +246,68 @@ def test_global_dedup_resume_matches(ray_session, transcripts_path, tmp_path):
     pd.testing.assert_frame_equal(_canon(resumed["gdedup"]), _canon(full["gdedup"]))
 
 
+def test_global_dedup_random_epoch_splits():
+    """Drive the GlobalDedupFirst merge/on_watermark contract directly
+    across 12 randomized trials: arbitrary epoch assignment, arbitrary
+    batch splits within an epoch (extract is a per-batch combiner),
+    engine-style late quarantine (lateness 0 -> wm = max ts seen).
+    Invariants: every key emits exactly once, mid-stream emissions are
+    final (union == batch winner over applied rows), regardless of the
+    split."""
+    from dataflow_mm_ray.streaming.processor import GlobalDedupFirst
+
+    US = 10**6
+    for trial in range(12):
+        rng = np.random.default_rng(100 + trial)
+        n = int(rng.integers(50, 400))
+        keys = rng.integers(0, 40, size=n)  # ~10x duplication
+        rows = pd.DataFrame(
+            {
+                "dk1": keys.astype(np.int64),
+                "dk2": (keys * 7 + 1).astype(np.int64),
+                "conv_id": np.array(
+                    [f"c{int(x):03d}" for x in rng.integers(0, 20, size=n)],
+                    dtype=object,
+                ),
+                "turn_idx": rng.integers(0, 1000, size=n).astype(np.int32),
+                "ts_us": rng.integers(0, 10_000, size=n).astype(np.int64) * US,
+            }
+        )
+        epoch_of = rng.integers(0, 5, size=n)
+
+        proc = GlobalDedupFirst()
+        state = proc.init_state()
+        wm = -(1 << 62)
+        emitted, applied_parts = [], []
+        for e in range(5):
+            arrive = rows[epoch_of == e]
+            arrive = arrive[arrive["ts_us"].to_numpy() >= wm]  # late quarantine
+            applied_parts.append(arrive)
+            if len(arrive):
+                for idx in np.array_split(
+                    np.arange(len(arrive)), int(rng.integers(1, 4))
+                ):
+                    if len(idx):
+                        state = proc.merge(state, proc.extract(arrive.iloc[idx]))
+                wm = max(wm, int(arrive["ts_us"].max()))
+            em, state = proc.on_watermark(state, wm, flush=(e == 4))
+            emitted.append(em)
+        got = pd.concat(emitted, ignore_index=True)
+        assert not got.duplicated(["dk1", "dk2"]).any(), trial
+
+        applied = pd.concat(applied_parts, ignore_index=True)
+        want = (
+            applied.sort_values(
+                ["dk1", "dk2", "ts_us", "conv_id", "turn_idx"], kind="mergesort"
+            )
+            .drop_duplicates(["dk1", "dk2"])
+            .reset_index(drop=True)[list(got.columns)]
+        )
+        pd.testing.assert_frame_equal(
+            _canon(got), _canon(want), check_dtype=False
+        ), trial
+
+
 def test_custom_processor_end_to_end(ray_session, transcripts_path, tmp_path):
     """A user-defined processor (per-tool invocation totals, flush
     emission) — defined INSIDE the test so cloudpickle ships it by
