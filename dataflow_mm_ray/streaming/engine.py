@@ -566,8 +566,13 @@ class StreamingEngine:
             # double-counts
             late_file, late_rows = "", np.int64(0)
             if len(late_b):
+                # dshard (like shard) is a routing id, a function of the
+                # shard COUNT — dropping it keeps the quarantine output
+                # shard-count-invariant (the dk1/dk2 content hashes stay:
+                # they identify the row regardless of cluster size)
                 out = late_b.drop(
-                    columns=["late", "shard", "window_start_us", "text_len", "is_click"]
+                    columns=["late", "shard", "window_start_us", "text_len",
+                             "is_click", "dshard"]
                 ).reset_index(drop=True)
                 lh = stable_hash_array(out["conv_id"].to_numpy())
                 lts = out["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)

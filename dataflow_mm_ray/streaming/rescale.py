@@ -1,0 +1,232 @@
+"""Checkpoint rescaling: rewrite a checkpoint taken at N state shards
+into an equivalent checkpoint for M shards — the savepoint-rescale
+operation that moves a running job from an N-node cluster to a 4N-node
+cluster (the north rule's two cluster sizes) without losing state or
+exactly-once guarantees.
+
+Every piece of shard state is keyed, and each key class has ONE
+routing rule shared with the engine's extract path
+(``streaming/engine.py _extract`` / ``run_epoch``):
+
+- conversation-keyed (windows, sliding, sessions + ordinal counters,
+  pending joins, as-of carry, CEP/alert buffers and counters,
+  upsert revisions): ``hashing.partition_ids(conv_id, M)``;
+- content-keyed (windowed-dedup winners): ``uint64(dk1) % M`` —
+  the ``dshard`` rule;
+- plugin processor state: ``partition_ids(state[route_key], M)`` —
+  the rule the engine applies to the processor's extracted rows;
+- window-keyed PARTIALS (distinct-count registers, latency
+  histograms, top-k tool counts): these are per-shard partial
+  aggregates the driver merges across shards at window close
+  (max / sum / sum), so any placement is lossless; they are
+  redistributed by window hash and merged pairwise when two old
+  shards land on the same new shard.
+
+Because the engine checkpoints immediately after ``finalize`` (the
+epoch barrier), every ``*_chunks`` staging list is empty in a
+snapshot — rescale refuses to proceed otherwise rather than guess.
+
+The rewritten checkpoint keeps the same epoch and watermark; only
+``config.n_shards`` and the state files change. Resuming with
+``StreamingEngine(..., n_shards=M)`` then passes the config-mismatch
+guard and continues the stream; committed output is identical to an
+uninterrupted run (shard-count invariance is part of the engine's
+determinism contract — pinned by ``tests/test_rescale.py``).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+
+from dataflow_mm_ray.groupsum import group_sum_df
+from dataflow_mm_ray.hashing import partition_ids
+from dataflow_mm_ray.state.store import _ShardState
+
+# (attribute, paired per-conv dict attributes) for the conv_id-keyed
+# frames; dicts listed separately below
+_CONV_FRAMES = (
+    "windows", "swindows", "sessions", "inv", "tool",
+    "asof_pending", "cep_pending", "alert_pending", "upsert_rev",
+)
+_CONV_DICTS = ("session_seq", "asof_last", "cep_ptr", "cep_seq", "alert_seq")
+_CHUNK_LISTS = (
+    "win_chunks", "slide_chunks", "sess_chunks", "inv_chunks",
+    "tool_chunks", "asof_chunks", "dcount_chunks", "cep_chunks",
+    "alert_chunks", "wtopk_chunks", "dedup_chunks",
+)
+
+
+def _latest_ckpt(checkpoint_dir: str) -> tuple[int, dict]:
+    epochs = [
+        int(n[len("ckpt-"):-len(".json")])
+        for n in os.listdir(checkpoint_dir)
+        if n.startswith("ckpt-") and n.endswith(".json")
+    ]
+    if not epochs:
+        raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
+    e = max(epochs)
+    with open(os.path.join(checkpoint_dir, f"ckpt-{e}.json")) as f:
+        return e, json.load(f)
+
+
+def _split_frame(df: pd.DataFrame, ids: np.ndarray, m: int) -> list[pd.DataFrame]:
+    if not len(df):
+        return [df.iloc[:0].copy() for _ in range(m)]
+    return [df[ids == i].reset_index(drop=True) for i in range(m)]
+
+
+def rescale_checkpoint(out_dir: str, new_n_shards: int,
+                       processors: list | None = None) -> dict:
+    """Rewrite the latest checkpoint under ``out_dir/checkpoints`` for
+    ``new_n_shards`` state shards. ``processors`` must be the same
+    plugin list the run was started with (their ``route_key`` drives
+    the state split); pass none when the run had none.
+
+    Returns the rewritten checkpoint metadata.
+    """
+    if new_n_shards < 1:
+        raise ValueError("new_n_shards must be >= 1")
+    checkpoint_dir = os.path.join(out_dir, "checkpoints")
+    epoch, meta = _latest_ckpt(checkpoint_dir)
+    cfg = meta["config"]
+    old_n = cfg["n_shards"]
+    proc_route = {p.name: p.route_key for p in (processors or [])}
+    cfg_procs = cfg.get("processors", [])
+    if sorted(proc_route) != sorted(cfg_procs):
+        raise ValueError(
+            f"checkpoint was taken with processors {cfg_procs}; "
+            f"rescale called with {sorted(proc_route)} — pass the same list"
+        )
+
+    old_states: list[_ShardState] = []
+    for i in range(old_n):
+        with open(meta["state_files"][str(i)], "rb") as f:
+            old_states.append(pickle.load(f))
+    for st in old_states:
+        for attr in _CHUNK_LISTS:
+            if getattr(st, attr):
+                raise RuntimeError(
+                    f"snapshot has staged {attr} — checkpoints are taken at "
+                    "the epoch barrier, this file is not a valid engine "
+                    "snapshot"
+                )
+        if any(len(v) for v in st.proc_chunks.values()):
+            raise RuntimeError("snapshot has staged processor chunks")
+
+    m = new_n_shards
+    new_states = [
+        _ShardState(
+            cfg["width_s"], cfg["gap_s"], cfg["slide_width_s"],
+            cfg["cep_within_s"], cfg["alert_deadline_s"],
+        )
+        for _ in range(m)
+    ]
+
+    for st in old_states:
+        # --- conversation-keyed frames -------------------------------
+        for attr in _CONV_FRAMES:
+            df = getattr(st, attr)
+            if not len(df):
+                continue
+            ids = partition_ids(df["conv_id"].to_numpy(), m)
+            for i, piece in enumerate(_split_frame(df, ids, m)):
+                if len(piece):
+                    cur = getattr(new_states[i], attr)
+                    setattr(
+                        new_states[i], attr,
+                        piece if not len(cur)
+                        else pd.concat([cur, piece], ignore_index=True),
+                    )
+        # --- conversation-keyed dicts --------------------------------
+        for attr in _CONV_DICTS:
+            d = getattr(st, attr)
+            if not d:
+                continue
+            keys = np.asarray(list(d), dtype=object)
+            ids = partition_ids(keys, m)
+            for k, i in zip(keys, ids):
+                getattr(new_states[int(i)], attr)[k] = d[k]
+        # --- content-keyed windowed-dedup winners (dshard rule) ------
+        if len(st.dedup):
+            ids = (st.dedup["dk1"].to_numpy(dtype=np.int64).view(np.uint64)
+                   % np.uint64(m)).astype(np.int32)
+            for i, piece in enumerate(_split_frame(st.dedup, ids, m)):
+                if len(piece):
+                    cur = new_states[i].dedup
+                    new_states[i].dedup = (
+                        piece if not len(cur)
+                        else pd.concat([cur, piece], ignore_index=True)
+                    )
+        # --- window-keyed partials: redistribute + pairwise merge ----
+        for w, regs in st.dcount.items():
+            tgt = new_states[int(w) % m].dcount
+            prev = tgt.get(w)
+            tgt[w] = regs if prev is None else np.maximum(
+                np.frombuffer(prev, dtype=np.uint8),
+                np.frombuffer(regs, dtype=np.uint8),
+            ).tobytes()
+        for w, hist in st.wlat.items():
+            tgt = new_states[int(w) % m].wlat
+            prev = tgt.get(w)
+            tgt[w] = hist if prev is None else (
+                np.frombuffer(prev, dtype=np.int64)
+                + np.frombuffer(hist, dtype=np.int64)
+            ).tobytes()
+        if len(st.wtopk):
+            ids = (st.wtopk["window_start_us"].to_numpy(dtype=np.int64)
+                   .view(np.uint64) % np.uint64(m)).astype(np.int32)
+            for i, piece in enumerate(_split_frame(st.wtopk, ids, m)):
+                if len(piece):
+                    cur = new_states[i].wtopk
+                    new_states[i].wtopk = group_sum_df(
+                        pd.concat([cur, piece], ignore_index=True)
+                        if len(cur) else piece,
+                        ["window_start_us", "tool"], ["n_invocations"],
+                    )
+        # --- plugin processor state ----------------------------------
+        for pname, state in st.proc_state.items():
+            if not len(state):
+                continue
+            ids = partition_ids(state[proc_route[pname]].to_numpy(), m)
+            for i, piece in enumerate(_split_frame(state, ids, m)):
+                if len(piece):
+                    cur = new_states[i].proc_state.get(pname)
+                    new_states[i].proc_state[pname] = (
+                        piece if cur is None or not len(cur)
+                        else pd.concat([cur, piece], ignore_index=True)
+                    )
+
+    # --- write the rewritten checkpoint (new file names — never clobber
+    # the old shard files, so a crash mid-rescale leaves the original
+    # checkpoint fully intact until the final atomic manifest replace)
+    from dataflow_mm_ray.fsutil import fsync_dir
+
+    state_files = {}
+    for i, st in enumerate(new_states):
+        p = os.path.join(checkpoint_dir, f"state-{epoch}-shard{i}of{m}.pkl")
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(st, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        state_files[str(i)] = p
+    new_meta = {
+        "epoch": epoch,
+        "watermark_us": meta["watermark_us"],
+        "config": {**cfg, "n_shards": m},
+        "state_files": state_files,
+    }
+    ckpt_path = os.path.join(checkpoint_dir, f"ckpt-{epoch}.json")
+    tmp = ckpt_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ckpt_path)
+    fsync_dir(checkpoint_dir)
+    return new_meta
