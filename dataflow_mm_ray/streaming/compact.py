@@ -82,12 +82,20 @@ def compact_stream(
     stream: str,
     target_rows: int = 4_000_000,
     min_input_files: int = 2,
+    protect_consumers: bool = True,
 ) -> dict:
     """Compact every committed-but-uncovered epoch of one stream.
 
     Returns a summary dict (``compacted=False`` when there was nothing
     worth rewriting). Safe to run concurrently with an appending
     engine: only epochs whose manifests exist at call time are covered.
+
+    With ``protect_consumers`` (default), epochs a registered consumer
+    group (streaming/consumer.py) has not yet committed past are left
+    uncompacted — the retention-vs-lag rule that keeps ``poll()``
+    servable epoch-by-epoch for every live group. Disable only when
+    lagging groups are abandoned (they then get the explicit
+    ``PositionCompactedError`` + reset path).
     """
     from dataflow_mm_ray.streaming.sink import EpochSink
 
@@ -96,6 +104,13 @@ def compact_stream(
     covered = comp["segments"][-1]["upto_epoch"] if comp["segments"] else -1
 
     epochs = [e for e in sink.committed_epochs(stream) if e > covered]
+    if protect_consumers:
+        from dataflow_mm_ray.streaming.consumer import consumer_positions
+
+        positions = consumer_positions(out_dir, stream)
+        if positions:
+            min_needed = min(positions.values())  # lowest next-epoch
+            epochs = [e for e in epochs if e < min_needed]
     if not epochs:
         return {"stream": stream, "compacted": False, "reason": "no uncovered epochs"}
 

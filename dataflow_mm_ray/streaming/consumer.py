@@ -1,0 +1,175 @@
+"""Incremental consumers over committed output streams — the
+downstream half of the exactly-once contract (consumer groups over the
+epoch log, the analog of a Kafka group offset / a Delta streaming
+reader's reservoir version).
+
+A :class:`StreamConsumer` tracks a durable *position* (the next epoch
+to read) per ``(group, stream)`` under ``<out_dir>/consumers/``:
+
+- ``poll()`` returns every committed-but-unconsumed epoch from the
+  position upward (contiguous — it stops at the first gap, so an epoch
+  is never observed before its predecessors) as a lazy
+  ``ray.data.Dataset`` over exactly the manifest-listed files; rows
+  never land on the driver.
+- ``commit(upto)`` atomically advances the position (fsync + replace,
+  same discipline as the sink's manifests).
+
+Delivery contract: *at-least-once* by default — a crash between
+``poll`` and ``commit`` re-polls the same epochs. End-to-end
+exactly-once is the standard idempotent-writer composition: key the
+downstream write by ``(group, stream, epoch range)`` and make it a
+no-op when that range is already present (the engine's own 2PC sink is
+such a writer), then ``commit``.
+
+Compaction interop (streaming/compact.py): compacted segments drop
+per-epoch file granularity, so a position that falls at-or-below the
+compaction horizon can no longer be served epoch-by-epoch —
+``poll`` raises :class:`PositionCompactedError` (Kafka's
+offset-out-of-range). ``compact_stream(..., protect_consumers=True)``
+(the default) never covers epochs a registered consumer group still
+needs, so the error only occurs for groups created after the fact or
+when protection is explicitly disabled; ``reset_to_horizon()`` plus a
+full-prefix backfill read (``sink.read_committed_ds``) is the recovery
+path.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from dataflow_mm_ray.fsutil import fsync_dir
+from dataflow_mm_ray.streaming.sink import EpochSink
+
+
+class PositionCompactedError(RuntimeError):
+    """The consumer's next epoch was compacted into a segment; the
+    per-epoch files no longer exist. Recover with
+    ``reset_to_horizon()`` (skip) or a full-prefix backfill read."""
+
+
+def _covered_epoch(out_dir: str, stream: str) -> int:
+    from dataflow_mm_ray.streaming.compact import read_compaction
+
+    comp = read_compaction(out_dir, stream)
+    return comp["segments"][-1]["upto_epoch"] if comp["segments"] else -1
+
+
+def consumer_positions(out_dir: str, stream: str) -> dict[str, int]:
+    """``{group: next_epoch}`` for every registered consumer group of
+    one stream — what compaction's consumer protection reads."""
+    root = os.path.join(out_dir, "consumers")
+    out: dict[str, int] = {}
+    if not os.path.isdir(root):
+        return out
+    for group in os.listdir(root):
+        p = os.path.join(root, group, f"{stream}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out[group] = int(json.load(f)["next_epoch"])
+    return out
+
+
+class StreamConsumer:
+    def __init__(self, out_dir: str, stream: str, group: str = "default"):
+        self.out_dir = out_dir
+        self.stream = stream
+        self.group = group
+        self.sink = EpochSink(out_dir, [stream])
+        self._pos_dir = os.path.join(out_dir, "consumers", group)
+        self._pos_path = os.path.join(self._pos_dir, f"{stream}.json")
+        os.makedirs(self._pos_dir, exist_ok=True)
+        if not os.path.exists(self._pos_path):
+            # registering the group AT THE HORIZON would silently skip
+            # compacted history; new groups start at 0 and either read
+            # the uncompacted epochs or get the explicit compaction
+            # error + reset choice
+            self._write_position(0)
+
+    # -- position ----------------------------------------------------------
+    def position(self) -> int:
+        """Next epoch this consumer will read."""
+        with open(self._pos_path) as f:
+            return int(json.load(f)["next_epoch"])
+
+    def _write_position(self, next_epoch: int) -> None:
+        tmp = self._pos_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"stream": self.stream, "group": self.group,
+                       "next_epoch": int(next_epoch)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pos_path)
+        fsync_dir(self._pos_dir)
+
+    def commit(self, upto_epoch: int) -> None:
+        """Durably mark epochs ``<= upto_epoch`` consumed. Monotone:
+        committing behind the current position is a no-op (replays of a
+        restarted processor can never move the group backwards)."""
+        if upto_epoch + 1 > self.position():
+            self._write_position(upto_epoch + 1)
+
+    def reset_to_horizon(self) -> int:
+        """Skip past the compaction horizon (data loss is explicit:
+        the skipped epochs are only available as the full compacted
+        prefix). Returns the new position."""
+        nxt = _covered_epoch(self.out_dir, self.stream) + 1
+        if nxt > self.position():
+            self._write_position(nxt)
+        return self.position()
+
+    # -- reading -----------------------------------------------------------
+    def _ready_epochs(self, max_epochs: int | None) -> list[int]:
+        pos = self.position()
+        covered = _covered_epoch(self.out_dir, self.stream)
+        if covered >= pos:
+            raise PositionCompactedError(
+                f"consumer group {self.group!r} is at epoch {pos} but "
+                f"compaction covers epochs <= {covered} of stream "
+                f"{self.stream!r}; reset_to_horizon() or backfill from "
+                "the compacted prefix (sink.read_committed_ds)"
+            )
+        ready: list[int] = []
+        committed = self.sink.committed_epochs(self.stream)
+        want = pos
+        for e in committed:
+            if e < want:
+                continue
+            if e != want:  # gap: never observe an epoch before its prefix
+                break
+            ready.append(e)
+            want += 1
+            if max_epochs is not None and len(ready) >= max_epochs:
+                break
+        return ready
+
+    def poll(self, max_epochs: int | None = None):
+        """``(epochs, dataset)``: the committed-but-unconsumed epochs
+        (contiguous from the position) and a lazy Dataset over exactly
+        their manifest-listed files — ``None`` when those epochs
+        committed zero files (or nothing is ready). Does NOT advance
+        the position; call ``commit(epochs[-1])`` after the downstream
+        write is durable."""
+        epochs = self._ready_epochs(max_epochs)
+        files: list[str] = []
+        for e in epochs:
+            with open(self.sink._manifest_path(self.stream, e)) as f:
+                m = json.load(f)
+            files.extend(os.path.join(self.out_dir, rel) for rel in m["files"])
+        if not files:
+            return epochs, None
+        import ray.data as rd
+
+        # partitioning=None: the staging layout's epoch=N directory is
+        # a sink implementation detail — hive inference would add an
+        # `epoch` column that read_committed (pq.read_table) never has
+        return epochs, rd.read_parquet(files, partitioning=None)
+
+    def poll_pandas(self, max_epochs: int | None = None):
+        """Driver-side convenience for small streams/tests: same
+        epochs, rows as one pandas frame (empty frame when none)."""
+        epochs, ds = self.poll(max_epochs)
+        if ds is None:
+            return epochs, pd.DataFrame()
+        return epochs, ds.to_pandas()

@@ -146,4 +146,9 @@ class EpochSink:
         files = self.committed_files(stream)
         if not files:
             return None
-        return rd.read_parquet(files)
+        # partitioning=None: the staging layout's epoch=N directory is
+        # a sink implementation detail — hive inference would add an
+        # `epoch` column to uncompacted epochs that pq.read_table
+        # (read_committed) and compacted segment files never have,
+        # making the Dataset schema depend on compaction state
+        return rd.read_parquet(files, partitioning=None)

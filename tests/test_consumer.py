@@ -1,0 +1,140 @@
+"""Stream consumers (streaming/consumer.py): durable per-group read
+positions over committed epochs, at-least-once polls, contiguity, and
+the compaction retention rule (lagging groups are protected; a
+position behind the horizon fails loudly with an explicit reset).
+"""
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(ray_session, tmp_path_factory):
+    from dataflow_mm_ray.streaming.engine import prepare_transcripts
+
+    p = tmp_path_factory.mktemp("consumer") / "transcripts"
+    return prepare_transcripts(SF_TINY, str(p))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    if not len(df):
+        return df
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _engine(transcripts_path, out_dir):
+    from dataflow_mm_ray.streaming.engine import StreamingEngine
+
+    return StreamingEngine(transcripts_path, str(out_dir), n_epochs=5,
+                           n_shards=3, lateness_s=3600)
+
+
+def test_incremental_consumption_covers_stream(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.streaming.consumer import StreamConsumer
+
+    out = tmp_path / "out"
+    cons = StreamConsumer(str(out), "windows", group="g1")
+    got = []
+    for stop in range(5):
+        eng = _engine(transcripts_path, out)
+        eng.run(stop_after=stop)
+        epochs, df = cons.poll_pandas()
+        assert epochs and epochs[-1] == stop  # every tick is consumable
+        got.append(df)
+        cons.commit(epochs[-1])
+    assert cons.position() == 5
+    want = _engine(transcripts_path, out).results()["windows"]
+    pd.testing.assert_frame_equal(
+        _canon(pd.concat(got, ignore_index=True)), _canon(want)
+    )
+    # fully consumed: nothing ready
+    epochs, df = cons.poll_pandas()
+    assert epochs == [] and not len(df)
+
+
+def test_restart_is_at_least_once(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.streaming.consumer import StreamConsumer
+
+    out = tmp_path / "out"
+    eng = _engine(transcripts_path, out)
+    eng.run()
+    c1 = StreamConsumer(str(out), "joins", group="g")
+    e1, df1 = c1.poll_pandas(max_epochs=2)
+    assert e1 == [0, 1]
+    # crash before commit: a restarted consumer re-polls the same epochs
+    c2 = StreamConsumer(str(out), "joins", group="g")
+    e2, df2 = c2.poll_pandas(max_epochs=2)
+    assert e2 == e1
+    pd.testing.assert_frame_equal(_canon(df1), _canon(df2))
+    c2.commit(1)
+    e3, _ = c2.poll_pandas()
+    assert e3 == [2, 3, 4]
+    # commits are monotone: replaying an old commit can't move back
+    c2.commit(0)
+    assert c2.position() == 2
+
+
+def test_gap_is_never_observed(ray_session, tmp_path):
+    from dataflow_mm_ray.streaming.consumer import StreamConsumer
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    sink = EpochSink(str(tmp_path), ["s"])
+    df = pd.DataFrame({"x": [1, 2]})
+    sink.stage_and_commit("s", 0, df, 0)
+    sink.stage_and_commit("s", 2, df, 0)  # epoch 1 missing
+    cons = StreamConsumer(str(tmp_path), "s", group="g")
+    epochs, got = cons.poll_pandas()
+    assert epochs == [0] and len(got) == 2
+    cons.commit(0)
+    assert cons.poll_pandas()[0] == []  # stalls at the gap
+    sink.stage_and_commit("s", 1, df, 0)
+    assert cons.poll_pandas()[0] == [1, 2]
+
+
+def test_compaction_protects_lagging_group(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.streaming.compact import compact_stream, read_compaction
+    from dataflow_mm_ray.streaming.consumer import (
+        PositionCompactedError, StreamConsumer, consumer_positions)
+
+    out = tmp_path / "out"
+    eng = _engine(transcripts_path, out)
+    eng.run()
+    lag = StreamConsumer(str(out), "windows", group="lagging")
+    lag.commit(0)  # has consumed epoch 0 only; needs 1..4
+    assert consumer_positions(str(out), "windows") == {"lagging": 1}
+
+    res = compact_stream(str(out), "windows", target_rows=10, min_input_files=1)
+    # protection: only epoch 0 (the consumed prefix) may be covered
+    assert res["compacted"] and res["upto_epoch"] == 0
+    epochs, df = lag.poll_pandas()  # still fully servable epoch-by-epoch
+    assert epochs == [1, 2, 3, 4] and len(df)
+    lag.commit(4)
+
+    res2 = compact_stream(str(out), "windows", target_rows=10, min_input_files=1)
+    assert res2["compacted"] and res2["upto_epoch"] == 4
+
+    # a group registered AFTER compaction starts at 0, behind the horizon
+    newb = StreamConsumer(str(out), "windows", group="newborn")
+    with pytest.raises(PositionCompactedError):
+        newb.poll()
+    assert newb.reset_to_horizon() == 5
+    assert newb.poll_pandas()[0] == []  # nothing above the horizon yet
+
+    # unprotected compaction is the explicit override
+    comp = read_compaction(str(out), "windows")
+    assert comp["segments"][-1]["upto_epoch"] == 4
+
+
+def test_poll_dataset_matches_manifests(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.streaming.consumer import StreamConsumer
+
+    out = tmp_path / "out"
+    eng = _engine(transcripts_path, out)
+    eng.run()
+    cons = StreamConsumer(str(out), "sessions", group="g")
+    epochs, ds = cons.poll(max_epochs=3)
+    assert epochs == [0, 1, 2]
+    got = _canon(ds.to_pandas())
+    want = _canon(cons.poll_pandas(max_epochs=3)[1])
+    pd.testing.assert_frame_equal(got, want)
