@@ -97,3 +97,41 @@ def q_rule_filter_full(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     keyed = docs.map_batches(add_image_key, batch_format="pandas")
     return rule_base_full(keyed)
+
+
+# ---------------------------------------------------------------------------
+# declarative pipeline runner chain (pipelines/runner.py)
+
+_CHAIN_MAX_PUNCT = 0.35
+
+
+def _pipeline_chain_sql() -> str:
+    return (
+        "WITH _flags AS (" + rule_filter_sql(source="documents") + "), "
+        "_kept AS (SELECT d.doc_id, d.text FROM documents d "
+        "JOIN _flags f ON d.doc_id = f.doc_id WHERE f.keep), "
+        "_stats AS (" + textstats_sql(source="_kept") + ") "
+        f'SELECT *, punct_ratio <= {_CHAIN_MAX_PUNCT} AS "select" FROM _stats'
+    )
+
+
+@register("pipeline_chain", _pipeline_chain_sql())
+def q_pipeline_chain(sf_dir: str):
+    """The declarative pipeline-runner lifecycle (pipelines/runner.py):
+    registry-resolved op chain rule_base_filter -> text_stats ->
+    score_filter as ONE lazy Dataset — the engine twin of the
+    reference's pipeline scripts chaining op.run(storage) over per-step
+    cache files (SURVEY §3.1; e.g. image_filter_aesthetic.py:10-77,
+    storage.py:88-100). Composed oracle = each stage's SQL twin CTE'd
+    in sequence."""
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+
+    return run_pipeline(
+        _documents(sf_dir),
+        [
+            Step("rule_base_filter"),
+            Step("text_stats"),
+            Step("score_filter", {"score_col": "punct_ratio",
+                                  "max_score": _CHAIN_MAX_PUNCT}),
+        ],
+    )

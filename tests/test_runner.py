@@ -1,0 +1,172 @@
+"""Declarative pipeline runner (pipelines/runner.py): chain equality
+with hand composition, the composed SQL oracle, per-step cache/resume
+semantics (skip-on-match, spec-edit invalidation, kill-safety), and
+the CLI spec loader."""
+import json
+import os
+
+import pytest
+
+from tests.conftest import SF_TINY
+
+
+def _docs(sf_dir=SF_TINY):
+    from dataflow_mm_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+CHAIN = None  # built lazily (needs the package on sys.path via conftest)
+
+
+def _chain():
+    from dataflow_mm_ray.pipelines.runner import Step
+
+    return [
+        Step("rule_base_filter"),
+        Step("text_stats"),
+        Step("score_filter", {"score_col": "punct_ratio", "max_score": 0.35}),
+    ]
+
+
+def _manual(sf_dir=SF_TINY):
+    from dataflow_mm_ray.stages import filters
+    from dataflow_mm_ray.stages.text_analysis import rule_filter_kept, text_stats
+
+    ds = text_stats(rule_filter_kept(_docs(sf_dir)))
+    return filters.score_filter(ds, "punct_ratio", max_score=0.35)
+
+
+def test_lazy_chain_equals_manual(ray_session):
+    from dataflow_mm_ray.pipelines.runner import StepReport, run_pipeline
+    from dataflow_mm_ray.testing import canon, to_pandas
+
+    report: list[StepReport] = []
+    got = run_pipeline(_docs(), _chain(), report=report)
+    assert [r.action for r in report] == ["lazy", "lazy", "lazy"]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(canon(to_pandas(got)), canon(to_pandas(_manual())))
+
+
+def test_chain_matches_sql_oracle(ray_session, oracle):
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.testing import assert_matches_oracle
+
+    q = registry()["pipeline_chain"]
+    assert_matches_oracle(q.fn(SF_TINY), oracle, q.sql)
+
+
+def test_fuzzy_op_resolution(ray_session):
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+
+    # case-insensitive + unique-substring lookup, like the reference
+    ds = run_pipeline(_docs(), [Step("RULE_BASE_FILTER"), Step("text_stat")])
+    assert "punct_ratio" in ds.schema().names
+
+
+def test_unknown_op_fails_before_running(ray_session):
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+
+    with pytest.raises(KeyError):
+        run_pipeline(_docs(), [Step("no_such_operator_xyz")])
+
+
+def test_cache_requires_source_tag(ray_session, tmp_path):
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+
+    with pytest.raises(ValueError, match="source_tag"):
+        run_pipeline(_docs(), [Step("text_stats")], cache_dir=str(tmp_path))
+
+
+def test_cache_and_resume(ray_session, tmp_path):
+    from dataflow_mm_ray.pipelines.runner import StepReport, run_pipeline
+    from dataflow_mm_ray.testing import canon, to_pandas
+    import pandas.testing as pdt
+
+    cache = str(tmp_path / "steps")
+    tag = f"{SF_TINY}:documents"
+
+    r1: list[StepReport] = []
+    out1 = to_pandas(run_pipeline(_docs(), _chain(), cache_dir=cache,
+                                  source_tag=tag, report=r1))
+    assert [r.action for r in r1] == ["ran", "ran", "ran"]
+
+    # rerun: every step skipped, output identical
+    r2: list[StepReport] = []
+    out2 = to_pandas(run_pipeline(_docs(), _chain(), cache_dir=cache,
+                                  source_tag=tag, report=r2))
+    assert [r.action for r in r2] == ["cached", "cached", "cached"]
+    pdt.assert_frame_equal(canon(out1), canon(out2))
+
+    # cached result equals the uncached lazy chain
+    pdt.assert_frame_equal(canon(out1), canon(to_pandas(_manual())))
+
+
+def test_killed_step_recomputes_only_itself(ray_session, tmp_path):
+    from dataflow_mm_ray.pipelines.runner import StepReport, run_pipeline
+
+    cache = str(tmp_path / "steps")
+    tag = f"{SF_TINY}:documents"
+    run_pipeline(_docs(), _chain(), cache_dir=cache, source_tag=tag)
+
+    # simulate a kill between data write and marker write of step 1
+    os.remove(os.path.join(cache, "step01_text_stats", "_SUCCESS.json"))
+    r: list[StepReport] = []
+    run_pipeline(_docs(), _chain(), cache_dir=cache, source_tag=tag, report=r)
+    assert [x.action for x in r] == ["cached", "ran", "cached"]
+
+
+def test_spec_edit_invalidates_downstream(ray_session, tmp_path):
+    from dataflow_mm_ray.pipelines.runner import Step, StepReport, run_pipeline
+
+    cache = str(tmp_path / "steps")
+    tag = f"{SF_TINY}:documents"
+    run_pipeline(_docs(), _chain(), cache_dir=cache, source_tag=tag)
+
+    # change step 2's kwargs: steps 0-1 stay cached, step 2 reruns
+    edited = _chain()
+    edited[2] = Step("score_filter",
+                     {"score_col": "punct_ratio", "max_score": 0.2})
+    r: list[StepReport] = []
+    run_pipeline(_docs(), edited, cache_dir=cache, source_tag=tag, report=r)
+    assert [x.action for x in r] == ["cached", "cached", "ran"]
+
+    # change step 0: the whole chain downstream recomputes
+    edited0 = _chain()
+    edited0[0] = Step("rule_base_filter", {"text_col": "text"})
+    r0: list[StepReport] = []
+    run_pipeline(_docs(), edited0, cache_dir=cache, source_tag=tag, report=r0)
+    assert [x.action for x in r0] == ["ran", "ran", "ran"]
+
+    # different source tag never reuses the cache
+    r1: list[StepReport] = []
+    run_pipeline(_docs(), _chain(), cache_dir=cache,
+                 source_tag="other:documents", report=r1)
+    assert [x.action for x in r1] == ["ran", "ran", "ran"]
+
+
+def test_non_primitive_kwargs_rejected(ray_session, tmp_path):
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+
+    with pytest.raises(TypeError, match="JSON-able"):
+        run_pipeline(_docs(), [Step("text_stats", {"id_col": object()})],
+                     cache_dir=str(tmp_path), source_tag="t")
+
+
+def test_spec_loader(tmp_path):
+    from dataflow_mm_ray.pipelines.runner import load_pipeline_spec
+
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps({
+        "source": {"table": "documents", "columns": ["doc_id", "text"]},
+        "steps": [
+            {"op": "rule_base_filter"},
+            {"op": "score_filter", "kwargs": {"score_col": "punct_ratio",
+                                              "max_score": 0.35}},
+        ],
+    }))
+    source, steps = load_pipeline_spec(str(p))
+    assert source["table"] == "documents"
+    assert steps[0].op == "rule_base_filter" and steps[0].kwargs == {}
+    assert steps[1].kwargs["max_score"] == 0.35
