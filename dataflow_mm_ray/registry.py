@@ -75,12 +75,20 @@ def _ensure_loaded() -> None:
     from dataflow_mm_ray.serving import prompted_qa, templated_qa
     from dataflow_mm_ray.stages import filters, join, stats, windows
     from dataflow_mm_ray.stages.chunks import chunk_rows
+    from dataflow_mm_ray.stages.clip_eval import clip_family_eval
     from dataflow_mm_ray.stages.conversations import conversation_to_message_stage
-    from dataflow_mm_ray.stages.dedup import dedup_first_wins
+    from dataflow_mm_ray.stages.dedup import add_dedup_key, dedup_first_wins
+    from dataflow_mm_ray.stages.diversity import diversity_filter, diversity_filter_full
     from dataflow_mm_ray.stages.multimodal import audio_vad_pipeline, image_pipeline
+    from dataflow_mm_ray.stages.normalize import text_normalize
+    from dataflow_mm_ray.stages.nsfw import add_image_key, rule_base_full
+    from dataflow_mm_ray.stages.percentile import add_global_rank
     from dataflow_mm_ray.stages.rewards import reward_eval
     from dataflow_mm_ray.stages.text_analysis import rule_filter_flags, rule_filter_kept, text_stats
     from dataflow_mm_ray.stages.udf import functional_refine, mcts_tree_refine
+
+    def add_image_key_stage(ds):
+        return ds.map_batches(add_image_key, batch_format="pandas")
 
     entries = [
         ("rule_base_filter", rule_filter_kept, "15-rule heuristic text filter (destructive)", "filter", ("text",), ("text",), False),
@@ -101,6 +109,15 @@ def _ensure_loaded() -> None:
         ("templated_qa", templated_qa, "template fill -> answer via serving pool", "generator", (), ("answer",), True),
         ("image_pipeline", image_pipeline, "binary image decode + aesthetic stats", "map", ("image",), ("quality",), True),
         ("audio_vad", audio_vad_pipeline, "VAD speech segments (Silero params)", "map", ("audio",), ("n_segments",), True),
+        ("apply_select", filters.apply_select, "drop rows whose select flag is false (destructive half)", "filter", ("select",), (), False),
+        ("add_dedup_key", add_dedup_key, "content fingerprint column for exact dedup", "map", ("text",), ("dedup_key",), False),
+        ("text_normalize", text_normalize, "TextNormalizer (basic/en/zh whisper+cn_tn modes)", "map", ("text",), ("norm_text",), False),
+        ("diversity_filter", diversity_filter, "ImageDiversityFilter text gate (TF-cosine first-wins)", "dedup", ("doc_id", "text"), (), False),
+        ("diversity_filter_full", diversity_filter_full, "ImageDiversityFilter both gates (TF-cosine + phash)", "dedup", ("doc_id", "text"), (), False),
+        ("clip_family_eval", clip_family_eval, "CLIP/LongCLIP/VQAScore evaluator score column", "map", (), (), True),
+        ("add_global_rank", add_global_rank, "global ordinal rank column (distributed, no driver collect)", "map", (), (), False),
+        ("add_image_key", add_image_key_stage, "synthetic per-row image key (source/doc_id.img)", "map", ("doc_id", "source"), ("image_key",), False),
+        ("rule_base_full", rule_base_full, "COMPLETE RuleBaseFilter: text rules + image basics + NSFW", "filter", ("doc_id", "text", "image_key"), (), True),
     ]
     for name, fn, desc, kind, inp, out, stateful in entries:
         _OPERATORS[name] = OpSpec(name, fn, desc, kind, tuple(inp), tuple(out), stateful)

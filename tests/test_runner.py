@@ -170,3 +170,30 @@ def test_spec_loader(tmp_path):
     assert source["table"] == "documents"
     assert steps[0].op == "rule_base_filter" and steps[0].kwargs == {}
     assert steps[1].kwargs["max_score"] == 0.35
+
+
+def test_registry_ops_all_resolve(ray_session):
+    from dataflow_mm_ray.registry import get_operator, list_operators
+
+    ops = list_operators()
+    assert len(ops) >= 27
+    for name in ops:
+        assert get_operator(name).name == name
+
+
+def test_dedup_chain_equals_manual(ray_session):
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+    from dataflow_mm_ray.stages.dedup import add_dedup_key, dedup_first_wins
+    from dataflow_mm_ray.stages.text_analysis import rule_filter_kept, text_stats
+    from dataflow_mm_ray.testing import canon, to_pandas
+    import pandas.testing as pdt
+
+    got = run_pipeline(_docs(), [
+        Step("rule_base_filter"),
+        Step("add_dedup_key"),
+        Step("dedup_first_wins", {"key_col": "dedup_key", "order_by": ["doc_id"]}),
+        Step("text_stats"),
+    ])
+    want = text_stats(dedup_first_wins(
+        add_dedup_key(rule_filter_kept(_docs())), "dedup_key", order_by=["doc_id"]))
+    pdt.assert_frame_equal(canon(to_pandas(got)), canon(to_pandas(want)))
