@@ -446,3 +446,13 @@ def q_ivf_topk_fullprobe(sf_dir: str):
     per-batch cluster assignment, probe filter, distributed final
     top-k) is held to the same SQL oracle as topk_cosine."""
     return similarity.ivf_topk(sf_dir, k=TOPK_K, n_queries=TOPK_NQ, n_clusters=16, nprobe=16)
+
+
+@register("simhash_neardup_first", None)
+def q_simhash_neardup_first(sf_dir: str):
+    """Near-dup edges to each SimHash band bucket's event-time-first
+    turn over the transcript stream — the batch twin of the streamed
+    ``sdup`` processor (streaming/processor.py SimhashNearDupFirst;
+    pinned frame-equal in tests/test_processors.py). One keyed exchange
+    on the (band, bucket) id."""
+    return neardup.simhash_neardup_first(sf_dir)

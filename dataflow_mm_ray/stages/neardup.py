@@ -859,3 +859,87 @@ def embedding_srp_neardup(sf_dir: str, max_hamming: int = 10,
         return b.rename(columns={"doc_id": id_col})
 
     return out.map_batches(rename, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# batch twin of the streamed SimhashNearDupFirst processor
+
+
+def simhash_neardup_first(sf_dir: str, max_hamming: int = 3, ds=None,
+                          num_partitions: int = 16):
+    """Batch twin of ``streaming.processor.SimhashNearDupFirst``: over
+    the transcript table, emit one edge row per (band, bucket) from
+    every turn to its bucket's event-time-FIRST turn (minimum
+    (ts_us, conv_id, turn_idx)) when the full 64-bit Hamming distance
+    <= ``max_hamming``. Signatures are the engine scan's: SimHash of
+    the id-stripped text (the same strip rule as dk1/dk2). One keyed
+    exchange on the (band, bucket) id; per-bucket work is a vectorized
+    winner pick + Hamming popcount."""
+    import pandas as pd
+
+    from dataflow_mm_ray.partition import partition_map
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+    from dataflow_mm_ray.streaming.engine import _DEDUP_KEY_RE
+
+    t = ds if ds is not None else transcripts_from_events(sf_dir)
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        key = (b["text"].fillna("").str.replace(_DEDUP_KEY_RE, " ", regex=True)
+               .to_numpy(dtype=object))
+        uniq, inv = np.unique(key, return_inverse=True)
+        sigs = np.asarray([simhash64(x) for x in uniq], dtype=np.uint64)[inv]
+        conv = b["conv_id"].to_numpy()
+        turn = b["turn_idx"].to_numpy(dtype=np.int32)
+        ts = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        n = len(b)
+        parts = []
+        for band in range(4):
+            slice_ = ((sigs >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(pd.DataFrame({
+                "bb": (np.int64(band) << np.int64(16)) | slice_,
+                "sh64": sigs.view(np.int64),
+                "conv_id": conv,
+                "turn_idx": turn,
+                "ts_us": ts,
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    br = t.map_batches(band_rows, batch_format="pandas")
+
+    def per_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        # part arrives sorted by (bb, ts_us, conv_id, turn_idx)
+        w = part.drop_duplicates("bb", keep="first")[
+            ["bb", "sh64", "conv_id", "turn_idx", "ts_us"]
+        ].rename(columns={"sh64": "w_sh64", "conv_id": "winner_conv_id",
+                          "turn_idx": "winner_turn_idx",
+                          "ts_us": "winner_ts_us"})
+        j = part.merge(w, on="bb", how="left")
+        self_mask = (
+            (j["conv_id"] == j["winner_conv_id"]).to_numpy(dtype=bool)
+            & (j["turn_idx"].to_numpy(dtype=np.int64)
+               == j["winner_turn_idx"].to_numpy(dtype=np.int64))
+            & (j["ts_us"].to_numpy(dtype=np.int64)
+               == j["winner_ts_us"].to_numpy(dtype=np.int64))
+        )
+        losers = j[~self_mask]
+        ham = _popcount64(
+            losers["sh64"].to_numpy(dtype=np.int64).view(np.uint64)
+            ^ losers["w_sh64"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+        keep = ham <= max_hamming
+        close = losers[keep]
+        bb = close["bb"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "band": (bb >> 16).astype(np.int32),
+            "bucket": (bb & np.int64(0xFFFF)).astype(np.int64),
+            "winner_conv_id": close["winner_conv_id"].to_numpy(),
+            "winner_turn_idx": close["winner_turn_idx"].to_numpy(dtype=np.int32),
+            "winner_ts_us": close["winner_ts_us"].to_numpy(dtype=np.int64),
+            "conv_id": close["conv_id"].to_numpy(),
+            "turn_idx": close["turn_idx"].to_numpy(dtype=np.int32),
+            "ts_us": close["ts_us"].to_numpy(dtype=np.int64),
+            "hamming": ham[keep].astype(np.int64),
+        })
+
+    return partition_map(br, "bb", per_bucket, num_partitions=num_partitions,
+                         sort_by=["bb", "ts_us", "conv_id", "turn_idx"])

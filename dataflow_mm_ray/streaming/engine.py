@@ -192,6 +192,13 @@ class StreamingEngine:
                 f"the built-in streams {STREAMS}; got {pnames}"
             )
         self.stream_names = STREAMS + tuple(pnames)
+        # optional extract columns requested by processors (a processor
+        # declares ``needs = ("sh64",)`` to have the scan ship a SimHash
+        # signature of the id-stripped text alongside dk1/dk2 — computed
+        # only when some processor asks, so the default scan stays lean)
+        self._want_sh64 = any(
+            "sh64" in getattr(p, "needs", ()) for p in self.processors
+        )
         self.sink = EpochSink(out_dir, self.stream_names)
         self.shards = [
             StateShard.remote(i, width_s, gap_s, slide_width_s,
@@ -302,14 +309,18 @@ class StreamingEngine:
         width_us = self.width_s * US
 
         epoch_partitioned = self.epoch_partitioned
+        want_sh64 = self._want_sh64
 
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             if not epoch_partitioned:
                 # unpartitioned input: filter this tick's arrivals
                 b = b[_arrival_epoch(b, n_epochs) == epoch]
             if not len(b):
+                schema = dict(_EXTRACT_SCHEMA)
+                if want_sh64:
+                    schema["sh64"] = np.int64
                 return pd.DataFrame(
-                    {c: pd.Series([], dtype=d) for c, d in _EXTRACT_SCHEMA.items()}
+                    {c: pd.Series([], dtype=d) for c, d in schema.items()}
                 )
             ts_us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
             out = pd.DataFrame(
@@ -343,6 +354,17 @@ class StreamingEngine:
             ).view(np.int64)
             out["dshard"] = (out["dk1"].to_numpy().view(np.uint64)
                              % np.uint64(n_shards)).astype(np.int32)
+            if want_sh64:
+                # SimHash signature of the same id-stripped content —
+                # computed per UNIQUE key (duplicate-heavy streams pay
+                # for distinct texts only), shipped as int64 bits
+                from dataflow_mm_ray.stages.neardup import simhash64
+
+                uniq, inv = np.unique(key, return_inverse=True)
+                sigs = np.asarray(
+                    [simhash64(t) for t in uniq], dtype=np.uint64
+                ).view(np.int64)
+                out["sh64"] = sigs[inv]
             return out
 
         from dataflow_mm_ray.sources.tables import read_parquet_split
@@ -572,7 +594,7 @@ class StreamingEngine:
                 # they identify the row regardless of cluster size)
                 out = late_b.drop(
                     columns=["late", "shard", "window_start_us", "text_len",
-                             "is_click", "dshard"]
+                             "is_click", "dshard", "sh64"], errors="ignore"
                 ).reset_index(drop=True)
                 lh = stable_hash_array(out["conv_id"].to_numpy())
                 lts = out["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)

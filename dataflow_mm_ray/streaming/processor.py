@@ -317,3 +317,165 @@ class ConvSpan(StatefulProcessor):
             - emit["first_ts_us"].to_numpy(dtype=np.int64)
         )[list(self._COLS)]
         return emit, self._empty_state()
+
+
+class SimhashNearDupFirst(StatefulProcessor):
+    """Streaming NEAR-duplicate detection: emit, exactly once, every
+    turn that is within ``max_hamming`` SimHash bits of its band
+    bucket's event-time-FIRST turn — the continuous-query complement of
+    the batch ``simhash_dedup`` first-wins scan (stages/neardup.py), and
+    the near-dup extension of :class:`GlobalDedupFirst` (hamming 0 over
+    an exact key there; small edit distances collapse here).
+
+    Contract (the honest streamable unit): the 64-bit signature splits
+    into 4x16-bit bands; a turn is routed once per band to the shard
+    owning that (band, bucket) — near-dup pairs share at least one band
+    for hamming <= 3 (pigeonhole), so every such pair meets on some
+    shard. Per bucket the state keeps ONE winner (minimum
+    (ts_us, conv_id, turn_idx), fixed forever once settled — any later
+    applied row has ts >= the settling watermark); every other settled
+    turn in the bucket emits one edge row to that winner iff the full
+    64-bit Hamming distance <= ``max_hamming``. A pair colliding in
+    several bands emits one edge per colliding band (bands live on
+    different shards; consumers dedupe on the pair columns when a
+    band-agnostic edge set is wanted — the batch twin
+    ``simhash_neardup_first`` has the same per-band contract).
+
+    Requires the engine to ship ``sh64`` (``needs``): the SimHash of
+    the id-stripped text, computed in the scan next to dk1/dk2. State
+    is O(#buckets + in-flight rows); emissions are O(near-dup rows x
+    colliding bands)."""
+
+    name = "sdup"
+    route_key = "bb"
+    needs = ("sh64",)
+    _EMIT_COLS = ("band", "bucket", "winner_conv_id", "winner_turn_idx",
+                  "winner_ts_us", "conv_id", "turn_idx", "ts_us", "hamming")
+
+    def __init__(self, max_hamming: int = 3):
+        self.max_hamming = int(max_hamming)
+
+    @staticmethod
+    def _empty_state() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bb": pd.Series([], dtype=np.int64),
+                "sh64": pd.Series([], dtype=np.int64),
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype=np.int32),
+                "ts_us": pd.Series([], dtype=np.int64),
+                "is_winner": pd.Series([], dtype=bool),
+            }
+        )
+
+    @classmethod
+    def _empty_emit(cls) -> pd.DataFrame:
+        d = {
+            "band": pd.Series([], dtype=np.int32),
+            "bucket": pd.Series([], dtype=np.int64),
+            "winner_conv_id": pd.Series([], dtype=object),
+            "winner_turn_idx": pd.Series([], dtype=np.int32),
+            "winner_ts_us": pd.Series([], dtype=np.int64),
+            "conv_id": pd.Series([], dtype=object),
+            "turn_idx": pd.Series([], dtype=np.int32),
+            "ts_us": pd.Series([], dtype=np.int64),
+            "hamming": pd.Series([], dtype=np.int64),
+        }
+        return pd.DataFrame(d)[list(cls._EMIT_COLS)]
+
+    def extract(self, rows: pd.DataFrame) -> pd.DataFrame:
+        sig = rows["sh64"].to_numpy(dtype=np.int64).view(np.uint64)
+        n = len(rows)
+        conv = rows["conv_id"].to_numpy()
+        turn = rows["turn_idx"].to_numpy(dtype=np.int32)
+        ts = rows["ts_us"].to_numpy(dtype=np.int64)
+        parts = []
+        for band in range(4):
+            slice_ = ((sig >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "bb": (np.int64(band) << np.int64(16)) | slice_,
+                        "sh64": sig.view(np.int64),
+                        "conv_id": conv,
+                        "turn_idx": turn,
+                        "ts_us": ts,
+                        "is_winner": np.zeros(n, dtype=bool),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def init_state(self) -> pd.DataFrame:
+        return self._empty_state()
+
+    def merge(self, state: pd.DataFrame, rows: pd.DataFrame) -> pd.DataFrame:
+        # pure multiset union — every pending row is a potential edge
+        # emission, the reduction happens at the watermark
+        both = pd.concat([state, rows], ignore_index=True) if len(state) else rows
+        return both.reset_index(drop=True)
+
+    def on_watermark(self, state, wm_us, flush):
+        from dataflow_mm_ray.stages.neardup import _popcount64
+
+        if not len(state):
+            return self._empty_emit(), state
+        is_w = state["is_winner"].to_numpy(dtype=bool)
+        pending = state[~is_w]
+        winners = state[is_w]
+        if flush:
+            newly, still = pending, pending.iloc[0:0]
+        else:
+            m = pending["ts_us"].to_numpy(dtype=np.int64) < wm_us
+            newly, still = pending[m], pending[~m]
+        if not len(newly):
+            return self._empty_emit(), state.reset_index(drop=True)
+
+        # crown a winner for every bucket that lacks one: the minimum
+        # (ts, conv, turn) among the newly-settled rows (an existing
+        # winner always predates them — it settled under a smaller wm)
+        cand = newly.sort_values(["bb", "ts_us", "conv_id", "turn_idx"],
+                                 kind="mergesort")
+        first = cand.drop_duplicates("bb", keep="first")
+        crowns = first[~first["bb"].isin(winners["bb"])].assign(is_winner=True)
+        all_w = (pd.concat([winners, crowns], ignore_index=True)
+                 if len(crowns) else winners)
+
+        wcols = all_w[["bb", "sh64", "conv_id", "turn_idx", "ts_us"]].rename(
+            columns={"sh64": "w_sh64", "conv_id": "winner_conv_id",
+                     "turn_idx": "winner_turn_idx", "ts_us": "winner_ts_us"}
+        )
+        j = newly.merge(wcols, on="bb", how="left")
+        self_mask = (
+            (j["conv_id"] == j["winner_conv_id"]).to_numpy(dtype=bool)
+            & (j["turn_idx"].to_numpy(dtype=np.int64)
+               == j["winner_turn_idx"].to_numpy(dtype=np.int64))
+            & (j["ts_us"].to_numpy(dtype=np.int64)
+               == j["winner_ts_us"].to_numpy(dtype=np.int64))
+        )
+        losers = j[~self_mask]
+        ham = _popcount64(
+            losers["sh64"].to_numpy(dtype=np.int64).view(np.uint64)
+            ^ losers["w_sh64"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+        keep = ham <= self.max_hamming
+        close = losers[keep]
+        bb = close["bb"].to_numpy(dtype=np.int64)
+        emit = pd.DataFrame(
+            {
+                "band": (bb >> 16).astype(np.int32),
+                "bucket": (bb & np.int64(0xFFFF)).astype(np.int64),
+                "winner_conv_id": close["winner_conv_id"].to_numpy(),
+                "winner_turn_idx": close["winner_turn_idx"].to_numpy(dtype=np.int32),
+                "winner_ts_us": close["winner_ts_us"].to_numpy(dtype=np.int64),
+                "conv_id": close["conv_id"].to_numpy(),
+                "turn_idx": close["turn_idx"].to_numpy(dtype=np.int32),
+                "ts_us": close["ts_us"].to_numpy(dtype=np.int64),
+                "hamming": ham[keep].astype(np.int64),
+            }
+        )
+        emit = emit.sort_values(list(self._EMIT_COLS), kind="mergesort").reset_index(
+            drop=True
+        )[list(self._EMIT_COLS)]
+        new_state = pd.concat([all_w, still], ignore_index=True).reset_index(drop=True)
+        return emit, new_state

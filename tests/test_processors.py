@@ -352,3 +352,108 @@ def test_custom_processor_end_to_end(ray_session, transcripts_path, tmp_path):
     pd.testing.assert_frame_equal(
         _canon(res["tooltotals"][["tool", "n"]]), _canon(want), check_dtype=False
     )
+
+
+def _batch_sdup(t: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    """Pandas transcription of the SimhashNearDupFirst semantics: per
+    (band, bucket), edges from every turn to the bucket's event-time-
+    first turn when full-64-bit hamming <= k."""
+    from dataflow_mm_ray.stages.neardup import _popcount64, simhash64
+
+    key = (
+        t["text"].fillna("").str.replace(r" #\d+ ", " ", regex=True)
+        .to_numpy(dtype=object)
+    )
+    uniq, inv = np.unique(key, return_inverse=True)
+    sigs = np.asarray([simhash64(x) for x in uniq], dtype=np.uint64)[inv]
+    conv = t["conv_id"].to_numpy()
+    turn = t["turn_idx"].to_numpy(dtype=np.int32)
+    ts = t["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    rows = []
+    for band in range(4):
+        slice_ = ((sigs >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+        rows.append(pd.DataFrame({
+            "bb": (np.int64(band) << np.int64(16)) | slice_,
+            "sh64": sigs.view(np.int64), "conv_id": conv,
+            "turn_idx": turn, "ts_us": ts,
+        }))
+    d = pd.concat(rows, ignore_index=True).sort_values(
+        ["bb", "ts_us", "conv_id", "turn_idx"], kind="mergesort")
+    out = []
+    for bb, g in d.groupby("bb", sort=False):
+        w = g.iloc[0]
+        losers = g.iloc[1:]
+        if not len(losers):
+            continue
+        w_sig = np.array([w["sh64"]], dtype=np.int64).view(np.uint64)[0]
+        ham = _popcount64(
+            losers["sh64"].to_numpy(dtype=np.int64).view(np.uint64) ^ w_sig
+        )
+        keep = ham <= max_hamming
+        c = losers[keep]
+        if not len(c):
+            continue
+        out.append(pd.DataFrame({
+            "band": np.full(len(c), int(bb) >> 16, dtype=np.int32),
+            "bucket": np.full(len(c), int(bb) & 0xFFFF, dtype=np.int64),
+            "winner_conv_id": np.full(len(c), w["conv_id"], dtype=object),
+            "winner_turn_idx": np.full(len(c), w["turn_idx"], dtype=np.int32),
+            "winner_ts_us": np.full(len(c), w["ts_us"], dtype=np.int64),
+            "conv_id": c["conv_id"].to_numpy(),
+            "turn_idx": c["turn_idx"].to_numpy(dtype=np.int32),
+            "ts_us": c["ts_us"].to_numpy(dtype=np.int64),
+            "hamming": ham[keep].astype(np.int64),
+        }))
+    if not out:
+        return pd.DataFrame()
+    return pd.concat(out, ignore_index=True)
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600])
+def test_simhash_neardup_stream_matches_batch(
+    ray_session, transcripts_path, tmp_path, lateness_s
+):
+    from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst
+
+    eng = _run(transcripts_path, tmp_path / f"sd{lateness_s}", lateness_s,
+               processors=[SimhashNearDupFirst()])
+    res = eng.results()
+    t = _applied_transcripts(res)
+    want = _batch_sdup(t)
+    got = res["sdup"]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
+
+
+def test_simhash_neardup_stream_matches_distributed_query(
+    ray_session, transcripts_path, tmp_path
+):
+    """streamed == the registered distributed batch twin (one keyed
+    exchange) with nothing late — closing streamed == batch kernel ==
+    pandas transcription."""
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst
+
+    eng = _run(transcripts_path, tmp_path / "sdq", BIG_LATENESS,
+               processors=[SimhashNearDupFirst()])
+    res = eng.results()
+    assert len(res["late"]) == 0
+    batch = registry()["simhash_neardup_first"].fn(SF_TINY).to_pandas()
+    pd.testing.assert_frame_equal(
+        _canon(res["sdup"][batch.columns.tolist()]), _canon(batch),
+        check_dtype=False,
+    )
+
+
+def test_simhash_neardup_kill_resume(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst
+
+    full = _run(transcripts_path, tmp_path / "sdfull", 3600,
+                processors=[SimhashNearDupFirst()]).results()
+    _run(transcripts_path, tmp_path / "sdkill", 3600, stop_after=2,
+         processors=[SimhashNearDupFirst()])
+    resumed = _run(transcripts_path, tmp_path / "sdkill", 3600,
+                   processors=[SimhashNearDupFirst()]).results()
+    pd.testing.assert_frame_equal(_canon(resumed["sdup"]), _canon(full["sdup"]))
