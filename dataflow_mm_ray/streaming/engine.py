@@ -358,13 +358,10 @@ class StreamingEngine:
                 # SimHash signature of the same id-stripped content —
                 # computed per UNIQUE key (duplicate-heavy streams pay
                 # for distinct texts only), shipped as int64 bits
-                from dataflow_mm_ray.stages.neardup import simhash64
+                from dataflow_mm_ray.stages.neardup import simhash64_batch
 
                 uniq, inv = np.unique(key, return_inverse=True)
-                sigs = np.asarray(
-                    [simhash64(t) for t in uniq], dtype=np.uint64
-                ).view(np.int64)
-                out["sh64"] = sigs[inv]
+                out["sh64"] = simhash64_batch(uniq).view(np.int64)[inv]
             return out
 
         from dataflow_mm_ray.sources.tables import read_parquet_split

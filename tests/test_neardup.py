@@ -231,3 +231,36 @@ def test_ngram_tokenization_matches_oracle_on_unicode_ws():
             [t],
         ).fetchone()
         assert len(got) == n_sh, (t, len(got), n_sh)
+
+
+def test_simhash64_batch_bit_identical_to_scalar():
+    """The vectorized signature kernel must match the scalar simhash64
+    bit-for-bit — including empties, None, unicode, punctuation-only
+    and docs longer than the chunk bound."""
+    import random
+    import string
+
+    import dataflow_mm_ray.stages.neardup as nd
+
+    random.seed(11)
+    vocab = ["".join(random.choices(string.ascii_lowercase, k=random.randint(1, 8)))
+             for _ in range(200)]
+    texts = ["", "   ", None, "one", "Hello, World! hello", "!!! ??? ...",
+             "ünïcode wörds ünïcode", "x " * (nd._SIMHASH_CHUNK_WORDS + 50)] + [
+        " ".join(random.choices(vocab, k=random.randint(0, 120)))
+        for _ in range(300)
+    ]
+    got = nd.simhash64_batch(texts)
+    want = np.asarray(
+        [nd.simhash64(t if isinstance(t, str) else "") for t in texts],
+        dtype=np.uint64,
+    )
+    assert (got == want).all()
+
+    # chunk boundaries never change the result
+    old = nd._SIMHASH_CHUNK_WORDS
+    try:
+        nd._SIMHASH_CHUNK_WORDS = 17
+        assert (nd.simhash64_batch(texts) == want).all()
+    finally:
+        nd._SIMHASH_CHUNK_WORDS = old
