@@ -1,0 +1,81 @@
+"""Cluster entry point for incremental stream consumption.
+
+Drains the committed-but-unconsumed epochs of one output stream for a
+durable consumer group (streaming/consumer.py), writes them as one
+parquet segment per poll, and commits the group position only after
+the segment is durable — the idempotent-writer composition that gives
+end-to-end exactly-once (a crash between write and commit re-polls the
+same epochs; the segment path is derived from the epoch range, so the
+rerun overwrites identical bytes instead of duplicating).
+
+Local run (after a `jobs/run_streaming.py --out <dir>` run):
+    python jobs/consume_stream.py --out <dir> --stream windows \
+        --group etl --dest /tmp/windows-etl
+
+Rerunning after new epochs commit drains only the new ones; rerunning
+with nothing new is a no-op. `--reset-to-horizon` recovers a group
+that fell behind compaction (see consumer.PositionCompactedError).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True, help="streaming engine output dir")
+    ap.add_argument("--stream", required=True)
+    ap.add_argument("--group", default="default")
+    ap.add_argument("--dest", required=True,
+                    help="directory for drained parquet segments")
+    ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--reset-to-horizon", action="store_true")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+
+    from dataflow_mm_ray.streaming.consumer import (
+        PositionCompactedError, StreamConsumer)
+
+    c = StreamConsumer(args.out, args.stream, group=args.group)
+    if args.reset_to_horizon:
+        c.reset_to_horizon()
+    try:
+        epochs, ds = c.poll(max_epochs=args.max_epochs)
+    except PositionCompactedError as e:
+        print(json.dumps({"error": str(e), "hint": "--reset-to-horizon"}))
+        raise SystemExit(2)
+
+    rows = 0
+    segment = None
+    if epochs:
+        if ds is not None:
+            # deterministic segment path from the epoch range: a retry
+            # after a crash-before-commit rewrites the same segment
+            segment = os.path.join(
+                args.dest, f"epochs={epochs[0]}-{epochs[-1]}")
+            os.makedirs(segment, exist_ok=True)
+            ds.write_parquet(segment)
+            rows = ds.count()
+        c.commit(epochs[-1])
+    print(json.dumps({
+        "stream": args.stream, "group": args.group,
+        "drained_epochs": epochs, "rows": rows, "segment": segment,
+        "position": c.position(),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
