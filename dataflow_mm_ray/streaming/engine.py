@@ -199,6 +199,13 @@ class StreamingEngine:
         self._want_sh64 = any(
             "sh64" in getattr(p, "needs", ()) for p in self.processors
         )
+        # is_error: whether the turn carries the 'error ' event prefix
+        # (identical to the events table's event_type = 'error' whenever
+        # props is non-null — the transcript derivation nulls text when
+        # props is NULL, and a NULL prefix test is falsy on both sides)
+        self._want_is_error = any(
+            "is_error" in getattr(p, "needs", ()) for p in self.processors
+        )
         self.sink = EpochSink(out_dir, self.stream_names)
         self.shards = [
             StateShard.remote(i, width_s, gap_s, slide_width_s,
@@ -310,6 +317,7 @@ class StreamingEngine:
 
         epoch_partitioned = self.epoch_partitioned
         want_sh64 = self._want_sh64
+        want_is_error = self._want_is_error
 
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             if not epoch_partitioned:
@@ -319,6 +327,8 @@ class StreamingEngine:
                 schema = dict(_EXTRACT_SCHEMA)
                 if want_sh64:
                     schema["sh64"] = np.int64
+                if want_is_error:
+                    schema["is_error"] = bool
                 return pd.DataFrame(
                     {c: pd.Series([], dtype=d) for c, d in schema.items()}
                 )
@@ -362,6 +372,10 @@ class StreamingEngine:
 
                 uniq, inv = np.unique(key, return_inverse=True)
                 out["sh64"] = simhash64_batch(uniq).view(np.int64)[inv]
+            if want_is_error:
+                out["is_error"] = (
+                    b["text"].str.startswith("error ").fillna(False).to_numpy(dtype=bool)
+                )
             return out
 
         from dataflow_mm_ray.sources.tables import read_parquet_split
@@ -591,7 +605,8 @@ class StreamingEngine:
                 # they identify the row regardless of cluster size)
                 out = late_b.drop(
                     columns=["late", "shard", "window_start_us", "text_len",
-                             "is_click", "dshard", "sh64"], errors="ignore"
+                             "is_click", "dshard", "sh64", "is_error"],
+                    errors="ignore",
                 ).reset_index(drop=True)
                 lh = stable_hash_array(out["conv_id"].to_numpy())
                 lts = out["ts_us"].to_numpy(dtype=np.int64).view(np.uint64)

@@ -319,6 +319,159 @@ class ConvSpan(StatefulProcessor):
         return emit, self._empty_state()
 
 
+class IncidentIntervalCount(StatefulProcessor):
+    """Streamed stream-stream INTERVAL JOIN (the Flink interval-join /
+    Spark range-join shape): every settled turn is emitted exactly once
+    with the number of open incident intervals
+    ``[error_ts, error_ts + width_s)`` of its own conversation that
+    contain the turn's event time. Both sides are the same keyed stream
+    (an ``error``-typed turn opens an interval AND is itself a probe),
+    routed on ``conv_id`` so probes meet every interval they can match.
+
+    Batch twin: the SQL-oracled ``range_join_incidents`` query
+    (stages/temporal.py incident_count_kernel — the same merged
+    boundary sweep run per hash(user_id) partition). Reference anchor:
+    DataFlow-MM has no temporal join; this is the continuous form of
+    the engine's own batch operator (SURVEY §2.7).
+
+    Watermark argument for exactly-once correctness: a probe settles at
+    the first watermark with ``ts < wm``. Any non-late incident with
+    ``start <= ts`` has ``start < wm`` too, so it was applied in this or
+    an earlier epoch (later arrivals below the watermark are quarantined
+    as late before reaching any shard). Incidents retire from state once
+    ``start + width <= wm`` — every unsettled probe has ``ts >= wm``, so
+    a retired interval can never contain one. State is therefore
+    O(open intervals + in-flight probes), independent of stream length.
+
+    ``needs = ("is_error",)``: the scan ships a boolean next to the
+    extract columns (text prefix ``'error '`` — equal to the events
+    table's ``event_type = 'error'`` whenever props is non-null, which
+    the synthetic tables guarantee; a NULL text is falsy on both sides).
+    """
+
+    name = "rjoin"
+    route_key = "conv_id"
+    needs = ("is_error",)
+    _EMIT_COLS = ("conv_id", "turn_idx", "n_open_incidents")
+
+    def __init__(self, width_s: int = 1800):
+        self.width_us = int(width_s) * US
+
+    @staticmethod
+    def _empty_state() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype=np.int32),
+                "ts_us": pd.Series([], dtype=np.int64),
+                # kind 0 = interval source (error turn), 1 = probe
+                "kind": pd.Series([], dtype=np.int8),
+            }
+        )
+
+    @classmethod
+    def _empty_emit(cls) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype=np.int32),
+                "n_open_incidents": pd.Series([], dtype=np.int64),
+            }
+        )[list(cls._EMIT_COLS)]
+
+    def extract(self, rows: pd.DataFrame) -> pd.DataFrame:
+        conv = rows["conv_id"].to_numpy()
+        turn = rows["turn_idx"].to_numpy(dtype=np.int32)
+        ts = rows["ts_us"].to_numpy(dtype=np.int64)
+        err = rows["is_error"].to_numpy(dtype=bool)
+        probes = pd.DataFrame(
+            {"conv_id": conv, "turn_idx": turn, "ts_us": ts,
+             "kind": np.ones(len(rows), dtype=np.int8)}
+        )
+        if not err.any():
+            return probes
+        sources = pd.DataFrame(
+            {"conv_id": conv[err], "turn_idx": turn[err], "ts_us": ts[err],
+             "kind": np.zeros(int(err.sum()), dtype=np.int8)}
+        )
+        return pd.concat([sources, probes], ignore_index=True)
+
+    def init_state(self) -> pd.DataFrame:
+        return self._empty_state()
+
+    def merge(self, state: pd.DataFrame, rows: pd.DataFrame) -> pd.DataFrame:
+        # pure multiset union; the sweep happens at the watermark
+        both = pd.concat([state, rows], ignore_index=True) if len(state) else rows
+        return both.reset_index(drop=True)
+
+    def on_watermark(self, state, wm_us, flush):
+        if not len(state):
+            return self._empty_emit(), state
+        kind = state["kind"].to_numpy(dtype=np.int8)
+        ts_all = state["ts_us"].to_numpy(dtype=np.int64)
+        is_probe = kind == 1
+        settled = is_probe if flush else is_probe & (ts_all < wm_us)
+        newly = state[settled]
+        # interval retention: start + width > wm can still contain a
+        # future probe (every unsettled probe has ts >= wm); flush ends
+        # the stream, nothing survives
+        keep_src = (
+            np.zeros(len(state), dtype=bool)
+            if flush
+            else (~is_probe) & (ts_all + self.width_us > wm_us)
+        )
+        new_state = state[keep_src | (is_probe & ~settled)].reset_index(drop=True)
+        if not len(newly):
+            return self._empty_emit(), new_state
+
+        src = state[~is_probe]
+        ni, npr = len(src), len(newly)
+        i_ts = src["ts_us"].to_numpy(dtype=np.int64)
+        p_ts = newly["ts_us"].to_numpy(dtype=np.int64)
+        # merged boundary sweep, segmented per conversation (the batch
+        # kernel's layout: boundaries kind 0 apply their delta before
+        # any equal-time read -> start <= ts inclusive, ts < end
+        # exclusive)
+        conv_cat = np.concatenate(
+            [src["conv_id"].to_numpy()] * 2 + [newly["conv_id"].to_numpy()]
+        )
+        codes, _ = pd.factorize(conv_cat, sort=False)
+        m_t = np.concatenate([i_ts, i_ts + self.width_us, p_ts])
+        m_kind = np.concatenate(
+            [np.zeros(2 * ni, dtype=np.int8), np.ones(npr, dtype=np.int8)]
+        )
+        m_delta = np.concatenate(
+            [np.ones(ni, dtype=np.int64), -np.ones(ni, dtype=np.int64),
+             np.zeros(npr, dtype=np.int64)]
+        )
+        m_qidx = np.concatenate(
+            [np.full(2 * ni, -1, dtype=np.int64), np.arange(npr, dtype=np.int64)]
+        )
+        order = np.lexsort((m_kind, m_t, codes))
+        s_codes, s_delta, s_qidx = codes[order], m_delta[order], m_qidx[order]
+        cum = np.cumsum(s_delta)
+        starts = np.empty(len(s_codes), dtype=bool)
+        starts[0] = True
+        starts[1:] = s_codes[1:] != s_codes[:-1]
+        base = (cum - s_delta)[starts]
+        seg = cum - base[np.cumsum(starts) - 1]
+        q = s_qidx >= 0
+        counts = np.zeros(npr, dtype=np.int64)
+        counts[s_qidx[q]] = seg[q]
+
+        emit = pd.DataFrame(
+            {
+                "conv_id": newly["conv_id"].to_numpy(),
+                "turn_idx": newly["turn_idx"].to_numpy(dtype=np.int32),
+                "n_open_incidents": counts,
+            }
+        )
+        emit = emit.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+            drop=True
+        )[list(self._EMIT_COLS)]
+        return emit, new_state
+
+
 class SimhashNearDupFirst(StatefulProcessor):
     """Streaming NEAR-duplicate detection: emit, exactly once, every
     turn that is within ``max_hamming`` SimHash bits of its band

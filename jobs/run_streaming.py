@@ -38,7 +38,7 @@ def main() -> None:
     ap.add_argument("--processors", default="",
                     help="comma list of shipped StatefulProcessor streams "
                          "to run alongside the built-ins: "
-                         "gdedup, sdup, wroles, convspan")
+                         "gdedup, sdup, rjoin, wroles, convspan")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -54,10 +54,11 @@ def main() -> None:
 
     from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
     from dataflow_mm_ray.streaming.processor import (
-        ConvSpan, GlobalDedupFirst, SimhashNearDupFirst, WindowRoleCounts)
+        ConvSpan, GlobalDedupFirst, IncidentIntervalCount, SimhashNearDupFirst,
+        WindowRoleCounts)
 
     shipped = {"gdedup": GlobalDedupFirst, "convspan": ConvSpan,
-               "sdup": SimhashNearDupFirst,
+               "sdup": SimhashNearDupFirst, "rjoin": IncidentIntervalCount,
                "wroles": lambda: WindowRoleCounts(width_s=args.width_s)}
     procs = []
     for name in filter(None, (s.strip() for s in args.processors.split(","))):

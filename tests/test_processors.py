@@ -457,3 +457,83 @@ def test_simhash_neardup_kill_resume(ray_session, transcripts_path, tmp_path):
     resumed = _run(transcripts_path, tmp_path / "sdkill", 3600,
                    processors=[SimhashNearDupFirst()]).results()
     pd.testing.assert_frame_equal(_canon(resumed["sdup"]), _canon(full["sdup"]))
+
+
+# --- streamed interval join (rjoin) ----------------------------------------
+
+
+def _batch_rjoin(t: pd.DataFrame, width_s: int = 1800) -> pd.DataFrame:
+    """Independent transcription: per-conversation searchsorted over
+    sorted interval starts (a different algorithm from both the stream's
+    and the batch kernel's boundary sweep)."""
+    w_us = width_s * 10**6
+    ts = t["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    err = t["text"].str.startswith("error ").fillna(False).to_numpy(dtype=bool)
+    d = pd.DataFrame({
+        "conv_id": t["conv_id"].to_numpy(),
+        "turn_idx": t["turn_idx"].to_numpy(dtype=np.int32),
+        "ts_us": ts, "err": err,
+    })
+    out = []
+    for conv, g in d.groupby("conv_id", sort=False):
+        starts = np.sort(g.loc[g["err"], "ts_us"].to_numpy(dtype=np.int64))
+        p = g["ts_us"].to_numpy(dtype=np.int64)
+        counts = (np.searchsorted(starts, p, side="right")
+                  - np.searchsorted(starts + w_us, p, side="right"))
+        out.append(pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy(),
+            "turn_idx": g["turn_idx"].to_numpy(dtype=np.int32),
+            "n_open_incidents": counts.astype(np.int64),
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600])
+def test_interval_join_stream_matches_batch(
+    ray_session, transcripts_path, tmp_path, lateness_s
+):
+    from dataflow_mm_ray.streaming.processor import IncidentIntervalCount
+
+    eng = _run(transcripts_path, tmp_path / f"rj{lateness_s}", lateness_s,
+               processors=[IncidentIntervalCount()])
+    res = eng.results()
+    t = _applied_transcripts(res)
+    want = _batch_rjoin(t)
+    got = res["rjoin"]
+    assert len(got) == len(want) > 0
+    assert got["n_open_incidents"].max() > 0
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
+    )
+
+
+def test_interval_join_stream_matches_sql_twin_query(
+    ray_session, transcripts_path, tmp_path
+):
+    """streamed == the registered range_join_incidents batch twin (the
+    boundary-sweep kernel, itself SQL-oracled) with nothing late —
+    closing streamed == batch kernel == SQL."""
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.streaming.processor import IncidentIntervalCount
+
+    eng = _run(transcripts_path, tmp_path / "rjq", BIG_LATENESS,
+               processors=[IncidentIntervalCount()])
+    res = eng.results()
+    assert len(res["late"]) == 0
+    batch = registry()["range_join_incidents"].fn(SF_TINY).to_pandas()
+    pd.testing.assert_frame_equal(
+        _canon(res["rjoin"][batch.columns.tolist()]), _canon(batch),
+        check_dtype=False,
+    )
+
+
+def test_interval_join_kill_resume(ray_session, transcripts_path, tmp_path):
+    from dataflow_mm_ray.streaming.processor import IncidentIntervalCount
+
+    full = _run(transcripts_path, tmp_path / "rjfull", 3600,
+                processors=[IncidentIntervalCount()]).results()
+    _run(transcripts_path, tmp_path / "rjkill", 3600, stop_after=2,
+         processors=[IncidentIntervalCount()])
+    resumed = _run(transcripts_path, tmp_path / "rjkill", 3600,
+                   processors=[IncidentIntervalCount()]).results()
+    pd.testing.assert_frame_equal(_canon(resumed["rjoin"]), _canon(full["rjoin"]))
