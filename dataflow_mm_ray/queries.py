@@ -40,34 +40,45 @@ _DRIVER_PRIORITY = [
     "transcripts", "tumbling_window", "sliding_window", "session_window",
     "tool_join", "late_events", "window_distinct_convs_exact",
     "window_latency_pctl",
-    "hot_conversations", "token_doc_freq", "knn_percentile",
+    # ivf_knn_percentile is the same-output-contract SCALE twin of
+    # knn_percentile (pinned equal at full probe) — the driver row that
+    # matters is the scale path; the brute-force parity op stays below
+    # the fold. simhash_neardup_first is the batch twin of the streamed
+    # near-dup stream (sdup).
+    "hot_conversations", "token_doc_freq", "ivf_knn_percentile",
+    "simhash_neardup_first",
     # CEP pattern matching + exact heavy hitters (round-4 additions)
     "cep_tool_roundtrip", "cep_tool_chain_nonoverlap", "cep_funnel",
-    "cep_view_click_burst", "cep_unanswered_invocations", "heavy_hitters",
+    "cep_unanswered_invocations", "heavy_hitters",
     # text operators (§2.2)
     "rule_filter", "text_stats", "score_filter", "text_normalize",
     "cat_filter", "conversation_message", "udf_refine", "chunk_merge",
     "answer_reward_exact",
-    # scorer/filter operators (§2.3)
+    # scorer/filter operators (§2.3) — rule_filter_full is the COMPLETE
+    # RuleBaseFilter (text rules + image basic checks + NSFW threshold),
+    # nli_cat_filter the fourth NLI decision rule
     "clipscore_filter", "alignment_filter", "nli_sensitive_filter",
+    "nli_cat_filter", "rule_filter_full",
     "failrate_filter",
-    # video family (§2.2/2.3/2.5) — resolution/info twins demoted below
-    # the fold (same probe shape as video_clip_filter; still covered by
-    # tools/check_correctness.py + pytest)
+    # video family (§2.2/2.3/2.5) — the aesthetic/OCR/motion scorer trio
+    # (round-4); resolution/info/caption twins demoted below the fold
+    # (same probe shape; still covered by check_correctness + pytest)
     "video_clip_filter", "video_score_filter", "video_luminance_filter",
-    "scene_segments", "video_caption_qa",
+    "video_aesthetic_filter", "video_ocr_filter", "video_motion_filter",
+    "scene_segments",
     # generators (§2.4) — the same-shape prompt variants
-    # (templated/prompt_templated/batch/pers) demoted below the fold
-    "prompted_qa", "prompted_vqa", "cot_qa",
+    # (templated/prompt_templated/batch/pers/cot/reasoning) demoted
+    "prompted_qa", "prompted_vqa",
     "llm_judge_score",
-    "fix_prompted_vqa", "vlm_bbox",
-    "visual_reasoning", "multimodal_math",
+    "vlm_bbox", "multimodal_math",
     # refine operators (new this round)
     "visual_grounding_refine", "visual_dependency_refine",
     "seg_cutout_refine",
-    # dedup / similarity (§2.6) — distinct_tools (trivial distinct)
+    # dedup / similarity (§2.6) — distinct_tools (trivial distinct) and
+    # embedding_neardup (all-pairs parity op; its scale twin
+    # embedding_srp_neardup + ivf_knn_percentile carry the story)
     # demoted for the duplicate-cluster CC operator
-    "dedup_exact", "embedding_neardup", "ngram_jaccard_dedup",
+    "dedup_exact", "ngram_jaccard_dedup",
     "dup_clusters",
 ]
 
