@@ -537,3 +537,74 @@ def test_interval_join_kill_resume(ray_session, transcripts_path, tmp_path):
     resumed = _run(transcripts_path, tmp_path / "rjkill", 3600,
                    processors=[IncidentIntervalCount()]).results()
     pd.testing.assert_frame_equal(_canon(resumed["rjoin"]), _canon(full["rjoin"]))
+
+
+def test_interval_join_random_epoch_splits():
+    """Drive the IncidentIntervalCount merge/on_watermark contract
+    directly across 12 randomized trials: arbitrary epoch assignment,
+    arbitrary batch splits within an epoch, engine-style late
+    quarantine (lateness 0 -> wm = max ts seen), small width with many
+    exact boundary ties (probe at interval start and at interval end).
+    Invariants: every applied turn emits exactly once with the count an
+    offline sweep over the applied rows computes, regardless of split."""
+    from dataflow_mm_ray.streaming.processor import IncidentIntervalCount
+
+    US = 10**6
+    WIDTH_S_RJ = 10
+    for trial in range(12):
+        rng = np.random.default_rng(300 + trial)
+        n = int(rng.integers(60, 400))
+        rows = pd.DataFrame(
+            {
+                "conv_id": np.array(
+                    [f"c{int(x):03d}" for x in rng.integers(0, 8, size=n)],
+                    dtype=object,
+                ),
+                "turn_idx": np.arange(n, dtype=np.int32),
+                "ts_us": rng.integers(0, 50, size=n).astype(np.int64) * US,
+                "is_error": rng.random(size=n) < 0.3,
+            }
+        )
+        epoch_of = rng.integers(0, 5, size=n)
+
+        proc = IncidentIntervalCount(width_s=WIDTH_S_RJ)
+        state = proc.init_state()
+        wm = -(1 << 62)
+        emitted, applied_parts = [], []
+        for e in range(5):
+            arrive = rows[epoch_of == e]
+            arrive = arrive[arrive["ts_us"].to_numpy() >= wm]  # late quarantine
+            applied_parts.append(arrive)
+            if len(arrive):
+                for idx in np.array_split(
+                    np.arange(len(arrive)), int(rng.integers(1, 4))
+                ):
+                    if len(idx):
+                        state = proc.merge(state, proc.extract(arrive.iloc[idx]))
+                wm = max(wm, int(arrive["ts_us"].max()))
+            em, state = proc.on_watermark(state, wm, flush=(e == 4))
+            emitted.append(em)
+        assert not len(state)
+        got = pd.concat(emitted, ignore_index=True)
+        assert not got.duplicated(["conv_id", "turn_idx"]).any(), trial
+
+        applied = pd.concat(applied_parts, ignore_index=True)
+        assert len(got) == len(applied), trial
+        w_us = WIDTH_S_RJ * US
+        want_parts = []
+        for conv, g in applied.groupby("conv_id", sort=False):
+            starts = np.sort(
+                g.loc[g["is_error"], "ts_us"].to_numpy(dtype=np.int64)
+            )
+            p = g["ts_us"].to_numpy(dtype=np.int64)
+            counts = (np.searchsorted(starts, p, side="right")
+                      - np.searchsorted(starts + w_us, p, side="right"))
+            want_parts.append(pd.DataFrame({
+                "conv_id": g["conv_id"].to_numpy(),
+                "turn_idx": g["turn_idx"].to_numpy(dtype=np.int32),
+                "n_open_incidents": counts.astype(np.int64),
+            }))
+        want = pd.concat(want_parts, ignore_index=True)
+        pd.testing.assert_frame_equal(
+            _canon(got), _canon(want[list(got.columns)]), check_dtype=False
+        ), trial

@@ -43,14 +43,16 @@ def _engine(transcripts_path, out_dir, n_shards, processors=None, lateness_s=360
 
 def _procs():
     from dataflow_mm_ray.streaming.processor import (
-        ConvSpan, GlobalDedupFirst, SimhashNearDupFirst, WindowRoleCounts)
+        ConvSpan, GlobalDedupFirst, IncidentIntervalCount, SimhashNearDupFirst,
+        WindowRoleCounts)
 
     # one of each route_key kind: content hash (dk1), global window key,
     # conv_id, band-bucket id (bb, with per-bucket winner state that
     # must land on the new owner shard) — the four split rules rescale
-    # must preserve
+    # must preserve; rjoin adds mixed-kind rows (interval sources +
+    # probes) that must stay co-routed on conv_id through the split
     return [GlobalDedupFirst(), WindowRoleCounts(width_s=WIDTH_S), ConvSpan(),
-            SimhashNearDupFirst()]
+            SimhashNearDupFirst(), IncidentIntervalCount()]
 
 
 @pytest.mark.parametrize("old_n,new_n", [(2, 5), (3, 1)])
@@ -88,9 +90,10 @@ def test_rescale_with_processors(ray_session, transcripts_path, tmp_path):
     full = _engine(transcripts_path, tmp_path / "full", 4, processors=_procs())
     full.run()
     want = {k: _canon(v) for k, v in full.results().items()}
-    assert {"gdedup", "wroles", "convspan", "sdup"} <= set(want)
+    assert {"gdedup", "wroles", "convspan", "sdup", "rjoin"} <= set(want)
     assert (len(want["gdedup"]) and len(want["wroles"])
-            and len(want["convspan"]) and len(want["sdup"]))
+            and len(want["convspan"]) and len(want["sdup"])
+            and len(want["rjoin"]))
 
     out = tmp_path / "rescaled"
     eng1 = _engine(transcripts_path, out, 2, processors=_procs())
