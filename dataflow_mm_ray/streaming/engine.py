@@ -603,8 +603,12 @@ class StreamingEngine:
                 # shard COUNT — dropping it keeps the quarantine output
                 # shard-count-invariant (the dk1/dk2 content hashes stay:
                 # they identify the row regardless of cluster size)
+                # text_len STAYS: the late-correction reprocessing pass
+                # (streaming/reprocess.py) rebuilds window aggregates
+                # (sum_chars) from the quarantine without re-reading the
+                # source stream
                 out = late_b.drop(
-                    columns=["late", "shard", "window_start_us", "text_len",
+                    columns=["late", "shard", "window_start_us",
                              "is_click", "dshard", "sh64", "is_error"],
                     errors="ignore",
                 ).reset_index(drop=True)

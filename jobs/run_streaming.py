@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--stop-after", type=int, default=None,
                     help="stop after this epoch index (simulated kill; "
                          "rerun with the same --out to resume)")
+    ap.add_argument("--repair", action="store_true",
+                    help="after the run, replay the late quarantine into "
+                         "the windows_fix/sliding_fix correction streams "
+                         "(streaming/reprocess.py — exactly-once per epoch, "
+                         "safe to re-run)")
     ap.add_argument("--processors", default="",
                     help="comma list of shipped StatefulProcessor streams "
                          "to run alongside the built-ins: "
@@ -83,6 +88,12 @@ def main() -> None:
     )
     eng.run(stop_after=args.stop_after)
     t2 = time.perf_counter()
+    repair_stats = None
+    if args.repair:
+        from dataflow_mm_ray.streaming.reprocess import repair
+
+        repair_stats = repair(args.out)
+    t3 = time.perf_counter()
     res = eng.results()
     summary = {
         "committed_rows": {k: int(len(v)) for k, v in res.items()},
@@ -94,6 +105,7 @@ def main() -> None:
         # commit); results readback is verification, not the job.
         "prep_sec": round(t1 - t0, 3),
         "run_sec": round(t2 - t1, 3),
+        "repair": repair_stats and {**repair_stats, "sec": round(t3 - t2, 3)},
         "metrics_tail": eng.metrics()[-1] if eng.metrics() else None,
     }
     print(json.dumps(summary))
