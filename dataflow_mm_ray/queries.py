@@ -61,11 +61,14 @@ _DRIVER_PRIORITY = [
     "nli_cat_filter", "rule_filter_full",
     "failrate_filter",
     # video family (§2.2/2.3/2.5) — the aesthetic/OCR/motion scorer trio
-    # (round-4); resolution/info/caption twins demoted below the fold
-    # (same probe shape; still covered by check_correctness + pytest)
-    "video_clip_filter", "video_score_filter", "video_luminance_filter",
+    # (round-4); resolution/info/caption/luminance twins demoted below
+    # the fold (same probe shape; covered by check_correctness + pytest)
+    "video_clip_filter", "video_score_filter",
     "video_aesthetic_filter", "video_ocr_filter", "video_motion_filter",
     "scene_segments",
+    # end-to-end lambda repair: engine at zero lateness + quarantine
+    # replay == the batch tumbling oracle (round-4 streaming anchor)
+    "lambda_repair",
     # generators (§2.4) — the same-shape prompt variants
     # (templated/prompt_templated/batch/pers/cot/reasoning) demoted
     "prompted_qa", "prompted_vqa",

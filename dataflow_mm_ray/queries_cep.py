@@ -54,6 +54,47 @@ def q_tumbling(sf_dir: str):
 
 
 @register(
+    "lambda_repair",
+    TRANSCRIPTS_CTE
+    + f"""
+SELECT conv_id,
+       epoch_us(ts) // (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000)
+       * (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000) AS window_start_us,
+       count(*) AS n_turns,
+       count(*) FILTER (WHERE role = 'user') AS n_user_turns,
+       count(*) FILTER (WHERE role = 'assistant' AND tool IS NOT NULL) AS n_tool_calls,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM transcripts
+GROUP BY 1, 2
+""",
+)
+def q_lambda_repair(sf_dir: str):
+    """End-to-end lambda repair (streaming/reprocess.py): run the
+    streaming engine at ZERO lateness — the adversarial regime where
+    most rows are quarantined rather than aggregated — then replay the
+    quarantine into the additive ``windows_fix`` correction stream and
+    return the merged on-time ⊕ corrections view. The oracle is the
+    plain batch tumbling aggregate: the repair must restore it
+    bit-for-bit no matter how much the watermark quarantined."""
+    import os
+    import tempfile
+
+    from dataflow_mm_ray.streaming.engine import (
+        StreamingEngine, prepare_transcripts)
+    from dataflow_mm_ray.streaming.reprocess import repair, repaired_windows
+
+    out = tempfile.mkdtemp(prefix="graft-lambda-")
+    tpath = prepare_transcripts(
+        sf_dir, os.path.join(out, "transcripts"), n_epochs=4)
+    eng = StreamingEngine(tpath, out, n_epochs=4, n_shards=4,
+                          width_s=TUMBLING_WIDTH_S, gap_s=SESSION_GAP_S,
+                          lateness_s=0)
+    eng.run()
+    repair(out)
+    return repaired_windows(out)
+
+
+@register(
     "sliding_window",
     TRANSCRIPTS_CTE
     + f"""

@@ -35,11 +35,23 @@ stream (streaming/compact.py deletes per-epoch data files once a
 compacted segment covers them); a missing staged file raises with that
 instruction rather than silently under-correcting.
 
-Out of scope by design: non-additive streams (sessions, joins, asof,
-cep, alerts) — a late turn can merge two already-emitted sessions, so
-their repair is not expressible as a delta row. The documented path
-there is a re-run with larger lateness (checkpoint rescale keeps that
-cheap to operate).
+Non-additive repair — sessions (``repair_sessions``): a late turn can
+MERGE two already-emitted sessions, so no delta row exists; the repair
+is keyed recomputation instead. The quarantine names the affected
+conversations; the pass re-reads ONLY those conversations from the
+source (broadcast membership filter — the exchange is proportional to
+the affected subset, never the full table), recomputes their sessions
+with the batch kernel, and commits them as the ``sessions_fix`` stream
+with REPLACEMENT semantics: the merged view drops every on-time
+session of an affected conversation and substitutes the fix rows
+(presence in the fix stream IS the retraction marker). Fix passes are
+keyed by the highest late epoch they cover — a later pass supersedes,
+and readers resolve only the latest manifest.
+
+Still out of scope: joins/asof/cep/alerts — same non-additivity, but
+their correlation state spans conversations and time bounds, so the
+honest path is a re-run with larger lateness (checkpoint rescale keeps
+that cheap to operate).
 """
 from __future__ import annotations
 
@@ -224,6 +236,202 @@ def repair(out_dir: str,
             stats[stream] += rows
         stats["epochs"].append(epoch)
     return stats
+
+
+_SESS_COLS = ["conv_id", "session_id", "n_turns", "start_us", "end_us",
+              "duration_us"]
+
+
+def _all_late_files(out_dir: str, epochs: list[int]) -> list[str]:
+    files = []
+    for e in epochs:
+        m = _late_manifest(out_dir, e)
+        for rel in m["files"]:
+            p = os.path.join(out_dir, rel)
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"late epoch {e} staged file is gone (compacted?) — "
+                    f"run the repair BEFORE compacting the 'late' stream: {p}"
+                )
+            files.append(p)
+    return files
+
+
+def _affected_convs(late_files: list[str]) -> np.ndarray:
+    """Distinct conversations with quarantined rows: per-batch unique
+    (tiny partials) -> driver union. The array is bounded by the number
+    of DISTINCT late conversations, not late rows; at a scale where
+    even that set breaks the driver, swap the exact array for a Bloom
+    filter — the broadcast-membership shape stays the same."""
+    import ray.data as rd
+
+    parts = (
+        rd.read_parquet(late_files, partitioning=None)
+        .map_batches(
+            lambda b: pd.DataFrame({"conv_id": pd.unique(b["conv_id"])}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return np.unique(parts["conv_id"].to_numpy()) if len(parts) else np.empty(0, dtype=object)
+
+
+def _fix_epoch(out_dir: str) -> int | None:
+    """Highest committed sessions_fix pass (readers resolve ONLY this
+    one — earlier passes are superseded, not unioned)."""
+    d = os.path.join(out_dir, "manifests", "sessions_fix")
+    if not os.path.isdir(d):
+        return None
+    es = [int(n[len("epoch-"):-len(".json")]) for n in os.listdir(d)
+          if n.startswith("epoch-") and n.endswith(".json")]
+    return max(es) if es else None
+
+
+def repair_sessions(out_dir: str, transcripts_path: str,
+                    num_partitions: int = DEFAULT_NUM_PARTITIONS) -> dict:
+    """Recompute the session windows of every conversation touched by
+    the quarantine and commit them as the ``sessions_fix`` stream
+    (replacement semantics, pass keyed by the highest covered late
+    epoch). No-op when the latest pass already covers every committed
+    late epoch."""
+    import ray
+    import ray.data as rd
+
+    cfg = _latest_config(out_dir)
+    gap_s = cfg["gap_s"]
+    late_sink = EpochSink(out_dir, ["late"])
+    late_epochs = late_sink.committed_epochs("late")
+    if not late_epochs:
+        return {"sessions_fix": 0, "epoch": None, "affected_convs": 0,
+                "skipped": True}
+    target = max(late_epochs)
+    sink = EpochSink(out_dir, ["sessions_fix"])
+    if sink.is_committed("sessions_fix", target):
+        return {"sessions_fix": 0, "epoch": target, "affected_convs": 0,
+                "skipped": True}
+    wm = _late_manifest(out_dir, target)["watermark_us"]
+    late_files = _all_late_files(out_dir, late_epochs)
+    affected = _affected_convs(late_files) if late_files else np.empty(0, dtype=object)
+    files_out: list[str] = []
+    rows_out = 0
+    if len(affected):
+        from dataflow_mm_ray.stages.windows import session_window_kernel
+
+        aff_ref = ray.put(affected)
+
+        def only_affected(b: pd.DataFrame) -> pd.DataFrame:
+            return b[np.isin(b["conv_id"].to_numpy(), ray.get(aff_ref))]
+
+        stage_dir = os.path.join(out_dir, "staging", "sessions_fix",
+                                 f"epoch={target}")
+
+        def sessionize_and_stage(part: pd.DataFrame) -> pd.DataFrame:
+            s = session_window_kernel(part, gap_s)
+            fixed = pd.DataFrame(
+                {
+                    "conv_id": s["conv_id"].to_numpy(),
+                    "session_id": s["session_id"].to_numpy(dtype=np.int32),
+                    "n_turns": s["n_turns"].to_numpy(dtype=np.int64),
+                    "start_us": s["session_start"].to_numpy(
+                        dtype="datetime64[us]").astype(np.int64),
+                    "end_us": s["session_end"].to_numpy(
+                        dtype="datetime64[us]").astype(np.int64),
+                    "duration_us": s["duration_us"].to_numpy(dtype=np.int64),
+                }
+            )
+            return _stage_frame(fixed, stage_dir, out_dir)
+
+        # the source read is pruned to the affected conversations BEFORE
+        # the exchange — repair cost tracks the late subset, not the
+        # table. A prepared input is epoch=N dirs + _meta.json; list the
+        # epoch dirs explicitly (partitioning=None keeps the schema free
+        # of a synthetic `epoch` column, and _meta.json never gets read)
+        if os.path.exists(os.path.join(transcripts_path, "_meta.json")):
+            parts = [
+                os.path.join(transcripts_path, d, f)
+                for d in sorted(os.listdir(transcripts_path))
+                if d.startswith("epoch=")
+                for f in sorted(os.listdir(os.path.join(transcripts_path, d)))
+                if f.endswith(".parquet")
+            ]
+            src_ds = rd.read_parquet(parts, partitioning=None)
+        else:
+            src_ds = rd.read_parquet(transcripts_path)
+        src = src_ds.map_batches(only_affected, batch_format="pandas")
+        staged = partition_map(
+            src, "conv_id", sessionize_and_stage,
+            num_partitions=num_partitions, sort_by=("conv_id", "turn_idx"),
+        ).to_pandas()
+        files_out = list(staged["file"])
+        rows_out = int(staged["rows"].sum()) if len(staged) else 0
+    sink.commit_files("sessions_fix", target, files_out, rows_out, wm)
+    return {"sessions_fix": rows_out, "epoch": target,
+            "affected_convs": int(len(affected)), "skipped": False}
+
+
+def repaired_sessions(out_dir: str):
+    """Sessions with late-conversation recomputation applied: on-time
+    sessions of unaffected conversations UNION the latest fix pass.
+    Falls back to the raw ``sessions`` stream when no repair has run."""
+    import ray
+    import ray.data as rd
+
+    base = EpochSink(out_dir, ["sessions"]).read_committed_ds("sessions")
+    fe = _fix_epoch(out_dir)
+    if fe is None:
+        return base
+    with open(os.path.join(out_dir, "manifests", "sessions_fix",
+                           f"epoch-{fe}.json")) as f:
+        m = json.load(f)
+    fix_files = [os.path.join(out_dir, rel) for rel in m["files"]]
+    if not fix_files:
+        return base
+    fix = rd.read_parquet(fix_files, partitioning=None)
+    # presence in the fix stream IS the retraction of a conversation's
+    # on-time sessions
+    affected = np.unique(
+        fix.map_batches(
+            lambda b: pd.DataFrame({"conv_id": pd.unique(b["conv_id"])}),
+            batch_format="pandas",
+        ).to_pandas()["conv_id"].to_numpy()
+    )
+    aff_ref = ray.put(affected)
+
+    def drop_affected(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~np.isin(b["conv_id"].to_numpy(), ray.get(aff_ref))]
+
+    if base is None:
+        return fix
+    kept = base.map_batches(drop_affected, batch_format="pandas")
+    return kept.union(fix)
+
+
+def _stage_frame(df: pd.DataFrame, stage_dir: str, out_dir: str) -> pd.DataFrame:
+    """Stage one partition's frame with a content-derived name (same
+    idempotence contract as _stage_reduce)."""
+    if not len(df):
+        return pd.DataFrame({"file": pd.Series([], dtype=object),
+                             "rows": pd.Series([], dtype=np.int64)})
+    h = stable_hash_array(df["conv_id"].to_numpy())
+    w = df["start_us"].to_numpy(dtype=np.int64).view(np.uint64)
+    x = h ^ (w * np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(31)
+    digest = int(np.bitwise_xor.reduce(x))
+    os.makedirs(stage_dir, exist_ok=True)
+    path = os.path.join(stage_dir, f"part-{len(df)}-{digest:016x}.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.fsutil import fsync_file_and_dir
+
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    fsync_file_and_dir(path)
+    return pd.DataFrame({"file": [os.path.relpath(path, out_dir)],
+                         "rows": [np.int64(len(df))]})
 
 
 def _merged(out_dir: str, base: str, fix: str, cols: list[str],

@@ -37,9 +37,10 @@ def main() -> None:
                          "rerun with the same --out to resume)")
     ap.add_argument("--repair", action="store_true",
                     help="after the run, replay the late quarantine into "
-                         "the windows_fix/sliding_fix correction streams "
-                         "(streaming/reprocess.py — exactly-once per epoch, "
-                         "safe to re-run)")
+                         "the windows_fix/sliding_fix additive correction "
+                         "streams and recompute affected conversations into "
+                         "sessions_fix (streaming/reprocess.py — exactly-"
+                         "once, safe to re-run)")
     ap.add_argument("--processors", default="",
                     help="comma list of shipped StatefulProcessor streams "
                          "to run alongside the built-ins: "
@@ -90,9 +91,10 @@ def main() -> None:
     t2 = time.perf_counter()
     repair_stats = None
     if args.repair:
-        from dataflow_mm_ray.streaming.reprocess import repair
+        from dataflow_mm_ray.streaming.reprocess import repair, repair_sessions
 
         repair_stats = repair(args.out)
+        repair_stats["sessions"] = repair_sessions(args.out, tpath)
     t3 = time.perf_counter()
     res = eng.results()
     summary = {

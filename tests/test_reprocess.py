@@ -72,6 +72,16 @@ def _batch_sliding():
     return b
 
 
+def _batch_sessions():
+    from dataflow_mm_ray.sources.transcripts import transcripts_from_events
+    from dataflow_mm_ray.stages.windows import session_window_agg
+
+    b = session_window_agg(transcripts_from_events(SF_TINY), gap_s=GAP_S).to_pandas()
+    b["start_us"] = b.pop("session_start").astype("datetime64[us]").astype(np.int64)
+    b["end_us"] = b.pop("session_end").astype("datetime64[us]").astype(np.int64)
+    return b
+
+
 def _assert_matches(got: pd.DataFrame, want: pd.DataFrame):
     pd.testing.assert_frame_equal(
         _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
@@ -95,20 +105,40 @@ def test_repair_restores_batch_equivalence(ray_session, transcripts_path, tmp_pa
     _assert_matches(repaired_windows(str(out)).to_pandas(), _batch_windows())
     _assert_matches(repaired_sliding(str(out)).to_pandas(), _batch_sliding())
 
+    # non-additive repair: sessions by keyed recomputation of the
+    # conversations the quarantine touched
+    from dataflow_mm_ray.streaming.reprocess import (
+        repair_sessions, repaired_sessions)
+
+    s = repair_sessions(str(out), transcripts_path)
+    assert not s["skipped"] and s["affected_convs"] > 0 and s["sessions_fix"] > 0
+    _assert_matches(repaired_sessions(str(out)).to_pandas(), _batch_sessions())
+    # second pass over the same late horizon: no-op
+    s2 = repair_sessions(str(out), transcripts_path)
+    assert s2["skipped"] and s2["epoch"] == s["epoch"]
+
 
 def test_repair_incremental_and_exactly_once(ray_session, transcripts_path, tmp_path):
-    from dataflow_mm_ray.streaming.reprocess import repair, repaired_windows
+    from dataflow_mm_ray.streaming.reprocess import (
+        repair, repair_sessions, repaired_sessions, repaired_windows)
 
     out = tmp_path / "out"
     _run_engine(transcripts_path, out, lateness_s=0, stop_after=1)
     s1 = repair(str(out))
     assert s1["epochs"] == [0, 1]
+    sf1 = repair_sessions(str(out), transcripts_path)
+    assert sf1["epoch"] == 1
 
     # resume to completion; a second repair consumes ONLY the new epochs
     _run_engine(transcripts_path, out, lateness_s=0)
     s2 = repair(str(out))
     assert s2["epochs"] == [2, 3, 4]
     _assert_matches(repaired_windows(str(out)).to_pandas(), _batch_windows())
+    # a later sessions pass SUPERSEDES the epoch-1 pass (readers resolve
+    # only the latest manifest) and restores the batch answer
+    sf2 = repair_sessions(str(out), transcripts_path)
+    assert sf2["epoch"] == 4 and not sf2["skipped"]
+    _assert_matches(repaired_sessions(str(out)).to_pandas(), _batch_sessions())
 
     # third repair: nothing to do, manifests byte-identical
     def manifests():
@@ -137,3 +167,11 @@ def test_repair_noop_when_nothing_late(ray_session, transcripts_path, tmp_path):
     # the merged view degenerates to the windows stream itself
     got = repaired_windows(str(out)).to_pandas()
     assert got["n_turns"].sum() == eng.results()["windows"]["n_turns"].sum()
+
+    # sessions: empty fix pass, merged view degenerates to the stream
+    from dataflow_mm_ray.streaming.reprocess import (
+        repair_sessions, repaired_sessions)
+
+    s = repair_sessions(str(out), transcripts_path)
+    assert s["sessions_fix"] == 0 and s["affected_convs"] == 0
+    _assert_matches(repaired_sessions(str(out)).to_pandas(), _batch_sessions())
