@@ -126,6 +126,19 @@ class EpochSink:
             out.extend(os.path.join(self.out_dir, rel) for rel in manifest["files"])
         return out
 
+    def committed_rows(self, stream: str) -> int:
+        """Exact committed row count from the manifests alone — O(#epochs)
+        driver work, no data-file reads. The scale path for soak/ops
+        summaries (a full readback of a 10^9-row stream to count it is
+        the driver-collect anti-pattern). Per-epoch manifests survive
+        compaction (only covered *data* files are deleted), so the sum
+        is exact in every compaction state."""
+        total = 0
+        for epoch in self.committed_epochs(stream):
+            with open(self._manifest_path(stream, epoch)) as f:
+                total += json.load(f)["rows"]
+        return total
+
     def read_committed(self, stream: str) -> pd.DataFrame:
         """Union of manifest-listed files only (never stray staging).
 

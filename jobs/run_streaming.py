@@ -45,6 +45,11 @@ def main() -> None:
                     help="comma list of shipped StatefulProcessor streams "
                          "to run alongside the built-ins: "
                          "gdedup, sdup, rjoin, wroles, convspan")
+    ap.add_argument("--no-readback", action="store_true",
+                    help="summarize committed rows from the sink manifests "
+                         "instead of reading every stream back to the "
+                         "driver — the soak/ops mode for outputs too big "
+                         "to collect (counts are exact either way)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -96,9 +101,15 @@ def main() -> None:
         repair_stats = repair(args.out)
         repair_stats["sessions"] = repair_sessions(args.out, tpath)
     t3 = time.perf_counter()
-    res = eng.results()
+    if args.no_readback:
+        from dataflow_mm_ray.streaming.sink import EpochSink
+
+        sink = EpochSink(args.out, eng.stream_names)
+        committed = {s: sink.committed_rows(s) for s in eng.stream_names}
+    else:
+        committed = {k: int(len(v)) for k, v in eng.results().items()}
     summary = {
-        "committed_rows": {k: int(len(v)) for k, v in res.items()},
+        "committed_rows": committed,
         "epochs": eng.n_epochs,
         "watermark_us": int(eng.watermark_us),
         # prep = epoch-partitioning the input (test-harness artifact; a

@@ -109,6 +109,20 @@ def test_rerun_is_noop_exactly_once(ray_session, transcripts_path, tmp_path):
         pd.testing.assert_frame_equal(r1[k], r2[k])
 
 
+def test_committed_rows_manifest_count_matches_readback(
+    ray_session, transcripts_path, tmp_path
+):
+    """committed_rows (manifest-only, the scale summary path) is exact:
+    equal to the full readback length for every stream."""
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    eng = _run_engine(transcripts_path, tmp_path / "cr", 3600)
+    res = eng.results()
+    sink = EpochSink(str(tmp_path / "cr"), eng.stream_names)
+    for s in eng.stream_names:
+        assert sink.committed_rows(s) == len(res[s]), s
+
+
 def test_kill_and_resume_identical_output(ray_session, transcripts_path, tmp_path):
     full = _run_engine(transcripts_path, tmp_path / "full", 3600)
     want = {k: _canon(v) for k, v in full.results().items()}
