@@ -74,24 +74,63 @@ def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
     )
 
 
+def _ts_bounds_us(sf_dir: str) -> tuple[int, int]:
+    """Global [min, max] event-time bounds in µs — one duckdb column
+    scan over the events table (the transcript ``ts`` IS the event
+    timestamp, sources/transcripts.py)."""
+    import duckdb
+
+    lo, hi = duckdb.execute(
+        f"SELECT min(ts), max(ts) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    return (int(pd.Timestamp(lo).value // 1000),
+            int(pd.Timestamp(hi).value // 1000))
+
+
 def prepare_transcripts(sf_dir: str, path: str, n_epochs: int = 5,
-                        num_partitions: int = 16) -> str:
+                        num_partitions: int = 16,
+                        arrival: str = "hash") -> str:
     """Materialize the canonical transcript table once, PARTITIONED BY
     ARRIVAL EPOCH (``path/epoch=N/part-*.parquet``): each engine tick
     then reads only its own slice — the faithful analog of "files that
     arrived since the last tick", and O(N) total scan work instead of
-    O(epochs x N)."""
+    O(epochs x N).
+
+    ``arrival`` picks the simulated arrival order:
+
+    - ``"hash"`` (default) — epoch = stable hash of (conv_id, turn_idx):
+      the ADVERSARIAL worst case where arrival is uncorrelated with
+      event time, so any finite lateness quarantines most rows and
+      lateness-∞ holds O(input) state until flush. The right mode for
+      late-quarantine / repair / exactly-once drills at small scale.
+    - ``"by_ts"`` — epoch = event-time range bucket (equal spans of
+      [min ts, max ts]): the REALISTIC production shape where arrival
+      tracks event time and disorder is bounded. Epoch k+1 rows all
+      carry ts ≥ the k/k+1 boundary ≥ any earlier watermark, so with
+      any lateness ≥ 0 nothing is quarantined, windows settle
+      progressively, and shard state is bounded by the lateness
+      horizon × rate instead of the stream length — the property that
+      lets the same engine sustain a 10^12-turn stream. Settled
+      content of every arrival-invariant stream is identical to the
+      hash-arrival lateness-∞ run (pinned by
+      tests/test_streaming.py::test_by_ts_arrival_*).
+    """
+    if arrival not in ("hash", "by_ts"):
+        raise ValueError(f"arrival must be 'hash' or 'by_ts'; got {arrival!r}")
     from dataflow_mm_ray.partition import partition_map
     from dataflow_mm_ray.sources.transcripts import transcripts_from_events
 
     meta_path = os.path.join(path, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            prepared = json.load(f)["n_epochs"]
-        if prepared != n_epochs:
+            meta = json.load(f)
+        prepared = meta["n_epochs"]
+        prep_arrival = meta.get("arrival", "hash")
+        if prepared != n_epochs or prep_arrival != arrival:
             raise ValueError(
-                f"{path} is already prepared with n_epochs={prepared}; "
-                f"requested {n_epochs} — use a fresh path"
+                f"{path} is already prepared with n_epochs={prepared}, "
+                f"arrival={prep_arrival!r}; requested n_epochs={n_epochs}, "
+                f"arrival={arrival!r} — use a fresh path"
             )
         return path
     os.makedirs(path, exist_ok=True)
@@ -105,10 +144,22 @@ def prepare_transcripts(sf_dir: str, path: str, n_epochs: int = 5,
             shutil.rmtree(os.path.join(path, name))
     ds = transcripts_from_events(sf_dir, num_partitions=num_partitions)
 
-    def add_epoch(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        b["__epoch"] = _arrival_epoch(b, n_epochs)
-        return b
+    if arrival == "by_ts":
+        lo_us, hi_us = _ts_bounds_us(sf_dir)
+        span_us = max(hi_us - lo_us + 1, 1)
+
+        def add_epoch(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy(deep=False)
+            ts_us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            b["__epoch"] = np.minimum(
+                (ts_us - lo_us) * n_epochs // span_us, n_epochs - 1
+            ).astype(np.int64)
+            return b
+    else:
+        def add_epoch(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy(deep=False)
+            b["__epoch"] = _arrival_epoch(b, n_epochs)
+            return b
 
     with_epoch = ds.map_batches(add_epoch, batch_format="pandas")
 
@@ -133,7 +184,7 @@ def prepare_transcripts(sf_dir: str, path: str, n_epochs: int = 5,
     partition_map(with_epoch, "conv_id", write_epoch_files, num_partitions=num_partitions).to_pandas()
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"n_epochs": n_epochs}, f)
+        json.dump({"n_epochs": n_epochs, "arrival": arrival}, f)
     os.replace(tmp, meta_path)
     return path
 

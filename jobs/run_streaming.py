@@ -45,6 +45,13 @@ def main() -> None:
                     help="comma list of shipped StatefulProcessor streams "
                          "to run alongside the built-ins: "
                          "gdedup, sdup, rjoin, wroles, convspan")
+    ap.add_argument("--arrival", choices=("hash", "by_ts"), default="hash",
+                    help="simulated arrival order for the prepared input: "
+                         "'hash' = event-time-uncorrelated worst case "
+                         "(late-quarantine drills); 'by_ts' = event-time-"
+                         "ordered epochs, the production shape where a "
+                         "finite --lateness-s bounds shard state by the "
+                         "disorder horizon instead of the stream length")
     ap.add_argument("--no-readback", action="store_true",
                     help="summarize committed rows from the sink manifests "
                          "instead of reading every stream back to the "
@@ -80,7 +87,8 @@ def main() -> None:
     import time
 
     t0 = time.perf_counter()
-    tpath = prepare_transcripts(args.sf_dir, os.path.join(args.out, "transcripts"), n_epochs=args.epochs)
+    tpath = prepare_transcripts(args.sf_dir, os.path.join(args.out, "transcripts"),
+                                n_epochs=args.epochs, arrival=args.arrival)
     t1 = time.perf_counter()
     eng = StreamingEngine(
         tpath,

@@ -327,6 +327,56 @@ def test_prepare_epoch_mismatch_raises(ray_session, transcripts_path):
 
     with pytest.raises(ValueError, match="already prepared"):
         prepare_transcripts(SF_TINY, str(transcripts_path), n_epochs=7)
+    # arrival-mode mismatch on an already-prepared dir is just as fatal
+    # (the epoch layout encodes the mode)
+    with pytest.raises(ValueError, match="already prepared"):
+        prepare_transcripts(SF_TINY, str(transcripts_path), n_epochs=5,
+                            arrival="by_ts")
+
+
+def test_by_ts_arrival_bounded_state_matches_hash_arrival(
+    ray_session, transcripts_path, tmp_path
+):
+    """The production arrival shape: event-time-ordered epochs + a
+    FINITE lateness quarantine nothing (epoch k+1 rows all sit at or
+    above every earlier watermark), emit progressively (bounded state —
+    windows commit before the flush epoch), and settle to EXACTLY the
+    content of the adversarial hash-arrival lateness-∞ run for every
+    arrival-invariant stream (upserts' revision rows are per-epoch by
+    construction; their is_final materialization is compared instead)."""
+    from dataflow_mm_ray.streaming.engine import prepare_transcripts
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    bypath = prepare_transcripts(SF_TINY, str(tmp_path / "by_ts"),
+                                 arrival="by_ts")
+    out = tmp_path / "byts-out"
+    eng = _run_engine(bypath, out, 3600)
+    got = eng.results()
+    assert len(got["late"]) == 0
+
+    # progressive settlement: some window closed before the flush epoch
+    sink = EpochSink(str(out), ["windows"])
+    pre_flush = [e for e in sink.committed_epochs("windows") if e < 4]
+    assert sum(
+        __import__("json").load(open(sink._manifest_path("windows", e)))["rows"]
+        for e in pre_flush
+    ) > 0
+
+    want = _run_engine(transcripts_path, tmp_path / "hash-out",
+                       BIG_LATENESS).results()
+    assert len(want["late"]) == 0
+    for stream in want:
+        if stream in ("late", "upserts"):
+            continue
+        pd.testing.assert_frame_equal(
+            _canon(got[stream]), _canon(want[stream]), check_dtype=False
+        )
+    for ups, base in ((got["upserts"], got["windows"]),
+                      (want["upserts"], want["windows"])):
+        finals = ups[ups["is_final"]].drop(columns=["revision", "is_final"])
+        pd.testing.assert_frame_equal(
+            _canon(finals), _canon(base), check_dtype=False
+        )
 
 
 def test_checkpoints_pruned(ray_session, transcripts_path, tmp_path):
