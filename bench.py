@@ -384,6 +384,11 @@ def run_engine_scaling() -> dict:
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "1,4").split(","))
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     epochs = int(os.environ.get("GRAFT_ENGINE_EPOCHS", "5"))
+    # arrival mode + lateness: default = the adversarial hash/∞ drill;
+    # GRAFT_ENGINE_ARRIVAL=by_ts GRAFT_ENGINE_LATENESS=7200 measures the
+    # bounded-state production shape (see streaming/engine.py)
+    arrival = os.environ.get("GRAFT_ENGINE_ARRIVAL", "hash")
+    lateness = os.environ.get("GRAFT_ENGINE_LATENESS", "999999999")
     shards_env = os.environ.get("GRAFT_ENGINE_SHARDS", "")
     if shards_env:
         shards_of = dict(zip((lo, hi), (int(x) for x in shards_env.split(",")))) \
@@ -406,18 +411,19 @@ def run_engine_scaling() -> dict:
         res = subprocess.run(
             [sys.executable, cli, "--sf-dir", scale_dir, "--out", out_dir,
              "--epochs", str(epochs), "--shards", str(shards_of[ncpu]),
-             "--lateness-s", "999999999", "--num-cpus", str(ncpu)],
+             "--lateness-s", lateness, "--arrival", arrival,
+             "--no-readback", "--num-cpus", str(ncpu)],
             capture_output=True, text=True, check=True,
         )
         dt = time.perf_counter() - t0
         summary = json.loads(res.stdout.strip().splitlines()[-1])
         shutil.rmtree(out_dir, ignore_errors=True)
         # sec = the streaming job itself (engine run: extract -> shard
-        # state -> exactly-once 2PC commit). Interpreter+Ray boot, the
-        # harness's epoch-partitioning of the input, and the driver-side
-        # readback of every committed row for the determinism check are
-        # reported as wall but excluded from throughput — none of them
-        # exist in a sustained stream.
+        # state -> exactly-once 2PC commit). Interpreter+Ray boot and
+        # the harness's epoch-partitioning of the input are reported as
+        # wall but excluded from throughput — neither exists in a
+        # sustained stream. Counts come from the sink manifests
+        # (--no-readback), exact in every mode.
         return {"sec": summary["run_sec"], "wall": round(dt, 1),
                 "committed": summary["committed_rows"]}
 
@@ -436,7 +442,8 @@ def run_engine_scaling() -> dict:
         "metric": f"STREAMING-ENGINE scaling efficiency (node=1 task cpu + "
                   f"1 state shard; {lo} vs {hi} nodes = num_cpus {lo}/{hi} + "
                   f"shards {shards_of[lo]}/{shards_of[hi]}, {n_turns}-turn "
-                  f"input, {epochs} epochs, every output stream committed "
+                  f"input, {epochs} epochs, arrival={arrival}, "
+                  f"lateness_s={lateness}, every output stream committed "
                   "exactly-once)",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": s_lo, "sec_hi": s_hi,
