@@ -63,12 +63,18 @@ _DRIVER_PRIORITY = [
     # video family (§2.2/2.3/2.5) — the aesthetic/OCR/motion scorer trio
     # (round-4); resolution/info/caption/luminance twins demoted below
     # the fold (same probe shape; covered by check_correctness + pytest)
+    # (video_motion_filter demoted below the fold: video_score_filter
+    # consumes the motion metric column, and the probe shape is shared
+    # with the aesthetic/OCR rows — still covered by
+    # check_correctness + pytest)
     "video_clip_filter", "video_score_filter",
-    "video_aesthetic_filter", "video_ocr_filter", "video_motion_filter",
+    "video_aesthetic_filter", "video_ocr_filter",
     "scene_segments",
-    # end-to-end lambda repair: engine at zero lateness + quarantine
-    # replay == the batch tumbling oracle (round-4 streaming anchor)
-    "lambda_repair",
+    # end-to-end streaming anchors: lambda repair (hash arrival, zero
+    # lateness, quarantine replay == the batch tumbling oracle) and the
+    # bounded-state production mode (by_ts arrival, finite lateness,
+    # committed windows == the batch oracle with zero quarantined)
+    "lambda_repair", "bounded_state_stream",
     # generators (§2.4) — the same-shape prompt variants
     # (templated/prompt_templated/batch/pers/cot/reasoning) demoted
     "prompted_qa", "prompted_vqa",

@@ -95,6 +95,50 @@ def q_lambda_repair(sf_dir: str):
 
 
 @register(
+    "bounded_state_stream",
+    TRANSCRIPTS_CTE
+    + f"""
+SELECT conv_id,
+       epoch_us(ts) // (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000)
+       * (CAST({TUMBLING_WIDTH_S} AS BIGINT) * 1000000) AS window_start_us,
+       count(*) AS n_turns,
+       count(*) FILTER (WHERE role = 'user') AS n_user_turns,
+       count(*) FILTER (WHERE role = 'assistant' AND tool IS NOT NULL) AS n_tool_calls,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM transcripts
+GROUP BY 1, 2
+""",
+)
+def q_bounded_state_stream(sf_dir: str):
+    """The production streaming shape end-to-end (the 10^12-turn
+    operating mode, streaming/engine.py prepare_transcripts
+    arrival='by_ts'): event-time-ordered arrival epochs + a FINITE
+    lateness, so nothing is quarantined, windows settle progressively
+    and shard state stays bounded by the disorder horizon instead of
+    the stream length (measured at 100M turns / 1.006B committed rows —
+    BASELINE.md). Returns the committed exactly-once ``windows`` stream;
+    the oracle is the plain batch tumbling aggregate, which the settled
+    stream must equal bit-for-bit. Complements ``lambda_repair`` (the
+    adversarial hash-arrival zero-lateness regime + quarantine replay)."""
+    import os
+    import tempfile
+
+    from dataflow_mm_ray.streaming.engine import (
+        StreamingEngine, prepare_transcripts)
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    out = tempfile.mkdtemp(prefix="graft-byts-")
+    tpath = prepare_transcripts(
+        sf_dir, os.path.join(out, "transcripts"), n_epochs=4,
+        arrival="by_ts")
+    eng = StreamingEngine(tpath, out, n_epochs=4, n_shards=4,
+                          width_s=TUMBLING_WIDTH_S, gap_s=SESSION_GAP_S,
+                          lateness_s=TUMBLING_WIDTH_S)
+    eng.run()
+    return EpochSink(out, ["windows"]).read_committed_ds("windows")
+
+
+@register(
     "sliding_window",
     TRANSCRIPTS_CTE
     + f"""
