@@ -334,6 +334,24 @@ def test_prepare_epoch_mismatch_raises(ray_session, transcripts_path):
                             arrival="by_ts")
 
 
+def test_by_ts_arrival_kill_resume_identical(ray_session, tmp_path):
+    """Kill-and-resume in the production arrival mode (the 100M-turn
+    drill of BASELINE.md at unit scale): a run killed mid-stream and
+    resumed by a fresh engine commits exactly what an uninterrupted run
+    commits."""
+    from dataflow_mm_ray.streaming.engine import prepare_transcripts
+
+    bypath = prepare_transcripts(SF_TINY, str(tmp_path / "by_ts"),
+                                 arrival="by_ts")
+    want = _run_engine(bypath, tmp_path / "full", 3600).results()
+    out = tmp_path / "resumed"
+    _run_engine(bypath, out, 3600, stop_after=1)
+    got = _run_engine(bypath, out, 3600).results()
+    for k in want:
+        pd.testing.assert_frame_equal(_canon(got[k]), _canon(want[k]),
+                                      check_dtype=False)
+
+
 def test_by_ts_arrival_bounded_state_matches_hash_arrival(
     ray_session, transcripts_path, tmp_path
 ):
