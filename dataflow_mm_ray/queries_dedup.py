@@ -448,11 +448,107 @@ def q_ivf_topk_fullprobe(sf_dir: str):
     return similarity.ivf_topk(sf_dir, k=TOPK_K, n_queries=TOPK_NQ, n_clusters=16, nprobe=16)
 
 
-@register("simhash_neardup_first", None)
+def _simhash_first_sql() -> str:
+    """Full DuckDB oracle of ``simhash_neardup_first(hash_kind="md5")``:
+    recompute the md5-word-hash SimHash per transcript turn over the
+    id-stripped text, route once per 16-bit band to its (band, bucket),
+    pick the event-time-first winner per bucket, and emit one edge per
+    (band, bucket) at full-64-bit Hamming <= k. The strip regex and the
+    Hamming threshold are imported from the engine modules (never
+    re-assumed — CLAUDE.md md5-twin rule)."""
+    from dataflow_mm_ray.sources.transcripts import TRANSCRIPTS_CTE
+    from dataflow_mm_ray.streaming.engine import _DEDUP_KEY_RE
+
+    k = SIMHASH_FIRST_MAX_HAMMING
+    strip = _DEDUP_KEY_RE.pattern  # RE2-compatible: " #\\d+ "
+    return TRANSCRIPTS_CTE + f"""
+, t AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         regexp_replace(coalesce(text, ''), '{strip}', ' ', 'g') AS raw
+  FROM transcripts
+), norm AS (
+  SELECT conv_id, turn_idx,
+    regexp_replace(trim(lower(regexp_replace(raw, '{_NGRAM_PUNCT}', '', 'g')), {_NGRAM_WS}),
+                   '[' || {_NGRAM_WS} || ']+', ' ', 'g') AS nt
+  FROM t
+), words AS (
+  SELECT conv_id, turn_idx, unnest(string_split(nt, ' ')) AS w
+  FROM norm WHERE nt <> ''
+), wh AS (
+  SELECT conv_id, turn_idx, md5(w) AS h FROM words WHERE w <> ''
+), bits AS (
+  SELECT conv_id, turn_idx, j,
+    ((strpos('0123456789abcdef', substr(h, 16 - j // 4, 1)) - 1) >> (j % 4)) & 1 AS bit
+  FROM wh, unnest(range(0, 64)) AS u(j)
+), votes AS (
+  SELECT conv_id, turn_idx, j, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2, 3
+), sb AS (
+  SELECT conv_id, turn_idx,
+    sum(CASE WHEN v > 0 AND j < 16 THEN (1 << j) ELSE 0 END) AS b0,
+    sum(CASE WHEN v > 0 AND j >= 16 AND j < 32 THEN (1 << (j - 16)) ELSE 0 END) AS b1,
+    sum(CASE WHEN v > 0 AND j >= 32 AND j < 48 THEN (1 << (j - 32)) ELSE 0 END) AS b2,
+    sum(CASE WHEN v > 0 AND j >= 48 THEN (1 << (j - 48)) ELSE 0 END) AS b3
+  FROM votes GROUP BY 1, 2
+), sigs AS (
+  SELECT t.conv_id, t.turn_idx, t.ts_us,
+         coalesce(b0, 0) AS b0, coalesce(b1, 0) AS b1,
+         coalesce(b2, 0) AS b2, coalesce(b3, 0) AS b3
+  FROM t LEFT JOIN sb USING (conv_id, turn_idx)
+), banded AS (
+  SELECT r.band,
+         CASE r.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bucket,
+         conv_id, turn_idx, ts_us, b0, b1, b2, b3
+  FROM sigs, unnest(range(0, 4)) AS r(band)
+), winners AS (
+  SELECT band, bucket, conv_id AS winner_conv_id,
+         turn_idx AS winner_turn_idx, ts_us AS winner_ts_us,
+         b0 AS w0, b1 AS w1, b2 AS w2, b3 AS w3
+  FROM banded
+  QUALIFY row_number() OVER (PARTITION BY band, bucket
+                             ORDER BY ts_us, conv_id, turn_idx) = 1
+), edges AS (
+  SELECT x.band, x.bucket, w.winner_conv_id, w.winner_turn_idx,
+         w.winner_ts_us, x.conv_id, x.turn_idx, x.ts_us,
+         bit_count(xor(x.b0, w.w0)) + bit_count(xor(x.b1, w.w1))
+       + bit_count(xor(x.b2, w.w2)) + bit_count(xor(x.b3, w.w3)) AS hamming
+  FROM banded x JOIN winners w USING (band, bucket)
+  WHERE NOT (x.conv_id = w.winner_conv_id AND x.turn_idx = w.winner_turn_idx)
+)
+SELECT CAST(band AS INTEGER) AS band, CAST(bucket AS BIGINT) AS bucket,
+       winner_conv_id, CAST(winner_turn_idx AS INTEGER) AS winner_turn_idx,
+       CAST(winner_ts_us AS BIGINT) AS winner_ts_us,
+       conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CAST(ts_us AS BIGINT) AS ts_us, CAST(hamming AS BIGINT) AS hamming
+FROM edges WHERE hamming <= {k}
+"""
+
+
+SIMHASH_FIRST_MAX_HAMMING = 3
+
+
+@register("simhash_neardup_first", _simhash_first_sql())
 def q_simhash_neardup_first(sf_dir: str):
     """Near-dup edges to each SimHash band bucket's event-time-first
-    turn over the transcript stream — the batch twin of the streamed
-    ``sdup`` processor (streaming/processor.py SimhashNearDupFirst;
-    pinned frame-equal in tests/test_processors.py). One keyed exchange
-    on the (band, bucket) id."""
-    return neardup.simhash_neardup_first(sf_dir)
+    turn over the transcript stream — the md5-twin form of the batch
+    twin of the streamed ``sdup`` processor (streaming/processor.py
+    SimhashNearDupFirst): identical banding / winner / edge pipeline,
+    md5-derived word hashes so the full DuckDB oracle recomputes the
+    signatures. One keyed exchange on the (band, bucket) id. The
+    SipHash production form (bit-equal pipeline, vectorized signature)
+    is ``simhash_neardup_first_siphash`` below, pinned frame-equal to
+    the stream in tests/test_processors.py."""
+    return neardup.simhash_neardup_first(
+        sf_dir, max_hamming=SIMHASH_FIRST_MAX_HAMMING, hash_kind="md5"
+    )
+
+
+@register("simhash_neardup_first_siphash", None)
+def q_simhash_neardup_first_siphash(sf_dir: str):
+    """The production-signature (vectorized SipHash ``simhash64_batch``)
+    form of ``simhash_neardup_first`` — the exact batch twin of the
+    streamed ``sdup`` processor (pinned frame-equal in
+    tests/test_processors.py). Same pipeline as the SQL-oracled md5
+    registration above; only the word-hash function differs."""
+    return neardup.simhash_neardup_first(
+        sf_dir, max_hamming=SIMHASH_FIRST_MAX_HAMMING
+    )

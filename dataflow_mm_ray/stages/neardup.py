@@ -927,7 +927,7 @@ def embedding_srp_neardup(sf_dir: str, max_hamming: int = 10,
 
 
 def simhash_neardup_first(sf_dir: str, max_hamming: int = 3, ds=None,
-                          num_partitions: int = 16):
+                          num_partitions: int = 16, hash_kind: str = "siphash"):
     """Batch twin of ``streaming.processor.SimhashNearDupFirst``: over
     the transcript table, emit one edge row per (band, bucket) from
     every turn to its bucket's event-time-FIRST turn (minimum
@@ -935,7 +935,13 @@ def simhash_neardup_first(sf_dir: str, max_hamming: int = 3, ds=None,
     <= ``max_hamming``. Signatures are the engine scan's: SimHash of
     the id-stripped text (the same strip rule as dk1/dk2). One keyed
     exchange on the (band, bucket) id; per-bucket work is a vectorized
-    winner pick + Hamming popcount."""
+    winner pick + Hamming popcount.
+
+    ``hash_kind="md5"`` swaps the per-word SipHash for the
+    md5-derived word hash (``simhash64_md5``) with identical banding /
+    winner / edge semantics — the SQL-recomputable twin used by the
+    driver-visible oracle (``queries_dedup.q_simhash_neardup_first``);
+    the vectorized SipHash path stays the production default."""
     import pandas as pd
 
     from dataflow_mm_ray.partition import partition_map
@@ -948,7 +954,11 @@ def simhash_neardup_first(sf_dir: str, max_hamming: int = 3, ds=None,
         key = (b["text"].fillna("").str.replace(_DEDUP_KEY_RE, " ", regex=True)
                .to_numpy(dtype=object))
         uniq, inv = np.unique(key, return_inverse=True)
-        sigs = simhash64_batch(uniq)[inv]
+        if hash_kind == "md5":
+            sigs = np.asarray([simhash64_md5(x) for x in uniq],
+                              dtype=np.uint64)[inv]
+        else:
+            sigs = simhash64_batch(uniq)[inv]
         conv = b["conv_id"].to_numpy()
         turn = b["turn_idx"].to_numpy(dtype=np.int32)
         ts = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)

@@ -440,7 +440,7 @@ def test_simhash_neardup_stream_matches_distributed_query(
                processors=[SimhashNearDupFirst()])
     res = eng.results()
     assert len(res["late"]) == 0
-    batch = registry()["simhash_neardup_first"].fn(SF_TINY).to_pandas()
+    batch = registry()["simhash_neardup_first_siphash"].fn(SF_TINY).to_pandas()
     pd.testing.assert_frame_equal(
         _canon(res["sdup"][batch.columns.tolist()]), _canon(batch),
         check_dtype=False,
