@@ -13,6 +13,22 @@ from dataflow_mm_ray.sources.transcripts import (
 from dataflow_mm_ray.sources.tables import read_table
 from dataflow_mm_ray.stages import dedup, filters, join, stats, windows
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that is removed at interpreter exit: the end-to-end
+    streaming queries return lazy Datasets over files in this dir, so
+    eager cleanup would break the caller's read — but without any
+    cleanup a full correctness run leaked a 13-stream engine output
+    plus the prepared transcript copy into /tmp per query per run
+    (r4 ADVICE)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
+
 TUMBLING_WIDTH_S = 3600
 SLIDING_WIDTH_S = 7200
 SLIDING_SLIDE_S = 3600
@@ -77,13 +93,12 @@ def q_lambda_repair(sf_dir: str):
     plain batch tumbling aggregate: the repair must restore it
     bit-for-bit no matter how much the watermark quarantined."""
     import os
-    import tempfile
 
     from dataflow_mm_ray.streaming.engine import (
         StreamingEngine, prepare_transcripts)
     from dataflow_mm_ray.streaming.reprocess import repair, repaired_windows
 
-    out = tempfile.mkdtemp(prefix="graft-lambda-")
+    out = _scratch_dir("graft-lambda-")
     tpath = prepare_transcripts(
         sf_dir, os.path.join(out, "transcripts"), n_epochs=4)
     eng = StreamingEngine(tpath, out, n_epochs=4, n_shards=4,
@@ -121,13 +136,12 @@ def q_bounded_state_stream(sf_dir: str):
     stream must equal bit-for-bit. Complements ``lambda_repair`` (the
     adversarial hash-arrival zero-lateness regime + quarantine replay)."""
     import os
-    import tempfile
 
     from dataflow_mm_ray.streaming.engine import (
         StreamingEngine, prepare_transcripts)
     from dataflow_mm_ray.streaming.sink import EpochSink
 
-    out = tempfile.mkdtemp(prefix="graft-byts-")
+    out = _scratch_dir("graft-byts-")
     tpath = prepare_transcripts(
         sf_dir, os.path.join(out, "transcripts"), n_epochs=4,
         arrival="by_ts")

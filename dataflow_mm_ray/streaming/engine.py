@@ -75,16 +75,52 @@ def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
 
 
 def _ts_bounds_us(sf_dir: str) -> tuple[int, int]:
-    """Global [min, max] event-time bounds in µs — one duckdb column
-    scan over the events table (the transcript ``ts`` IS the event
-    timestamp, sources/transcripts.py)."""
-    import duckdb
+    """Global [min, max] event-time bounds in µs over the events table
+    (the transcript ``ts`` IS the event timestamp,
+    sources/transcripts.py), from parquet FOOTER row-group statistics —
+    no data scan, and through the same path abstraction as every other
+    read (``table_path``), so multi-file/directory tables and paths
+    with SQL-hostile characters work (r4 ADVICE: the old form
+    interpolated a single-file local path into driver-side DuckDB SQL).
+    Falls back to a pruned ``ts``-column scan when any row group lacks
+    stats. Raises on an empty table — silent NaT int64-min bounds would
+    otherwise poison every epoch boundary."""
+    import pyarrow.dataset as pads
 
-    lo, hi = duckdb.execute(
-        f"SELECT min(ts), max(ts) FROM read_parquet('{sf_dir}/events.parquet')"
-    ).fetchone()
-    return (int(pd.Timestamp(lo).value // 1000),
-            int(pd.Timestamp(hi).value // 1000))
+    from dataflow_mm_ray.sources.tables import table_path
+
+    dataset = pads.dataset(table_path(sf_dir, "events"), format="parquet")
+    lo = hi = None
+    have_stats = True
+    for frag in dataset.get_fragments():
+        md = frag.metadata
+        ts_i = frag.physical_schema.names.index("ts")
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if rg.num_rows == 0:
+                continue
+            st = rg.column(ts_i).statistics
+            if st is None or not st.has_min_max:
+                have_stats = False
+                break
+            smin, smax = pd.Timestamp(st.min), pd.Timestamp(st.max)
+            lo = smin if lo is None else min(lo, smin)
+            hi = smax if hi is None else max(hi, smax)
+        if not have_stats:
+            break
+    if not have_stats:
+        import pyarrow.compute as pc
+
+        t = dataset.to_table(columns=["ts"])
+        if len(t):
+            mm = pc.min_max(t.column("ts")).as_py()
+            lo, hi = pd.Timestamp(mm["min"]), pd.Timestamp(mm["max"])
+    if lo is None or hi is None or pd.isna(lo) or pd.isna(hi):
+        raise ValueError(
+            f"events table under {sf_dir!r} is empty (or all-NULL ts) — "
+            "cannot derive event-time epoch bounds for by_ts arrival"
+        )
+    return int(lo.value // 1000), int(hi.value // 1000)
 
 
 def prepare_transcripts(sf_dir: str, path: str, n_epochs: int = 5,
@@ -211,9 +247,16 @@ class StreamingEngine:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         meta_path = os.path.join(transcripts_path, "_meta.json")
         self.epoch_partitioned = os.path.exists(meta_path)
+        # arrival regime of the prepared input: recorded into the
+        # checkpoint config so a resume against a path prepared with the
+        # OTHER arrival mode (same n_epochs, different epoch layouts —
+        # rows would drop/double-process) is rejected loudly (r4 ADVICE)
+        self.arrival = "unpartitioned"
         if self.epoch_partitioned:
             with open(meta_path) as f:
-                prep_epochs = json.load(f)["n_epochs"]
+                meta = json.load(f)
+            prep_epochs = meta["n_epochs"]
+            self.arrival = meta.get("arrival", "hash")
             if prep_epochs != n_epochs:
                 raise ValueError(
                     f"input is partitioned into {prep_epochs} arrival epochs; "
@@ -286,6 +329,7 @@ class StreamingEngine:
         replayed epochs silently mix regimes."""
         return {
             "n_epochs": self.n_epochs,
+            "arrival": self.arrival,
             "n_shards": self.n_shards,
             "width_s": self.width_s,
             "gap_s": self.gap_s,

@@ -735,3 +735,83 @@ def test_wdedup_stream_matches_batch(ray_session, transcripts_path, tmp_path, la
     pd.testing.assert_frame_equal(
         _canon(got[want.columns.tolist()]), _canon(want), check_dtype=False
     )
+
+
+# --- r5: ts-bounds robustness + arrival-regime pinning ---------------------
+
+
+def test_ts_bounds_footer_stats_match_scan(ray_session):
+    """The footer-statistics bounds must equal the exact column min/max
+    (the by_ts epoch boundaries depend on them bit-for-bit)."""
+    import duckdb
+
+    from dataflow_mm_ray.streaming.engine import _ts_bounds_us
+
+    lo, hi = _ts_bounds_us(SF_TINY)
+    want_lo, want_hi = duckdb.execute(
+        "SELECT epoch_us(min(ts)), epoch_us(max(ts)) FROM read_parquet(?)",
+        [f"{SF_TINY}/events.parquet"],
+    ).fetchone()
+    assert (lo, hi) == (want_lo, want_hi)
+
+
+def test_ts_bounds_empty_events_raises(tmp_path):
+    """Empty events table -> loud ValueError, not NaT int64-min epoch
+    bounds (r4 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.streaming.engine import _ts_bounds_us
+
+    d = tmp_path / "emptysf"
+    d.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+    pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+    with pytest.raises(ValueError, match="empty"):
+        _ts_bounds_us(str(d))
+
+
+def test_ts_bounds_multifile_directory(ray_session, tmp_path):
+    """A directory-of-parquet events table (the cluster shape) works and
+    gives the union bounds across files."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.streaming.engine import _ts_bounds_us
+
+    d = tmp_path / "multisf"
+    (d / "events.parquet").mkdir(parents=True)
+    t = pq.read_table(f"{SF_TINY}/events.parquet")
+    half = len(t) // 2
+    pq.write_table(t.slice(0, half), str(d / "events.parquet" / "part-0.parquet"))
+    pq.write_table(t.slice(half), str(d / "events.parquet" / "part-1.parquet"))
+    lo, hi = _ts_bounds_us(str(d))
+    want_lo, want_hi = duckdb.execute(
+        "SELECT epoch_us(min(ts)), epoch_us(max(ts)) FROM read_parquet(?)",
+        [f"{SF_TINY}/events.parquet"],
+    ).fetchone()
+    assert (lo, hi) == (want_lo, want_hi)
+
+
+def test_resume_rejects_arrival_regime_mix(ray_session, tmp_path):
+    """A checkpointed out_dir must refuse to resume against an input
+    prepared with the OTHER arrival mode but the same n_epochs — the
+    epoch layouts differ, so rows would drop/double-process (r4
+    ADVICE)."""
+    from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
+
+    h = prepare_transcripts(SF_TINY, str(tmp_path / "hash"), n_epochs=4)
+    b = prepare_transcripts(
+        SF_TINY, str(tmp_path / "byts"), n_epochs=4, arrival="by_ts"
+    )
+    out = tmp_path / "out"
+    eng = StreamingEngine(h, str(out), n_epochs=4, n_shards=2,
+                          width_s=WIDTH_S, gap_s=GAP_S, lateness_s=BIG_LATENESS)
+    eng.run(stop_after=2)  # leaves a checkpoint behind
+    with pytest.raises(ValueError, match="arrival"):
+        StreamingEngine(b, str(out), n_epochs=4, n_shards=2,
+                        width_s=WIDTH_S, gap_s=GAP_S, lateness_s=BIG_LATENESS)
