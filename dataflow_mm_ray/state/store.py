@@ -36,15 +36,14 @@ deleted, tool turns with ``ts <= wm`` garbage-collected (turn order ==
 ts order within a conversation, so they can never serve a future
 invocation).
 
-Snapshots are pickle files written by ``snapshot(path)`` and restored
-with ``restore(path)``; the engine commits them with its checkpoint
-manifest. With ``stage_root`` set, ``finalize`` writes this shard's
-emission parquet files itself (distributed 2PC staging) and returns
-only file names + counts.
+Snapshots are dictionary-encoded Arrow/parquet files written by
+``snapshot(path)`` and restored with ``restore(path)`` (layout:
+``write_state_snapshot`` below); the engine commits them with its
+checkpoint manifest. With ``stage_root`` set, ``finalize`` writes this
+shard's emission parquet files itself (distributed 2PC staging) and
+returns only file names + counts.
 """
 from __future__ import annotations
-
-import pickle
 
 import numpy as np
 import pandas as pd
@@ -186,6 +185,192 @@ class _ShardState:
         self.proc_chunks: dict[str, list[pd.DataFrame]] = {}
 
 
+# ---------------------------------------------------------------------------
+# Arrow state snapshots
+#
+# A snapshot is ONE parquet file of (section: string, n_rows: int64,
+# ipc: binary) rows — each section is a state table serialized as an
+# Arrow IPC stream with its own schema (string columns
+# dictionary-encoded: conv_id/tool repeat heavily across open windows,
+# and the north star calls for dictionary-layout state). Unlike the
+# r1-r4 pickle layout this is Python/pandas-version independent,
+# self-describing, and ~3-6x smaller on conversation-keyed state. A
+# file-level metadata version guard refuses mismatched layouts loudly.
+
+STATE_LAYOUT_VERSION = 1
+_STATE_LAYOUT_KEY = b"dataflow_mm_ray_state_layout"
+
+_STATE_FRAMES = (
+    "windows", "swindows", "sessions", "inv", "tool",
+    "asof_pending", "cep_pending", "alert_pending", "upsert_rev",
+    "wtopk", "dedup",
+)
+_STATE_SEQ_DICTS = ("session_seq", "cep_ptr", "cep_seq", "alert_seq")
+_STATE_BYTES_DICTS = ("dcount", "wlat")
+_STATE_CHUNK_LISTS = (
+    "win_chunks", "slide_chunks", "sess_chunks", "inv_chunks",
+    "tool_chunks", "asof_chunks", "dcount_chunks", "cep_chunks",
+    "alert_chunks", "wtopk_chunks", "dedup_chunks",
+)
+
+
+def _frame_to_ipc(df: pd.DataFrame) -> bytes:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    cols = []
+    for col in t.columns:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = pc.dictionary_encode(col.combine_chunks())
+        cols.append(col)
+    t = pa.table(dict(zip(t.column_names, cols)))
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_to_frame(b: bytes) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+    cols = []
+    for col in t.columns:
+        if pa.types.is_dictionary(col.type):
+            col = pc.cast(col, col.type.value_type)
+        cols.append(col)
+    return pa.table(dict(zip(t.column_names, cols))).to_pandas()
+
+
+def _state_sections(s: "_ShardState") -> list[tuple[str, pd.DataFrame]]:
+    sec: list[tuple[str, pd.DataFrame]] = []
+    for attr in _STATE_FRAMES:
+        df = getattr(s, attr)
+        if len(df):
+            sec.append((f"frame:{attr}", df))
+    for attr in _STATE_SEQ_DICTS:
+        d = getattr(s, attr)
+        if d:
+            sec.append((f"seq:{attr}", pd.DataFrame({
+                "k": np.asarray(list(d.keys()), dtype=object),
+                "v": np.fromiter(d.values(), dtype=np.int64, count=len(d)),
+            })))
+    if s.asof_last:
+        ks = list(s.asof_last)
+        sec.append(("asof_last", pd.DataFrame({
+            "k": np.asarray(ks, dtype=object),
+            "turn_idx": np.asarray([s.asof_last[k][0] for k in ks], dtype=np.int64),
+            "ts_us": np.asarray([s.asof_last[k][1] for k in ks], dtype=np.int64),
+        })))
+    for attr in _STATE_BYTES_DICTS:
+        d = getattr(s, attr)
+        if d:
+            sec.append((f"bytes:{attr}", pd.DataFrame({
+                "w": np.fromiter(d.keys(), dtype=np.int64, count=len(d)),
+                "b": np.asarray([bytes(v) for v in d.values()], dtype=object),
+            })))
+    for pname, df in s.proc_state.items():
+        if len(df):
+            sec.append((f"proc:{pname}", df))
+    return sec
+
+
+def write_state_snapshot(s: "_ShardState", path: str) -> None:
+    """Serialize one shard's state to ``path`` (tmp + fsync + atomic
+    replace: the checkpoint manifest that references this snapshot must
+    never outlive its bytes). Engine checkpoints happen at the epoch
+    barrier, where every ``*_chunks`` staging list is empty — refuse
+    to snapshot mid-epoch rather than guess at chunk semantics."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staged = [a for a in _STATE_CHUNK_LISTS if getattr(s, a)]
+    if staged or any(len(v) for v in s.proc_chunks.values()):
+        raise RuntimeError(
+            f"state has staged chunks ({staged or 'processor chunks'}) — "
+            "snapshots are taken at the epoch barrier only"
+        )
+    sections = _state_sections(s)
+    t = pa.table({
+        "section": pa.array([n for n, _ in sections], type=pa.string()),
+        "n_rows": pa.array([len(df) for _, df in sections], type=pa.int64()),
+        "ipc": pa.array([_frame_to_ipc(df) for _, df in sections],
+                        type=pa.large_binary()),
+    }).replace_schema_metadata({_STATE_LAYOUT_KEY: str(STATE_LAYOUT_VERSION)})
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    with open(tmp, "rb+") as f:
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    from dataflow_mm_ray.fsutil import fsync_dir
+
+    fsync_dir(os.path.dirname(path))
+
+
+def read_state_snapshot(path: str, width_s: int, gap_s: int,
+                        slide_width_s: int = 0,
+                        cep_within_s: int | None = None,
+                        alert_deadline_s: int | None = None) -> "_ShardState":
+    """Restore a shard state written by ``write_state_snapshot``. The
+    config scalars come from the CALLER (the engine has already proved
+    them equal to the checkpoint's config record); the file carries only
+    state. Refuses loudly on any non-snapshot file (including legacy
+    r1-r4 pickle snapshots) or a layout-version mismatch."""
+    import pyarrow.parquet as pq
+
+    try:
+        t = pq.read_table(path)
+        meta = t.schema.metadata or {}
+    except Exception as e:
+        raise ValueError(
+            f"{path} is not an Arrow state snapshot (legacy pickle "
+            f"checkpoints cannot be restored by this engine version — "
+            f"re-run from the stream start or rescale from a fresh "
+            f"checkpoint): {e}"
+        ) from e
+    ver = meta.get(_STATE_LAYOUT_KEY)
+    if ver is None or int(ver) != STATE_LAYOUT_VERSION:
+        raise ValueError(
+            f"{path} has state layout {ver!r}; this engine reads layout "
+            f"{STATE_LAYOUT_VERSION} — refusing a silent cross-layout restore"
+        )
+    st = _ShardState(width_s, gap_s, slide_width_s, cep_within_s,
+                     alert_deadline_s)
+    for section, n_rows, ipc in zip(
+        t.column("section").to_pylist(), t.column("n_rows").to_pylist(),
+        t.column("ipc").to_pylist(),
+    ):
+        df = _ipc_to_frame(ipc)
+        if len(df) != n_rows:
+            raise ValueError(
+                f"{path} section {section}: {len(df)} rows, manifest says "
+                f"{n_rows} — corrupt snapshot"
+            )
+        if section.startswith("frame:"):
+            setattr(st, section[len("frame:"):], df)
+        elif section.startswith("seq:"):
+            setattr(st, section[len("seq:"):],
+                    dict(zip(df["k"], (int(v) for v in df["v"]))))
+        elif section == "asof_last":
+            st.asof_last = {
+                k: (int(ti), int(ts))
+                for k, ti, ts in zip(df["k"], df["turn_idx"], df["ts_us"])
+            }
+        elif section.startswith("bytes:"):
+            setattr(st, section[len("bytes:"):],
+                    {int(w): bytes(b) for w, b in zip(df["w"], df["b"])})
+        elif section.startswith("proc:"):
+            st.proc_state[section[len("proc:"):]] = df
+        else:
+            raise ValueError(f"{path}: unknown snapshot section {section!r}")
+    return st
+
+
 def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     """Vectorized gap-rule interval merge. df: (conv_id, start_us,
     end_us, n_turns) sorted by (conv_id, start_us, end_us)."""
@@ -224,8 +409,9 @@ class StateShard:
                  alert_deadline_s: int | None = None,
                  processors: list | None = None):
         self.shard_id = shard_id
-        self.s = _ShardState(width_s, gap_s, slide_width_s, cep_within_s,
-                             alert_deadline_s)
+        self._cfg = (width_s, gap_s, slide_width_s, cep_within_s,
+                     alert_deadline_s)
+        self.s = _ShardState(*self._cfg)
         # plugin processors (streaming/processor.py) — instances are
         # CODE (pickled once at actor creation); their STATE lives in
         # self.s so snapshot/restore needs no special casing
@@ -826,23 +1012,10 @@ class StateShard:
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:
-        # tmp + fsync + atomic replace: the checkpoint manifest that
-        # references this snapshot must never outlive its bytes
-        import os
-
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(self.s, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-        from dataflow_mm_ray.fsutil import fsync_dir
-
-        fsync_dir(os.path.dirname(path))
+        write_state_snapshot(self.s, path)
 
     def restore(self, path: str) -> None:
-        with open(path, "rb") as f:
-            self.s = pickle.load(f)
+        self.s = read_state_snapshot(path, *self._cfg)
         # epoch replay re-applies against the restored snapshot
         self._seen_applies.clear()
 

@@ -345,7 +345,7 @@ class StreamingEngine:
         state_files = {}
         refs = []
         for i, sh in enumerate(self.shards):
-            p = os.path.join(self.checkpoint_dir, f"state-{epoch}-shard{i}.pkl")
+            p = os.path.join(self.checkpoint_dir, f"state-{epoch}-shard{i}.parquet")
             refs.append(sh.snapshot.remote(p))
             state_files[str(i)] = p
         ray.get(refs)
@@ -368,7 +368,8 @@ class StreamingEngine:
         # from (keep one prior epoch as a safety margin) — without this
         # the checkpoint dir grows O(n_epochs x shard state)
         for name in os.listdir(self.checkpoint_dir):
-            for prefix, suffix in (("ckpt-", ".json"), ("state-", ".pkl")):
+            for prefix, suffix in (("ckpt-", ".json"), ("state-", ".parquet"),
+                                   ("state-", ".pkl")):  # .pkl: pre-r5 layout
                 if name.startswith(prefix) and name.endswith(suffix):
                     try:
                         e = int(name[len(prefix):].split("-")[0].removesuffix(".json"))

@@ -45,8 +45,9 @@ Exactly-once: the engine stamps every shipped row-group with a
 content-derived apply id (replays from retried map tasks are dropped
 by the shard) and commits emissions through the per-epoch 2PC sink,
 so a processor inherits the same guarantees as the built-in streams
-without doing anything. Checkpoint/restore pickles the state frame
-with the shard snapshot; a resumed run replays the in-flight epoch
+without doing anything. Checkpoint/restore writes the state frame as
+an Arrow section of the shard snapshot (state/store.py
+write_state_snapshot); a resumed run replays the in-flight epoch
 against the restored state (idempotent by the apply-id dedup).
 
 Reference anchor: this generalizes DataFlow-MM's FunctionalRefiner UDF

@@ -37,14 +37,17 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 
 import numpy as np
 import pandas as pd
 
 from dataflow_mm_ray.groupsum import group_sum_df
 from dataflow_mm_ray.hashing import partition_ids
-from dataflow_mm_ray.state.store import _ShardState
+from dataflow_mm_ray.state.store import (
+    _ShardState,
+    read_state_snapshot,
+    write_state_snapshot,
+)
 
 # (attribute, paired per-conv dict attributes) for the conv_id-keyed
 # frames; dicts listed separately below
@@ -53,11 +56,6 @@ _CONV_FRAMES = (
     "asof_pending", "cep_pending", "alert_pending", "upsert_rev",
 )
 _CONV_DICTS = ("session_seq", "asof_last", "cep_ptr", "cep_seq", "alert_seq")
-_CHUNK_LISTS = (
-    "win_chunks", "slide_chunks", "sess_chunks", "inv_chunks",
-    "tool_chunks", "asof_chunks", "dcount_chunks", "cep_chunks",
-    "alert_chunks", "wtopk_chunks", "dedup_chunks",
-)
 
 
 def _latest_ckpt(checkpoint_dir: str) -> tuple[int, dict]:
@@ -102,20 +100,17 @@ def rescale_checkpoint(out_dir: str, new_n_shards: int,
             f"rescale called with {sorted(proc_route)} — pass the same list"
         )
 
-    old_states: list[_ShardState] = []
-    for i in range(old_n):
-        with open(meta["state_files"][str(i)], "rb") as f:
-            old_states.append(pickle.load(f))
-    for st in old_states:
-        for attr in _CHUNK_LISTS:
-            if getattr(st, attr):
-                raise RuntimeError(
-                    f"snapshot has staged {attr} — checkpoints are taken at "
-                    "the epoch barrier, this file is not a valid engine "
-                    "snapshot"
-                )
-        if any(len(v) for v in st.proc_chunks.values()):
-            raise RuntimeError("snapshot has staged processor chunks")
+    # read_state_snapshot restores fresh (empty) chunk lists by
+    # construction, and write_state_snapshot refuses mid-epoch state —
+    # the old pickle-era staged-chunk audit is structural now
+    old_states: list[_ShardState] = [
+        read_state_snapshot(
+            meta["state_files"][str(i)], cfg["width_s"], cfg["gap_s"],
+            cfg["slide_width_s"], cfg["cep_within_s"],
+            cfg["alert_deadline_s"],
+        )
+        for i in range(old_n)
+    ]
 
     m = new_n_shards
     new_states = [
@@ -207,13 +202,9 @@ def rescale_checkpoint(out_dir: str, new_n_shards: int,
 
     state_files = {}
     for i, st in enumerate(new_states):
-        p = os.path.join(checkpoint_dir, f"state-{epoch}-shard{i}of{m}.pkl")
-        tmp = p + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(st, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, p)
+        p = os.path.join(checkpoint_dir,
+                         f"state-{epoch}-shard{i}of{m}.parquet")
+        write_state_snapshot(st, p)
         state_files[str(i)] = p
     new_meta = {
         "epoch": epoch,

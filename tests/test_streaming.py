@@ -815,3 +815,75 @@ def test_resume_rejects_arrival_regime_mix(ray_session, tmp_path):
     with pytest.raises(ValueError, match="arrival"):
         StreamingEngine(b, str(out), n_epochs=4, n_shards=2,
                         width_s=WIDTH_S, gap_s=GAP_S, lateness_s=BIG_LATENESS)
+
+
+# --- r5: Arrow state snapshots ---------------------------------------------
+
+
+def test_state_snapshot_roundtrip_and_layout_guard(tmp_path):
+    """Arrow snapshot roundtrip preserves every state class bit-for-bit
+    (frames incl. int32/bool plugin columns, seq dicts, register
+    bytes); legacy pickle files and foreign layout versions are refused
+    loudly."""
+    import pickle
+
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.state.store import (
+        _ShardState, read_state_snapshot, write_state_snapshot)
+
+    st = _ShardState(3600, 1800, 7200)
+    st.windows = pd.DataFrame({
+        "conv_id": ["conv-a", "conv-a", "conv-b"],
+        "window_start_us": np.array([0, 3600_000000, 0], dtype=np.int64),
+        "n_turns": np.array([3, 1, 2], dtype=np.int64),
+        "n_user_turns": np.array([1, 0, 1], dtype=np.int64),
+        "n_tool_calls": np.array([1, 1, 0], dtype=np.int64),
+        "sum_chars": np.array([30, 10, 20], dtype=np.int64),
+    })
+    st.session_seq = {"conv-a": 4, "conv-b": 1}
+    st.asof_last = {"conv-a": (7, 123456)}
+    st.dcount = {0: bytes(np.zeros(16, dtype=np.uint8))}
+    st.wlat = {3600_000000: np.arange(4, dtype=np.int64).tobytes()}
+    st.proc_state["sdup"] = pd.DataFrame({
+        "bb": np.array([65536], dtype=np.int64),
+        "sh64": np.array([-5], dtype=np.int64),
+        "conv_id": ["conv-a"],
+        "turn_idx": np.array([2], dtype=np.int32),
+        "ts_us": np.array([99], dtype=np.int64),
+        "is_winner": np.array([True]),
+    })
+    p = str(tmp_path / "snap.parquet")
+    write_state_snapshot(st, p)
+    back = read_state_snapshot(p, 3600, 1800, 7200)
+    pd.testing.assert_frame_equal(back.windows, st.windows)
+    pd.testing.assert_frame_equal(back.proc_state["sdup"], st.proc_state["sdup"])
+    assert back.proc_state["sdup"]["turn_idx"].dtype == np.int32
+    assert back.proc_state["sdup"]["is_winner"].dtype == bool
+    assert back.session_seq == st.session_seq
+    assert back.asof_last == st.asof_last
+    assert back.dcount == st.dcount and back.wlat == st.wlat
+    # untouched state classes restore to canonical empties
+    assert len(back.dedup) == 0 and len(back.sessions) == 0
+    assert back.win_chunks == []
+
+    legacy = str(tmp_path / "legacy.pkl")
+    with open(legacy, "wb") as f:
+        pickle.dump(st, f)
+    with pytest.raises(ValueError, match="not an Arrow state snapshot"):
+        read_state_snapshot(legacy, 3600, 1800, 7200)
+
+    t = pq.read_table(p).replace_schema_metadata(
+        {b"dataflow_mm_ray_state_layout": b"999"})
+    pq.write_table(t, str(tmp_path / "v999.parquet"))
+    with pytest.raises(ValueError, match="layout"):
+        read_state_snapshot(str(tmp_path / "v999.parquet"), 3600, 1800, 7200)
+
+
+def test_state_snapshot_refuses_staged_chunks(tmp_path):
+    from dataflow_mm_ray.state.store import _ShardState, write_state_snapshot
+
+    st = _ShardState(3600, 1800, 7200)
+    st.win_chunks.append(pd.DataFrame({"conv_id": ["x"]}))
+    with pytest.raises(RuntimeError, match="staged chunks"):
+        write_state_snapshot(st, str(tmp_path / "bad.parquet"))
