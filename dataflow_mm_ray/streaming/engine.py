@@ -240,6 +240,8 @@ class StreamingEngine:
         cep_within_s: int | None = None,
         alert_deadline_s: int | None = None,
         processors: list | None = None,
+        spill_mb: int | None = None,
+        spill_buckets: int = 16,
     ):
         self.transcripts_path = transcripts_path
         self.out_dir = out_dir
@@ -301,10 +303,23 @@ class StreamingEngine:
             "is_error" in getattr(p, "needs", ()) for p in self.processors
         )
         self.sink = EpochSink(out_dir, self.stream_names)
+        # state spill (per-shard): past spill_mb of resident event-buffer
+        # state, page to bucket-partitioned parquet under out_dir/spill —
+        # the adversarial hash-arrival + infinite-lateness drill then
+        # degrades to disk instead of dying past node memory
+        # (state/store.py spill block). Content-transparent: emissions
+        # are identical to the unspilled run.
+        self.spill_mb = spill_mb
+        self.spill_buckets = int(spill_buckets)
         self.shards = [
             StateShard.remote(i, width_s, gap_s, slide_width_s,
                               self.cep_within_s, self.alert_deadline_s,
-                              processors=self.processors)
+                              processors=self.processors,
+                              spill_dir=(os.path.join(out_dir, "spill", f"shard{i}")
+                                         if spill_mb is not None else None),
+                              spill_threshold_bytes=(spill_mb << 20)
+                              if spill_mb is not None else None,
+                              spill_buckets=self.spill_buckets)
             for i in range(n_shards)
         ]
         self.watermark_us = -(1 << 62)
@@ -339,6 +354,10 @@ class StreamingEngine:
             "cep_within_s": self.cep_within_s,
             "alert_deadline_s": self.alert_deadline_s,
             "processors": [p.name for p in self.processors],
+            # content-transparent, but staged flush file boundaries
+            # depend on it — pin so a resumed flush is byte-identical
+            "spill_mb": self.spill_mb,
+            "spill_buckets": self.spill_buckets,
         }
 
     def _checkpoint(self, epoch: int) -> None:

@@ -111,6 +111,14 @@ def rescale_checkpoint(out_dir: str, new_n_shards: int,
         )
         for i in range(old_n)
     ]
+    for st in old_states:
+        if st.spill_segments:
+            raise RuntimeError(
+                "checkpoint has disk-spilled state segments — rescale "
+                "operates on resident state only; resume the run (which "
+                "reads the segments back as the watermark settles them) "
+                "or rerun without spill before rescaling"
+            )
 
     m = new_n_shards
     new_states = [

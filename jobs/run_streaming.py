@@ -57,6 +57,12 @@ def main() -> None:
                          "instead of reading every stream back to the "
                          "driver — the soak/ops mode for outputs too big "
                          "to collect (counts are exact either way)")
+    ap.add_argument("--spill-mb", type=int, default=None,
+                    help="per-shard resident-state threshold (MiB) past "
+                         "which event-buffer state pages to disk "
+                         "segments; the flush epoch then runs one "
+                         "key-bucket at a time (bounded memory for the "
+                         "hash-arrival/infinite-lateness drill)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -99,6 +105,7 @@ def main() -> None:
         gap_s=args.gap_s,
         lateness_s=args.lateness_s,
         processors=procs,
+        spill_mb=args.spill_mb,
     )
     eng.run(stop_after=args.stop_after)
     t2 = time.perf_counter()

@@ -887,3 +887,61 @@ def test_state_snapshot_refuses_staged_chunks(tmp_path):
     st.win_chunks.append(pd.DataFrame({"conv_id": ["x"]}))
     with pytest.raises(RuntimeError, match="staged chunks"):
         write_state_snapshot(st, str(tmp_path / "bad.parquet"))
+
+
+# --- r5: state spill (bounded-memory adversarial drill) --------------------
+
+
+@pytest.mark.parametrize("lateness_s", [BIG_LATENESS, 3600, 0])
+def test_spill_is_content_transparent(ray_session, transcripts_path, tmp_path,
+                                      lateness_s):
+    """spill_mb=0 (every finalize pages all event-buffer state to disk,
+    flush runs bucket-by-bucket) must commit streams identical to the
+    never-spilled run at every lateness regime — spilling is an
+    execution detail, not a semantics knob."""
+    from dataflow_mm_ray.streaming.engine import StreamingEngine
+    from dataflow_mm_ray.streaming.processor import (
+        GlobalDedupFirst, SimhashNearDupFirst)
+
+    def run(out, **kw):
+        eng = StreamingEngine(
+            transcripts_path, str(out), n_epochs=5, n_shards=3,
+            width_s=WIDTH_S, gap_s=GAP_S, lateness_s=lateness_s,
+            processors=[SimhashNearDupFirst(), GlobalDedupFirst()], **kw)
+        eng.run()
+        return eng.results()
+
+    a = run(tmp_path / "nospill")
+    b = run(tmp_path / "spill", spill_mb=0)
+    assert set(a) == set(b)
+    for stream in a:
+        pd.testing.assert_frame_equal(
+            _canon(a[stream]), _canon(b[stream]), check_dtype=False)
+
+
+def test_spill_kill_resume_and_rescale_refusal(ray_session, transcripts_path,
+                                               tmp_path):
+    """Checkpoints carry the spill-segment list; a killed spilled run
+    resumes to output identical to an uninterrupted one, and rescale
+    refuses a checkpoint with disk-spilled state loudly."""
+    from dataflow_mm_ray.streaming.engine import StreamingEngine
+    from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst
+    from dataflow_mm_ray.streaming.rescale import rescale_checkpoint
+
+    kw = dict(n_epochs=5, n_shards=3, width_s=WIDTH_S, gap_s=GAP_S,
+              lateness_s=3600, spill_mb=0,
+              processors=[SimhashNearDupFirst()])
+    full = StreamingEngine(transcripts_path, str(tmp_path / "full"), **kw)
+    full.run()
+    fr = full.results()
+    kill = StreamingEngine(transcripts_path, str(tmp_path / "kill"), **kw)
+    kill.run(stop_after=2)
+    with pytest.raises(RuntimeError, match="spilled"):
+        rescale_checkpoint(str(tmp_path / "kill"), 6,
+                           processors=[SimhashNearDupFirst()])
+    resumed = StreamingEngine(transcripts_path, str(tmp_path / "kill"), **kw)
+    resumed.run()
+    rr = resumed.results()
+    for stream in fr:
+        pd.testing.assert_frame_equal(
+            _canon(fr[stream]), _canon(rr[stream]), check_dtype=False)
