@@ -74,6 +74,26 @@ def _arrival_epoch(b: pd.DataFrame, n_epochs: int) -> np.ndarray:
     )
 
 
+def _processor_code_hash(p) -> str:
+    """Stable digest of a plugin processor's CODE + constructor config.
+    Module/file-defined classes hash their source text (edits change
+    it); dynamically defined classes fall back to the by-value
+    cloudpickle bytes. Instance attrs are folded in so a same-named
+    processor with different knobs (e.g. max_hamming) also refuses to
+    resume."""
+    import hashlib
+    import inspect
+
+    try:
+        code = inspect.getsource(type(p))
+    except (OSError, TypeError):
+        import cloudpickle
+
+        code = cloudpickle.dumps(type(p)).hex()
+    cfg = repr(sorted((k, repr(v)) for k, v in vars(p).items()))
+    return hashlib.sha256((code + "|" + cfg).encode()).hexdigest()[:16]
+
+
 def _ts_bounds_us(sf_dir: str) -> tuple[int, int]:
     """Global [min, max] event-time bounds in µs over the events table
     (the transcript ``ts`` IS the event timestamp,
@@ -354,6 +374,12 @@ class StreamingEngine:
             "cep_within_s": self.cep_within_s,
             "alert_deadline_s": self.alert_deadline_s,
             "processors": [p.name for p in self.processors],
+            # per-plugin CODE hashes: a silently edited processor body
+            # (or changed constructor config) must refuse to resume as
+            # loudly as a changed processor list — the replayed epochs
+            # would otherwise mix emission semantics
+            "processor_code": {p.name: _processor_code_hash(p)
+                               for p in self.processors},
             # content-transparent, but staged flush file boundaries
             # depend on it — pin so a resumed flush is byte-identical
             "spill_mb": self.spill_mb,

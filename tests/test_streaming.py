@@ -945,3 +945,79 @@ def test_spill_kill_resume_and_rescale_refusal(ray_session, transcripts_path,
     for stream in fr:
         pd.testing.assert_frame_equal(
             _canon(fr[stream]), _canon(rr[stream]), check_dtype=False)
+
+
+# --- r5: plugin code hashes + by_ts bounded-state pin ----------------------
+
+
+def test_resume_rejects_edited_processor(ray_session, transcripts_path, tmp_path):
+    """A checkpointed run must refuse to resume when a processor's CODE
+    or constructor config silently changed (same name, same list) —
+    replayed epochs would mix emission semantics."""
+    from dataflow_mm_ray.streaming.engine import StreamingEngine
+    from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst
+
+    kw = dict(n_epochs=5, n_shards=2, width_s=WIDTH_S, gap_s=GAP_S,
+              lateness_s=3600)
+    out = tmp_path / "out"
+    eng = StreamingEngine(transcripts_path, str(out), **kw,
+                          processors=[SimhashNearDupFirst(max_hamming=3)])
+    eng.run(stop_after=2)
+    # changed constructor config, same processor name
+    with pytest.raises(ValueError, match="processor_code"):
+        StreamingEngine(transcripts_path, str(out), **kw,
+                        processors=[SimhashNearDupFirst(max_hamming=2)])
+    # edited body, same name + config
+    class Edited(SimhashNearDupFirst):
+        def on_watermark(self, state, wm_us, flush):
+            return super().on_watermark(state, wm_us, flush)  # changed source
+
+    with pytest.raises(ValueError, match="processor_code"):
+        StreamingEngine(transcripts_path, str(out), **kw,
+                        processors=[Edited(max_hamming=3)])
+    # unchanged processor resumes and completes
+    resumed = StreamingEngine(transcripts_path, str(out), **kw,
+                              processors=[SimhashNearDupFirst(max_hamming=3)])
+    resumed.run()
+    assert len(resumed.results()["sdup"]) > 0
+
+
+def _peak_pending_rows(eng) -> int:
+    keys = ("pending_inv", "pending_tool", "pending_asof", "pending_cep",
+            "pending_alerts", "open_windows", "open_sliding", "open_sessions")
+    peak = 0
+    for m in eng.metrics():
+        tot = sum(s[k] for s in m["shard_state"] for k in keys)
+        tot += sum(sum(s.get("open_proc_rows", {}).values())
+                   for s in m["shard_state"])
+        peak = max(peak, tot)
+    return peak
+
+
+def test_by_ts_state_bounded_by_disorder_horizon(ray_session, tmp_path):
+    """The production claim (BASELINE.md): in by_ts arrival mode, peak
+    shard state scales with the lateness (disorder) horizon, not the
+    stream length. Pin it: a small-lateness run's peak pending rows
+    must be a small fraction of the stream and far below the
+    hold-everything lateness's peak."""
+    from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
+
+    t = prepare_transcripts(SF_TINY, str(tmp_path / "tr"), n_epochs=8,
+                            arrival="by_ts")
+
+    def peak(lateness_s, tag):
+        eng = StreamingEngine(t, str(tmp_path / tag), n_epochs=8, n_shards=2,
+                              width_s=WIDTH_S, gap_s=GAP_S,
+                              lateness_s=lateness_s)
+        eng.run()
+        n_rows = sum(m["applied_rows"] for m in eng.metrics())
+        return _peak_pending_rows(eng), n_rows
+
+    small, n = peak(3600, "small")          # 1h horizon
+    huge, n2 = peak(10**9, "huge")          # hold everything to flush
+    assert n == n2 and n > 0
+    # hold-everything peaks at ~the whole stream; the bounded-horizon
+    # run must stay well under both (measured ~8x under at sf0.001)
+    assert huge >= n  # every applied row (+ window rows) held at peak
+    assert small <= huge / 3
+    assert small <= n / 2
