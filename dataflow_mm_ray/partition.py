@@ -269,18 +269,24 @@ def partition_map(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     sort_by: Sequence[str] | None = None,
+    arrow_output: bool = False,
 ):
     """Apply ``fn`` to each hash partition of ``ds`` keyed by ``key``.
 
     ``fn`` receives a pandas DataFrame holding *every* row whose key
     hashes to that partition (all rows of any given key — never split),
     optionally pre-sorted by ``sort_by``. It must return a DataFrame.
+
+    With ``arrow_output=True`` the reduce stays Arrow end-to-end:
+    ``fn`` receives (and must return) a pyarrow Table and ``sort_by``
+    is unsupported — sort inside the kernel where needed.
     """
     num_partitions = resolve_num_partitions(num_partitions)
     block_refs = ds.to_arrow_refs()  # shuffle barrier: executes upstream (zero-copy blocks)
     split = ray.remote(num_returns=num_partitions)(_split_block)
     pieces = [split.remote(b, key, num_partitions) for b in block_refs]
-    return _assemble(pieces, fn, sort_by, num_partitions)
+    return _assemble(pieces, fn, sort_by, num_partitions,
+                     arrow_output=arrow_output)
 
 
 def _split_parquet_chunk(path: str, row_groups: list[int], columns, key: str, num_partitions: int):

@@ -43,13 +43,16 @@ def docprep_pipeline(sf_dir: str, neardup_threshold: float = 0.7,
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def clean_and_annotate(b: pd.DataFrame) -> pd.DataFrame:
+    def clean_and_annotate(b: pd.DataFrame):
+        # emits ARROW blocks: the annotated text/norm_text columns then
+        # travel the exchange + winner reduce as zero-copy string
+        # buffers instead of pickled object frames (r4-verdict task 4)
+        import pyarrow as pa
+
         flags = rule_flags_batch(b["text"])
         kept = b.loc[flags["keep"].to_numpy()].reset_index(drop=True)
         if not len(kept):
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=d) for c, d in _ANNOT_SCHEMA.items()}
-            )
+            return _ANNOT_PA_SCHEMA.empty_table()
         stats = textstats_batch(kept["text"])
         # the repo-wide float convention (CLAUDE.md): ratio columns are
         # rounded once at the producing stage, same as stages/
@@ -57,26 +60,28 @@ def docprep_pipeline(sf_dir: str, neardup_threshold: float = 0.7,
         # compares identical doubles
         for c in ("stopword_ratio", "punct_ratio"):
             stats[c] = stats[c].round(6)
-        out = pd.DataFrame(
-            {
-                "doc_id": kept["doc_id"].to_numpy().astype(np.int64),
-                "text": kept["text"].to_numpy(),
-                "norm_text": stats["norm_text"].to_numpy(),
-                "n_tokens": stats["n_ws_tokens"].to_numpy().astype(np.int64),
-                "punct_ratio": stats["punct_ratio"].to_numpy(),
-                "stopword_ratio": stats["stopword_ratio"].to_numpy(),
-                "lang_pred": stats["lang_pred"].to_numpy(),
-                "fingerprint": stats["fingerprint"].to_numpy(),
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(kept["doc_id"].to_numpy().astype(np.int64)),
+                pa.array(kept["text"], type=pa.string()),
+                pa.array(stats["norm_text"], type=pa.string()),
+                pa.array(stats["n_ws_tokens"].to_numpy().astype(np.int64)),
+                pa.array(stats["punct_ratio"].to_numpy()),
+                pa.array(stats["stopword_ratio"].to_numpy()),
+                pa.array(stats["lang_pred"], type=pa.string()),
+                pa.array(stats["fingerprint"], type=pa.string()),
+            ],
+            schema=_ANNOT_PA_SCHEMA,
         )
-        return out
 
     annotated = docs.map_batches(clean_and_annotate, batch_format="pandas")
     # materialize: consumed by BOTH the near-dup pipeline and the final
     # keep join — without it the read+annotate+dedup prefix (the
-    # md5-fingerprint pass included) executes twice (CLAUDE.md rule)
+    # md5-fingerprint pass included) executes twice (CLAUDE.md rule).
+    # Arrow end-to-end through the winner exchange (arrow=True).
     exact_deduped = dedup_first_wins(
-        annotated, "fingerprint", order_by=("doc_id",), num_partitions=num_partitions
+        annotated, "fingerprint", order_by=("doc_id",),
+        num_partitions=num_partitions, arrow=True,
     ).materialize()
 
     # near-dup keep decisions over the exact-dedup survivors, then a
@@ -107,13 +112,15 @@ def docprep_pipeline(sf_dir: str, neardup_threshold: float = 0.7,
     return joined.map_batches(quality_cut, batch_format="pandas")
 
 
-_ANNOT_SCHEMA = {
-    "doc_id": np.int64,
-    "text": object,
-    "norm_text": object,
-    "n_tokens": np.int64,
-    "punct_ratio": np.float64,
-    "stopword_ratio": np.float64,
-    "lang_pred": object,
-    "fingerprint": object,
-}
+def _annot_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("norm_text", pa.string()), ("n_tokens", pa.int64()),
+        ("punct_ratio", pa.float64()), ("stopword_ratio", pa.float64()),
+        ("lang_pred", pa.string()), ("fingerprint", pa.string()),
+    ])
+
+
+_ANNOT_PA_SCHEMA = _annot_pa_schema()

@@ -991,8 +991,13 @@ QUALIFY row_number() OVER (PARTITION BY dedup_key ORDER BY conv_id, turn_idx) = 
 """,
 )
 def q_dedup_exact(sf_dir: str):
-    ds = dedup.add_dedup_key(transcripts_from_events(sf_dir))
-    return dedup.dedup_first_wins(ds, "dedup_key", order_by=("conv_id", "turn_idx"))
+    """Arrow end-to-end: Arrow transcript source -> pyarrow regex key ->
+    Arrow exchange -> Arrow winner pick (no pandas object frame is ever
+    built on this string-heavy path)."""
+    ds = dedup.add_dedup_key(transcripts_from_events(sf_dir, arrow=True),
+                             arrow=True)
+    return dedup.dedup_first_wins(ds, "dedup_key",
+                                  order_by=("conv_id", "turn_idx"), arrow=True)
 
 
 @register(
@@ -1016,9 +1021,10 @@ def q_dedup_first_event_time(sf_dir: str):
     processor (streaming/processor.py; pinned frame-equal in
     tests/test_processors.py). Same one-shuffle plan as ``dedup_exact``,
     different tie rule."""
-    ds = dedup.add_dedup_key(transcripts_from_events(sf_dir))
+    ds = dedup.add_dedup_key(transcripts_from_events(sf_dir, arrow=True),
+                             arrow=True)
     return dedup.dedup_first_wins(
-        ds, "dedup_key", order_by=("ts", "conv_id", "turn_idx")
+        ds, "dedup_key", order_by=("ts", "conv_id", "turn_idx"), arrow=True
     )
 
 

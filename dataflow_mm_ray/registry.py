@@ -119,6 +119,22 @@ def _ensure_loaded() -> None:
         ("add_image_key", add_image_key_stage, "synthetic per-row image key (source/doc_id.img)", "map", ("doc_id", "source"), ("image_key",), False),
         ("rule_base_full", rule_base_full, "COMPLETE RuleBaseFilter: text rules + image basics + NSFW", "filter", ("doc_id", "text", "image_key"), (), True),
     ]
+    # similarity family: the SCALE twins own the primary names (what a
+    # user reaches for); the all-pairs/full-matrix parity ops — kept
+    # solely because their brute-force semantics anchor the SQL
+    # oracles — are registered under *_parity (r4-verdict task 8)
+    from dataflow_mm_ray.stages.neardup import embedding_srp_neardup
+    from dataflow_mm_ray.stages.similarity import (
+        embedding_neardup, ivf_knn_percentile, ivf_topk,
+        knn_percentile_filter)
+
+    entries += [
+        ("knn_percentile", ivf_knn_percentile, "KNN-sum percentile cut — IVF bucketed scale path (== brute force at full probe)", "filter", ("vec_id", "embedding"), (), False),
+        ("knn_percentile_parity", knn_percentile_filter, "KNN-sum percentile cut — all-pairs parity op (oracle anchor)", "filter", ("vec_id", "embedding"), (), False),
+        ("embedding_neardup", embedding_srp_neardup, "embedding near-dup — SRP-LSH banded scale path", "dedup", ("vec_id", "embedding"), ("keep",), False),
+        ("embedding_neardup_parity", embedding_neardup, "embedding near-dup — all-pairs cosine parity op (oracle anchor)", "dedup", ("vec_id", "embedding"), ("keep",), False),
+        ("ann_topk", ivf_topk, "cosine top-k ANN — IVF probed scan", "map", ("vec_id", "embedding"), (), False),
+    ]
     for name, fn, desc, kind, inp, out, stateful in entries:
         _OPERATORS[name] = OpSpec(name, fn, desc, kind, tuple(inp), tuple(out), stateful)
     # only mark loaded on success: a transient import failure above must
