@@ -1265,14 +1265,31 @@ class StateShard:
         }
         union = _ShardState(*self._cfg)
         merged: dict | None = None
+        # conv-keyed resident aggregates (window/sliding partials,
+        # upsert revision carries) are bucket-SLICED like the spilled
+        # buffers — consolidating 10^8 partial rows in one sub-run was
+        # the remaining flush memory spike; window-keyed partials and
+        # non-ts plugin state (both O(small)) go to bucket 0 whole
+        conv_sliced: dict[str, tuple] = {}
+        for attr in ("windows", "swindows", "upsert_rev"):
+            frames = [getattr(st, attr)]
+            if attr == "windows":
+                frames += st.win_chunks
+                st.win_chunks = []
+            elif attr == "swindows":
+                frames += st.slide_chunks
+                st.slide_chunks = []
+            frames = [f for f in frames if len(f)]
+            if not frames:
+                continue
+            df = (pd.concat(frames, ignore_index=True)
+                  if len(frames) > 1 else frames[0])
+            conv_sliced[attr] = (df, partition_ids(df["conv_id"].to_numpy(), k))
         for b in range(k):
             sub = _ShardState(*self._cfg)
             if b == 0:
-                # the O(keys) state is processed once, in bucket 0
-                for attr in ("windows", "win_chunks", "swindows",
-                             "slide_chunks", "upsert_rev", "wtopk",
-                             "wtopk_chunks", "dcount", "dcount_chunks",
-                             "wlat"):
+                for attr in ("wtopk", "wtopk_chunks", "dcount",
+                             "dcount_chunks", "wlat"):
                     setattr(sub, attr, getattr(st, attr))
                 # after the force-spill every spill-eligible plugin
                 # state is empty; whatever is still resident (no ts_us
@@ -1280,6 +1297,10 @@ class StateShard:
                 for pname, pdf in st.proc_state.items():
                     if len(pdf):
                         sub.proc_state[pname] = pdf
+            for attr, (df, ids) in conv_sliced.items():
+                piece = df[ids == b]
+                if len(piece):
+                    setattr(sub, attr, piece.reset_index(drop=True))
             for seg in st.spill_segments:
                 self._attach(sub, seg["section"],
                              self._read_segment(seg["path"], bucket=b))
