@@ -173,3 +173,102 @@ class StreamConsumer:
         if ds is None:
             return epochs, pd.DataFrame()
         return epochs, ds.to_pandas()
+
+
+class ParallelConsumer(StreamConsumer):
+    """One member of an N-way parallel consumer group over the same
+    epoch log (the analog of N Kafka consumers in one group): members
+    share the epoch sequence, and each epoch's manifest-listed files
+    are deterministically assigned ``file_index % n_members == member``
+    — disjoint by construction, union == the full stream. Each member
+    advances its OWN durable position (restart-safe per member, same
+    at-least-once poll/commit contract as the single reader); the GROUP
+    position — what compaction's consumer protection and single-reader
+    tools observe — is synced to the minimum across members on every
+    member commit, so the group can never lose unread files to
+    compaction because one member is behind.
+
+    Members must agree on ``n_members``: a member file from a different
+    cardinality refuses loudly (resharding a live group would silently
+    re-slice files)."""
+
+    def __init__(self, out_dir: str, stream: str, group: str = "default",
+                 member: int = 0, n_members: int = 1):
+        if not (0 <= member < n_members):
+            raise ValueError(f"member must be in [0, {n_members}); got {member}")
+        super().__init__(out_dir, stream, group=group)
+        self.member = int(member)
+        self.n_members = int(n_members)
+        prefix = f"{stream}.member"
+        for name in os.listdir(self._pos_dir):
+            if (name.startswith(prefix) and name.endswith(".json")
+                    and "of" in name
+                    and not name.endswith(f"of{n_members}.json")):
+                raise ValueError(
+                    f"consumer group {group!r} has member file {name} with a "
+                    f"different cardinality than n_members={n_members} — "
+                    "drain and delete the old member files before resharding"
+                )
+        self._member_path = os.path.join(
+            self._pos_dir, f"{stream}.member{member}of{n_members}.json")
+        if not os.path.exists(self._member_path):
+            self._write_member(super().position())
+
+    def _write_member(self, next_epoch: int) -> None:
+        tmp = self._member_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"stream": self.stream, "group": self.group,
+                       "member": self.member, "n_members": self.n_members,
+                       "next_epoch": int(next_epoch)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._member_path)
+        fsync_dir(self._pos_dir)
+
+    def position(self) -> int:
+        with open(self._member_path) as f:
+            return int(json.load(f)["next_epoch"])
+
+    def commit(self, upto_epoch: int) -> None:
+        if upto_epoch + 1 > self.position():
+            self._write_member(upto_epoch + 1)
+        self._sync_group_position()
+
+    def _sync_group_position(self) -> None:
+        """Group position := min over member positions (a member that
+        never registered holds the group at the shared position)."""
+        positions = []
+        seen = set()
+        suffix = f"of{self.n_members}.json"
+        for name in os.listdir(self._pos_dir):
+            if name.startswith(f"{self.stream}.member") and name.endswith(suffix):
+                with open(os.path.join(self._pos_dir, name)) as f:
+                    rec = json.load(f)
+                positions.append(int(rec["next_epoch"]))
+                seen.add(int(rec["member"]))
+        if len(seen) < self.n_members:
+            return  # an unregistered member is implicitly at the group position
+        nxt = min(positions)
+        with open(self._pos_path) as f:
+            cur = int(json.load(f)["next_epoch"])
+        if nxt > cur:
+            self._write_position(nxt)
+
+    def poll(self, max_epochs: int | None = None):
+        """Same contract as StreamConsumer.poll, over this member's
+        file slice (epoch-local ``file_index % n_members``)."""
+        epochs = self._ready_epochs(max_epochs)
+        files: list[str] = []
+        for e in epochs:
+            with open(self.sink._manifest_path(self.stream, e)) as f:
+                m = json.load(f)
+            files.extend(
+                os.path.join(self.out_dir, rel)
+                for i, rel in enumerate(m["files"])
+                if i % self.n_members == self.member
+            )
+        if not files:
+            return epochs, None
+        import ray.data as rd
+
+        return epochs, rd.read_parquet(files, partitioning=None)

@@ -33,6 +33,19 @@ def main() -> None:
     ap.add_argument("--group", default="default")
     ap.add_argument("--dest", required=True,
                     help="directory for drained parquet segments")
+    ap.add_argument("--dest-sink", action="store_true",
+                    help="commit into a second EpochSink at --dest "
+                         "(same epoch numbers) instead of range "
+                         "segments: consume -> transform -> 2PC commit, "
+                         "end-to-end exactly-once (a kill anywhere "
+                         "re-polls; the downstream commit is a no-op "
+                         "for epochs already committed)")
+    ap.add_argument("--columns", default=None,
+                    help="comma-separated projection applied as the "
+                         "transform in --dest-sink mode")
+    ap.add_argument("--member", type=int, default=None,
+                    help="member id for N-way parallel group consumption")
+    ap.add_argument("--n-members", type=int, default=None)
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--reset-to-horizon", action="store_true")
     ap.add_argument("--num-cpus", type=int,
@@ -46,11 +59,60 @@ def main() -> None:
                  include_dashboard=False)
 
     from dataflow_mm_ray.streaming.consumer import (
-        PositionCompactedError, StreamConsumer)
+        ParallelConsumer, PositionCompactedError, StreamConsumer)
 
-    c = StreamConsumer(args.out, args.stream, group=args.group)
+    if args.member is not None or args.n_members is not None:
+        if args.member is None or args.n_members is None:
+            ap.error("--member and --n-members go together")
+        c = ParallelConsumer(args.out, args.stream, group=args.group,
+                             member=args.member, n_members=args.n_members)
+    else:
+        c = StreamConsumer(args.out, args.stream, group=args.group)
     if args.reset_to_horizon:
         c.reset_to_horizon()
+
+    if args.dest_sink:
+        # exactly-once consume -> transform -> commit into a second
+        # EpochSink: one epoch per iteration, downstream commit BEFORE
+        # the consumer position advances. A kill anywhere re-polls the
+        # same epoch; stage_and_commit is a no-op for committed epochs,
+        # so the downstream stream equals an uninterrupted run.
+        from dataflow_mm_ray.streaming.sink import EpochSink
+
+        cols = args.columns.split(",") if args.columns else None
+        down = EpochSink(args.dest, [args.stream])
+        drained, rows = [], 0
+        while True:
+            try:
+                epochs, ds = c.poll(max_epochs=1)
+            except PositionCompactedError as e:
+                print(json.dumps({"error": str(e),
+                                  "hint": "--reset-to-horizon"}))
+                raise SystemExit(2)
+            if not epochs:
+                break
+            if args.max_epochs is not None and len(drained) >= args.max_epochs:
+                break
+            (epoch,) = epochs
+            import pandas as pd
+
+            df = ds.to_pandas() if ds is not None else pd.DataFrame()
+            if cols and len(df):
+                df = df[cols]
+            with open(c.sink._manifest_path(args.stream, epoch)) as f:
+                wm = json.load(f).get("watermark_us", 0)
+            down.stage_and_commit(args.stream, epoch, df, wm)
+            c.commit(epoch)
+            drained.append(epoch)
+            rows += len(df)
+        print(json.dumps({
+            "stream": args.stream, "group": args.group, "mode": "dest-sink",
+            "drained_epochs": drained, "rows": rows,
+            "position": c.position(),
+        }))
+        ray.shutdown()
+        return
+
     try:
         epochs, ds = c.poll(max_epochs=args.max_epochs)
     except PositionCompactedError as e:

@@ -138,3 +138,87 @@ def test_poll_dataset_matches_manifests(ray_session, transcripts_path, tmp_path)
     got = _canon(ds.to_pandas())
     want = _canon(cons.poll_pandas(max_epochs=3)[1])
     pd.testing.assert_frame_equal(got, want)
+
+
+# --- r5: parallel consumer groups + exactly-once consume->sink -------------
+
+
+def test_parallel_members_drain_disjoint_union(ray_session, transcripts_path,
+                                               tmp_path):
+    """N members of one group: per-epoch file slices are disjoint, the
+    union equals the full stream, and the GROUP position follows the
+    slowest member (compaction protection)."""
+    from dataflow_mm_ray.streaming.consumer import (
+        ParallelConsumer, StreamConsumer, consumer_positions)
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+    n = 3
+    members = [ParallelConsumer(str(out), "windows", group="pg",
+                                member=i, n_members=n) for i in range(n)]
+    frames, seen_files = [], []
+    for m in members:
+        epochs, ds = m.poll()
+        assert epochs == [0, 1, 2, 3, 4]
+        if ds is not None:
+            seen_files.append(set(ds.input_files()))
+            frames.append(ds.to_pandas())
+        m.commit(epochs[-1]) if m.member != 0 else None
+    # disjoint slices
+    for i in range(len(seen_files)):
+        for j in range(i + 1, len(seen_files)):
+            assert not (seen_files[i] & seen_files[j])
+    # group position held at 0 until EVERY member commits
+    assert consumer_positions(str(out), "windows")["pg"] == 0
+    members[0].commit(4)
+    assert consumer_positions(str(out), "windows")["pg"] == 5
+    # union == full stream
+    want = _engine(transcripts_path, out).results()["windows"]
+    pd.testing.assert_frame_equal(
+        _canon(pd.concat(frames, ignore_index=True)), _canon(want))
+    # restart safety: a re-created member is fully drained
+    again = ParallelConsumer(str(out), "windows", group="pg",
+                             member=1, n_members=n)
+    epochs, ds = again.poll()
+    assert epochs == [] and ds is None
+    # cardinality mix refuses loudly
+    with pytest.raises(ValueError, match="cardinality"):
+        ParallelConsumer(str(out), "windows", group="pg", member=0,
+                         n_members=2)
+
+
+def test_consume_to_sink_exactly_once_under_kill(ray_session,
+                                                 transcripts_path, tmp_path):
+    """consume -> transform -> second EpochSink, one epoch per commit:
+    interrupting after the downstream commit but before the consumer
+    commit (the worst-case cut) re-polls the same epoch, the downstream
+    no-ops, and the final downstream stream equals an uninterrupted
+    composition row-for-row."""
+    from dataflow_mm_ray.streaming.consumer import StreamConsumer
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+
+    def drain(dest, group, crash_after_downstream_commit_at=None):
+        cons = StreamConsumer(str(out), "windows", group=group)
+        down = EpochSink(str(dest), ["windows"])
+        while True:
+            epochs, ds = cons.poll(max_epochs=1)
+            if not epochs:
+                break
+            (e,) = epochs
+            df = ds.to_pandas() if ds is not None else pd.DataFrame()
+            down.stage_and_commit("windows", e, df, 0)
+            if e == crash_after_downstream_commit_at:
+                return  # kill between downstream commit and consumer commit
+            cons.commit(e)
+
+    drain(tmp_path / "a", "full")                      # uninterrupted
+    drain(tmp_path / "b", "killed",
+          crash_after_downstream_commit_at=2)          # dies mid-drain
+    drain(tmp_path / "b", "killed")                    # restart finishes
+    a = EpochSink(str(tmp_path / "a"), ["windows"]).read_committed_ds("windows").to_pandas()
+    b = EpochSink(str(tmp_path / "b"), ["windows"]).read_committed_ds("windows").to_pandas()
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
