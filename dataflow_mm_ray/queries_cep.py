@@ -1877,3 +1877,83 @@ def q_conv_span(sf_dir: str):
 
     part = transcripts_partitioned(sf_dir, partials, fast=True)
     return partition_map(part, "conv_id", total)
+
+
+# ---------------------------------------------------------------------------
+# the reference's COMPOSED video pipeline as a declarative-runner chain
+# (VideoFilteredClipGenerator, video_clip_and_filter_pipeline.py:126-216:
+# info/scene -> clip -> frames -> aesthetic -> luminance -> OCR -> cut) —
+# stages/videochain.py ops resolved through the registry and chained by
+# pipelines/runner.py; one composed SQL oracle over the same stub
+# universe (shares the scene-chunk CTE and the scorer SQL fragments)
+# ---------------------------------------------------------------------------
+
+from dataflow_mm_ray.stages import videochain as _vchain  # noqa: E402
+
+VIDEO_CHAIN_STEPS = [
+    ("events_to_transcripts", {}),
+    ("video_scene_chunks", {"gap_s": SESSION_GAP_S, "start_remove_s": SCENE_SR_S,
+                            "end_remove_s": SCENE_ER_S, "min_s": SCENE_MIN_S,
+                            "max_s": SCENE_MAX_S}),
+    ("video_clip_metadata", {"frames_min": CLIP_FRAMES_MIN,
+                             "resolution_max": CLIP_RES_MAX}),
+    ("video_frame_plan", {}),
+    ("video_aesthetic_score", {}),
+    ("video_luminance_score", {}),
+    ("video_ocr_score", {}),
+    ("video_cut_plan", {}),
+]
+
+
+@register(
+    "video_chain_pipeline",
+    _SCENE_CHUNKS_SQL + f"""
+, probe AS (
+  SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) AS uid,
+         row_number() OVER (PARTITION BY conv_id ORDER BY session_id, chunk_id) - 1 AS clip_idx,
+         chunk_start_us // 1000000 AS s_sec, chunk_end_us // 1000000 AS e_sec
+  FROM chunks
+), meta AS (
+  SELECT conv_id, uid, clip_idx, s_sec, e_sec,
+         CAST(320 + (uid % 10) * 160 AS BIGINT) AS width,
+         CAST(240 + (uid % 7) * 120 AS BIGINT) AS height,
+         CAST(CASE uid % 3 WHEN 0 THEN 24 WHEN 1 THEN 30 ELSE 60 END AS BIGINT) AS fps
+  FROM probe
+), clips AS (
+  SELECT * FROM meta
+  WHERE (e_sec - s_sec) * fps >= {CLIP_FRAMES_MIN}
+    AND width * height <= {CLIP_RES_MAX}
+), scored AS (
+  SELECT conv_id,
+         conv_id || '_' || CAST(clip_idx AS VARCHAR) AS clip_id,
+         s_sec, e_sec, width, height,
+         {_AES_SCORE_SQL} AS aesthetic_score,
+         CASE WHEN (uid + clip_idx) % {_vchain._LUM_MISSING_MOD} = 0 THEN NULL
+              ELSE CAST((uid * 31 + clip_idx * 17) % 256 AS DOUBLE) END AS luminance_mean,
+         {_OCR_SCORE_SQL} AS ocr_score
+  FROM clips
+)
+SELECT conv_id, clip_id,
+       s_sec AS timestamp_start, e_sec AS timestamp_end,
+       aesthetic_score, luminance_mean, ocr_score,
+       least(height, width) > 480 AS scaled,
+       'clips/' || clip_id || '.mp4' AS video_path
+FROM scored
+WHERE coalesce(aesthetic_score >= {_vsc.AES_MIN}, FALSE)
+  AND coalesce(luminance_mean >= {_vchain.LUM_MIN}
+               AND luminance_mean <= {_vchain.LUM_MAX}, FALSE)
+  AND coalesce(ocr_score >= {_vsc.OCR_MIN}
+               AND ocr_score <= {_vsc.OCR_MAX}, FALSE)
+""",
+)
+def q_video_chain_pipeline(sf_dir: str):
+    """The eight reference steps as ONE lazy runner chain (registry
+    ops, no per-step IR); `jobs/specs/video_chain.json` is the same
+    chain as a CLI spec with cache/resume. The oracle recomputes the
+    whole composition in SQL from the shared fragments."""
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+    from dataflow_mm_ray.sources.transcripts import _EVENT_COLS
+
+    steps = [Step(op, kw) for op, kw in VIDEO_CHAIN_STEPS]
+    return run_pipeline(read_table(sf_dir, "events", columns=list(_EVENT_COLS)),
+                        steps)

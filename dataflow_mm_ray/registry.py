@@ -135,6 +135,22 @@ def _ensure_loaded() -> None:
         ("embedding_neardup_parity", embedding_neardup, "embedding near-dup — all-pairs cosine parity op (oracle anchor)", "dedup", ("vec_id", "embedding"), ("keep",), False),
         ("ann_topk", ivf_topk, "cosine top-k ANN — IVF probed scan", "map", ("vec_id", "embedding"), (), False),
     ]
+    # the reference's composed video pipeline
+    # (video_clip_and_filter_pipeline.py:126-216) as runner steps —
+    # stages/videochain.py; chained end-to-end by
+    # jobs/specs/video_chain.json with the video_chain_pipeline oracle
+    from dataflow_mm_ray.stages import videochain as _vchain
+
+    entries += [
+        ("events_to_transcripts", _vchain.events_to_transcripts, "events rows -> canonical transcript turns", "map", ("user_id", "ts"), ("conv_id", "turn_idx"), False),
+        ("video_scene_chunks", _vchain.video_scene_chunks, "VideoSceneFilter: session scenes trimmed/split", "window", ("conv_id", "ts"), ("chunk_start_us",), False),
+        ("video_clip_metadata", _vchain.video_clip_metadata, "VideoClipFilter: probe + clip construction + frame/res gates", "map", ("conv_id",), ("clip_id", "passed"), False),
+        ("video_frame_plan", _vchain.video_frame_plan, "VideoFrameFilter: per-clip frame export plan", "map", ("clip_id", "num_frames"), ("n_export_frames",), False),
+        ("video_aesthetic_score", _vchain.video_aesthetic_score, "VideoAestheticFilter: clip score + gate", "filter", ("clip_id",), ("aesthetic_score",), False),
+        ("video_luminance_score", _vchain.video_luminance_score, "VideoLuminanceFilter: clip luminance + range gate", "filter", ("clip_id",), ("luminance_mean",), False),
+        ("video_ocr_score", _vchain.video_ocr_score, "VideoOCRFilter: clip OCR area + band gate", "filter", ("clip_id",), ("ocr_score",), False),
+        ("video_cut_plan", _vchain.video_cut_plan, "VideoClipGenerator: cut plan for passing clips", "map", ("clip_id", "passed"), ("video_path",), False),
+    ]
     for name, fn, desc, kind, inp, out, stateful in entries:
         _OPERATORS[name] = OpSpec(name, fn, desc, kind, tuple(inp), tuple(out), stateful)
     # only mark loaded on success: a transient import failure above must

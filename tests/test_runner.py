@@ -197,3 +197,49 @@ def test_dedup_chain_equals_manual(ray_session):
     want = text_stats(dedup_first_wins(
         add_dedup_key(rule_filter_kept(_docs())), "dedup_key", order_by=["doc_id"]))
     pdt.assert_frame_equal(canon(to_pandas(got)), canon(to_pandas(want)))
+
+
+def test_video_chain_spec_matches_query_and_resumes(ray_session, tmp_path):
+    """The reference's composed video pipeline as a runner chain: the
+    JSON spec (jobs/specs/video_chain.json), the registered query
+    (video_chain_pipeline, SQL-oracled), and a CACHED run must agree
+    row-for-row — the cache round-trip must not disturb the per-conv
+    clip indexing; a kwarg edit invalidates that step and everything
+    downstream, nothing upstream."""
+    import pandas.testing as pdt
+
+    from dataflow_mm_ray.pipelines.runner import (
+        Step, load_pipeline_spec, run_pipeline)
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.sources.tables import read_table
+    from dataflow_mm_ray.testing import canon, to_pandas
+    from tests.conftest import SF_TINY
+
+    src, steps = load_pipeline_spec("jobs/specs/video_chain.json")
+    ds = read_table(SF_TINY, src["table"], columns=src.get("columns"))
+    want = canon(to_pandas(registry()["video_chain_pipeline"].fn(SF_TINY)))
+    assert len(want) > 0
+
+    lazy = canon(to_pandas(run_pipeline(ds, steps)))
+    pdt.assert_frame_equal(lazy, want)
+
+    cache = tmp_path / "cache"
+    rep1, rep2 = [], []
+    cached = canon(to_pandas(run_pipeline(
+        read_table(SF_TINY, src["table"], columns=src.get("columns")),
+        steps, cache_dir=str(cache), source_tag="t", report=rep1)))
+    pdt.assert_frame_equal(cached, want)
+    assert all(r.action == "ran" for r in rep1)
+    run_pipeline(read_table(SF_TINY, src["table"], columns=src.get("columns")),
+                 steps, cache_dir=str(cache), source_tag="t", report=rep2)
+    assert all(r.action == "cached" for r in rep2)
+
+    # edit the aesthetic threshold: steps 0-3 stay cached, 4+ recompute
+    edited = list(steps)
+    edited[4] = Step("video_aesthetic_score", {"aes_min": 6.5})
+    rep3 = []
+    stricter = canon(to_pandas(run_pipeline(
+        read_table(SF_TINY, src["table"], columns=src.get("columns")),
+        edited, cache_dir=str(cache), source_tag="t", report=rep3)))
+    assert [r.action for r in rep3] == ["cached"] * 4 + ["ran"] * 4
+    assert len(stricter) < len(want)  # the tighter gate drops clips
