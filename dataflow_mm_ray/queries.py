@@ -67,9 +67,13 @@ _DRIVER_PRIORITY = [
     # consumes the motion metric column, and the probe shape is shared
     # with the aesthetic/OCR rows — still covered by
     # check_correctness + pytest)
+    # video_chain_pipeline is the COMPOSED eight-step reference video
+    # pipeline run through the declarative runner (scene chunking is a
+    # sub-computation of its oracle, so the standalone scene_segments
+    # row is demoted below the fold — still SQL-checked there)
     "video_clip_filter", "video_score_filter",
     "video_aesthetic_filter", "video_ocr_filter",
-    "scene_segments",
+    "video_chain_pipeline",
     # end-to-end streaming anchors: lambda repair (hash arrival, zero
     # lateness, quarantine replay == the batch tumbling oracle) and the
     # bounded-state production mode (by_ts arrival, finite lateness,

@@ -262,6 +262,7 @@ class StreamingEngine:
         processors: list | None = None,
         spill_mb: int | None = None,
         spill_buckets: int = 16,
+        finalize_waves: int | None = None,
     ):
         self.transcripts_path = transcripts_path
         self.out_dir = out_dir
@@ -331,6 +332,7 @@ class StreamingEngine:
         # are identical to the unspilled run.
         self.spill_mb = spill_mb
         self.spill_buckets = int(spill_buckets)
+        self.finalize_waves = finalize_waves
         self.shards = [
             StateShard.remote(i, width_s, gap_s, slide_width_s,
                               self.cep_within_s, self.alert_deadline_s,
@@ -800,14 +802,21 @@ class StreamingEngine:
             )
         flush = epoch == self.n_epochs - 1
         # distributed staging: each shard writes its own emission files;
-        # the driver only commits manifests over them
-        emissions = ray.get(
-            [
-                sh.finalize.remote(self.watermark_us, flush,
-                                   stage_root=self.out_dir, epoch=epoch)
-                for sh in self.shards
-            ]
-        )
+        # the driver only commits manifests over them. finalize_waves
+        # limits how many shards consolidate at once: each shard's
+        # consolidation holds O(its state) transient frames, so all-
+        # shards-concurrent doubles the node's peak at big state — the
+        # memory/wall-time trade for memory-constrained nodes
+        wave = self.finalize_waves or len(self.shards)
+        emissions = []
+        for lo in range(0, len(self.shards), wave):
+            emissions.extend(ray.get(
+                [
+                    sh.finalize.remote(self.watermark_us, flush,
+                                       stage_root=self.out_dir, epoch=epoch)
+                    for sh in self.shards[lo:lo + wave]
+                ]
+            ))
         emitted_counts = {}
         for stream in ("windows", "sliding", "sessions", "joins", "asof", "cep",
                        "alerts", "upserts", "wdedup",

@@ -63,6 +63,12 @@ def main() -> None:
                          "segments; the flush epoch then runs one "
                          "key-bucket at a time (bounded memory for the "
                          "hash-arrival/infinite-lateness drill)")
+    ap.add_argument("--finalize-waves", type=int, default=None,
+                    help="consolidate at most N shards at once (caps the "
+                         "per-epoch transient memory at big state; "
+                         "default: all shards concurrently)")
+    ap.add_argument("--object-store-gb", type=int, default=None,
+                    help="cap ray object store (default: ray's 30%% of RAM)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -74,6 +80,8 @@ def main() -> None:
             num_cpus=args.num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            **({"object_store_memory": args.object_store_gb << 30}
+               if args.object_store_gb else {}),
         )
 
     from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
@@ -106,6 +114,7 @@ def main() -> None:
         lateness_s=args.lateness_s,
         processors=procs,
         spill_mb=args.spill_mb,
+        finalize_waves=args.finalize_waves,
     )
     eng.run(stop_after=args.stop_after)
     t2 = time.perf_counter()
