@@ -222,3 +222,39 @@ def test_consume_to_sink_exactly_once_under_kill(ray_session,
     b = EpochSink(str(tmp_path / "b"), ["windows"]).read_committed_ds("windows").to_pandas()
     assert len(a) > 0
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+def test_compaction_protects_slowest_parallel_member(ray_session,
+                                                     transcripts_path,
+                                                     tmp_path):
+    """Compaction's consumer protection must follow the GROUP position
+    of a parallel group — the minimum across members — so a fast
+    member's commits never let compaction cover epochs a slow member
+    still needs; the slow member drains its slice intact afterwards."""
+    from dataflow_mm_ray.streaming.compact import compact_stream, read_compaction
+    from dataflow_mm_ray.streaming.consumer import ParallelConsumer
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+    fast = ParallelConsumer(str(out), "windows", group="pc", member=0,
+                            n_members=2)
+    slow = ParallelConsumer(str(out), "windows", group="pc", member=1,
+                            n_members=2)
+    epochs, ds = fast.poll()
+    fast_rows = ds.to_pandas()
+    fast.commit(epochs[-1])          # member 0 fully drained
+    slow.poll()                      # member 1 read but NOT committed
+    comp = compact_stream(str(out), "windows", target_rows=10)
+    covered = read_compaction(str(out), "windows")["segments"]
+    # group position is 0 (slow member) -> nothing may be covered
+    assert not covered, comp
+    epochs, ds = slow.poll()
+    assert epochs == [0, 1, 2, 3, 4]
+    slow_rows = ds.to_pandas()
+    slow.commit(epochs[-1])
+    # with the whole group drained, compaction proceeds
+    comp = compact_stream(str(out), "windows", target_rows=10)
+    assert comp["compacted"]
+    want = _engine(transcripts_path, out).results()["windows"]
+    got = pd.concat([fast_rows, slow_rows], ignore_index=True)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))

@@ -1021,3 +1021,48 @@ def test_by_ts_state_bounded_by_disorder_horizon(ray_session, tmp_path):
     assert huge >= n  # every applied row (+ window rows) held at peak
     assert small <= huge / 3
     assert small <= n / 2
+
+
+def test_spill_equivalence_randomized(ray_session, tmp_path):
+    """Randomized harness over engine geometry: for random (epochs,
+    shards, width, gap, lateness, spill threshold, bucket count,
+    processor subset), the spilled run must commit streams identical to
+    the never-spilled run. Exercises the read-back margin logic (ts /
+    gap / width settle keys) far beyond the three fixed regimes."""
+    import random
+
+    from dataflow_mm_ray.streaming.engine import StreamingEngine, prepare_transcripts
+    from dataflow_mm_ray.streaming.processor import (
+        GlobalDedupFirst, IncidentIntervalCount, SimhashNearDupFirst)
+
+    rng = random.Random(20260820)
+    prepared: dict[int, str] = {}
+    for trial in range(5):
+        n_epochs = rng.choice([3, 5, 7])
+        if n_epochs not in prepared:
+            prepared[n_epochs] = prepare_transcripts(
+                SF_TINY, str(tmp_path / f"tr{n_epochs}"), n_epochs=n_epochs)
+        cfg = dict(
+            n_epochs=n_epochs,
+            n_shards=rng.choice([2, 3]),
+            width_s=rng.choice([1800, 3600, 7200]),
+            gap_s=rng.choice([900, 1800]),
+            lateness_s=rng.choice([0, 1800, 7200, 86400, BIG_LATENESS]),
+        )
+        procs = rng.sample(
+            [SimhashNearDupFirst, GlobalDedupFirst, IncidentIntervalCount],
+            k=rng.randint(0, 2))
+        spill = dict(spill_mb=rng.choice([0, 1]),
+                     spill_buckets=rng.choice([2, 4, 16]))
+        a = StreamingEngine(prepared[n_epochs], str(tmp_path / f"a{trial}"),
+                            processors=[p() for p in procs], **cfg)
+        a.run()
+        b = StreamingEngine(prepared[n_epochs], str(tmp_path / f"b{trial}"),
+                            processors=[p() for p in procs], **cfg, **spill)
+        b.run()
+        ra, rb = a.results(), b.results()
+        assert set(ra) == set(rb), (trial, cfg)
+        for stream in ra:
+            pd.testing.assert_frame_equal(
+                _canon(ra[stream]), _canon(rb[stream]), check_dtype=False,
+                obj=f"trial {trial} {cfg} {spill} stream {stream}")
