@@ -1176,20 +1176,30 @@ class StateShard:
         if self._spill_dir is None or self._spill_threshold is None:
             return
         st = self.s
-        frames = {a: getattr(st, a) for a in self._SPILL_BUILTIN}
-        pnames = self._spillable_proc_states()
-        if not force:
-            est = sum(self._est_bytes(f) for f in frames.values())
-            est += sum(self._est_bytes(st.proc_state[p]) for p in pnames)
-            if est <= self._spill_threshold:
-                return
-        for attr, df in frames.items():
+        items: list[tuple[int, str]] = []  # (est bytes, section)
+        for attr in self._SPILL_BUILTIN:
+            df = getattr(st, attr)
             if len(df):
-                self._spill_frame(attr, df)
-                setattr(st, attr, df.iloc[0:0].reset_index(drop=True))
-        for p in pnames:
-            self._spill_frame(f"pstate:{p}", st.proc_state[p])
-            st.proc_state[p] = self.procs[p].init_state()
+                items.append((self._est_bytes(df), attr))
+        for p in self._spillable_proc_states():
+            items.append((self._est_bytes(st.proc_state[p]), f"pstate:{p}"))
+        total = sum(e for e, _ in items)
+        if not force and total <= self._spill_threshold:
+            return
+        # largest first, stop once resident fits — small buffers (tool
+        # carries, near-empty pendings) then avoid the write/read churn
+        for est, section in sorted(items, reverse=True):
+            if section.startswith("pstate:"):
+                p = section[len("pstate:"):]
+                self._spill_frame(section, st.proc_state[p])
+                st.proc_state[p] = self.procs[p].init_state()
+            else:
+                df = getattr(st, section)
+                self._spill_frame(section, df)
+                setattr(st, section, df.iloc[0:0].reset_index(drop=True))
+            total -= est
+            if not force and total <= self._spill_threshold:
+                break
 
     def _unspill(self, wm_us: int) -> None:
         """Read back every segment the watermark could now settle into
