@@ -1066,3 +1066,60 @@ def test_spill_equivalence_randomized(ray_session, tmp_path):
             pd.testing.assert_frame_equal(
                 _canon(ra[stream]), _canon(rb[stream]), check_dtype=False,
                 obj=f"trial {trial} {cfg} {spill} stream {stream}")
+
+
+def test_sigkill_anywhere_resumes_identically(ray_session, tmp_path):
+    """Hard-crash the WHOLE engine process (SIGKILL, not a cooperative
+    stop_after) at arbitrary wall offsets — mid-prepare, mid-epoch,
+    mid-spill, mid-flush, mid-checkpoint — then rerun the CLI to
+    completion: every committed stream must equal the uninterrupted
+    run. This is the end-to-end crash-safety claim behind the 2PC sink
+    + checkpoint + spill-segment machinery, exercised through the real
+    process boundary."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(out, kill_after=None):
+        cmd = [sys.executable, os.path.join(repo, "jobs", "run_streaming.py"),
+               "--sf-dir", SF_TINY, "--out", str(out), "--epochs", "4",
+               "--shards", "2", "--lateness-s", "3600", "--spill-mb", "0",
+               "--processors", "gdedup,sdup", "--num-cpus", "4"]
+        p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL, cwd=repo)
+        if kill_after is None:
+            assert p.wait(timeout=300) == 0
+            return True
+        time.sleep(kill_after)
+        if p.poll() is not None:
+            return True  # finished before the kill landed
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=60)
+        return False
+
+    streams = ["windows", "sliding", "sessions", "joins", "asof", "cep",
+               "alerts", "wdedup", "gdedup", "sdup", "late"]
+
+    def committed(out):
+        sink = EpochSink(str(out), streams)
+        return {s: _canon(sink.read_committed_ds(s).to_pandas())
+                for s in streams}
+
+    run(tmp_path / "full")
+    want = committed(tmp_path / "full")
+    assert sum(len(v) for v in want.values()) > 0
+    for i, delay in enumerate([2.0, 5.0, 8.0]):
+        out = tmp_path / f"kill{i}"
+        finished = run(out, kill_after=delay)
+        if not finished:
+            run(out)  # resume to completion
+        got = committed(out)
+        for s in streams:
+            pd.testing.assert_frame_equal(got[s], want[s], check_dtype=False,
+                                          obj=f"kill@{delay}s stream {s}")
