@@ -320,11 +320,14 @@ def run_scaling() -> dict:
 
     # N vs 4N. This sandbox's CPUs are contended (a pure-CPU spin test
     # measures only 0.59 efficiency going 8->32 processes, 0.87 at
-    # 2->8), so the two levels sit below the physical contention knee;
-    # see BASELINE.md. Override with GRAFT_SCALE_CPUS="8,32".
+    # 2->8, and the MEMORY-BANDWIDTH ceiling at any pair collapses to
+    # 0.6-0.7 in co-tenant windows), so the default pair sits below
+    # the contention knee at 1->4 — the methodology BASELINE.md
+    # documents; always read the efficiency against the bracketing
+    # `--ceilings`. Override with GRAFT_SCALE_CPUS="8,32".
     # Host noise swings single runs 2-3x, so each level runs twice
     # (interleaved) and the per-query minimum is used.
-    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(","))
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "1,4").split(","))
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     runs_lo, runs_hi = [], []
     for _ in range(repeats):
