@@ -109,8 +109,11 @@ def video_clip_metadata(ds, frames_min: int | None = 100,
     from dataflow_mm_ray.stages.scenes import clip_metadata_kernel
 
     def kernel(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return pd.DataFrame()
+        # no empty early-out: an empty partition must still emit the
+        # TYPED empty schema (partition_map hands a schema-carrying
+        # empty frame; the vectorized path below is empty-safe) —
+        # a column-less/object empty frame would poison the concat'd
+        # result dtypes whenever num_partitions > distinct convs
         b = b.reset_index(drop=True)
         uid = _uid(pd.Series(b["conv_id"]))
         width = (320 + (uid % 10) * 160).astype(np.int64)
@@ -140,8 +143,6 @@ def video_frame_plan(ds, load_num: int = 3):
     scorer samples (reference load_num=3, evenly spaced)."""
 
     def kernel(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return b
         b = b.copy(deep=False)
         nf = b["num_frames"].to_numpy(dtype=np.int64)
         b["n_export_frames"] = np.minimum(np.int64(load_num), nf)
@@ -155,8 +156,6 @@ def video_aesthetic_score(ds, aes_min: float = AES_MIN):
     LOAD_NUM frame scores) + gate folded into ``passed``."""
 
     def kernel(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return b
         b = b.copy(deep=False)
         uid, idx = _clip_key(b)
         score = clip_aesthetic_score(uid, idx)
@@ -174,8 +173,6 @@ def video_luminance_score(ds, lum_min: float = LUM_MIN,
     ((uid*31 + idx*17) % 256, missing every 19th) + range gate."""
 
     def kernel(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return b
         b = b.copy(deep=False)
         uid, idx = _clip_key(b)
         missing = (uid + idx) % _LUM_MISSING_MOD == 0
@@ -194,8 +191,6 @@ def video_ocr_score(ds, ocr_min: float = OCR_MIN, ocr_max: float = OCR_MAX):
     = max over frames, band gate."""
 
     def kernel(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return b
         b = b.copy(deep=False)
         uid, idx = _clip_key(b)
         score = clip_ocr_score(uid, idx)
@@ -213,11 +208,9 @@ def video_cut_plan(ds, shorter_size: int = 480):
     min(height, width) > shorter_size; video_clip_generator.py:57-59)."""
 
     def kernel(b: pd.DataFrame) -> pd.DataFrame:
-        cols = ["conv_id", "clip_id", "timestamp_start", "timestamp_end",
-                "aesthetic_score", "luminance_mean", "ocr_score",
-                "scaled", "video_path"]
-        if not len(b):
-            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        # no empty special-case: the typed vectorized path below emits
+        # the correct dtypes on zero rows too — an all-object empty
+        # frame here would flip every concat'd column to object
         keep = b.loc[b["passed"].to_numpy(dtype=bool)].reset_index(drop=True)
         h = keep["height"].to_numpy(dtype=np.int64)
         w = keep["width"].to_numpy(dtype=np.int64)

@@ -438,10 +438,26 @@ class StateShard:
         self._spill_threshold = spill_threshold_bytes
         self._spill_buckets = int(spill_buckets)
         self._spill_seq = 0
+        # spill paths referenced by this shard's most recent snapshots;
+        # files named there must outlive the checkpoints that point at
+        # them (engine retains the latest + one prior epoch)
+        self._snap_refs: list[set] = []
         if spill_dir is not None:
             import os
+            import re
 
             os.makedirs(spill_dir, exist_ok=True)
+            # continue the segment sequence past any file already on
+            # disk: a resumed shard restarting at 0 would overwrite
+            # segments a restored checkpoint still references — rows
+            # silently lost or double-counted at flush, exactly-once
+            # broken
+            seqs = [
+                int(m.group(1))
+                for n in os.listdir(spill_dir)
+                if (m := re.search(r"-(\d{6})\.parquet$", n))
+            ]
+            self._spill_seq = max(seqs, default=0)
         # plugin processors (streaming/processor.py) — instances are
         # CODE (pickled once at actor creation); their STATE lives in
         # self.s so snapshot/restore needs no special casing
@@ -1061,6 +1077,37 @@ class StateShard:
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:
         write_state_snapshot(self.s, path)
+        self._prune_spill_files()
+
+    def _prune_spill_files(self) -> None:
+        """Delete spill segments nothing can reference anymore.
+
+        Retained = currently-live segments + everything the last two
+        snapshots named (the engine keeps the latest checkpoint plus one
+        prior epoch). A freshly resumed shard has no snapshot history,
+        so it prunes nothing until two snapshots of its own have
+        superseded the on-disk checkpoints it cannot introspect —
+        conservative, and bounded: after two epochs the old files are
+        reclaimed. Without this, a spilled long run grows
+        O(n_epochs x spilled state) on disk.
+        """
+        if self._spill_dir is None:
+            return
+        import os
+
+        live = {g["path"] for g in self.s.spill_segments}
+        self._snap_refs.append(live)
+        if len(self._snap_refs) < 3:
+            return
+        self._snap_refs = self._snap_refs[-2:]
+        keep = live | self._snap_refs[0] | self._snap_refs[1]
+        for name in os.listdir(self._spill_dir):
+            p = os.path.join(self._spill_dir, name)
+            if name.endswith(".parquet") and p not in keep:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def restore(self, path: str) -> None:
         self.s = read_state_snapshot(path, *self._cfg)

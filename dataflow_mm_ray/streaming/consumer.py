@@ -103,12 +103,21 @@ class StreamConsumer:
         os.replace(tmp, self._pos_path)
         fsync_dir(self._pos_dir)
 
+    def _advance(self, next_epoch: int) -> None:
+        """Move THIS consumer's durable position forward. The single
+        reader's position is the group file; ParallelConsumer overrides
+        this to write its member file (and resync the group minimum) —
+        ``commit``/``reset_to_horizon`` must go through this hook, or a
+        member would advance the shared group position past the other
+        members' minimum."""
+        self._write_position(next_epoch)
+
     def commit(self, upto_epoch: int) -> None:
         """Durably mark epochs ``<= upto_epoch`` consumed. Monotone:
         committing behind the current position is a no-op (replays of a
         restarted processor can never move the group backwards)."""
         if upto_epoch + 1 > self.position():
-            self._write_position(upto_epoch + 1)
+            self._advance(upto_epoch + 1)
 
     def reset_to_horizon(self) -> int:
         """Skip past the compaction horizon (data loss is explicit:
@@ -116,7 +125,7 @@ class StreamConsumer:
         prefix). Returns the new position."""
         nxt = _covered_epoch(self.out_dir, self.stream) + 1
         if nxt > self.position():
-            self._write_position(nxt)
+            self._advance(nxt)
         return self.position()
 
     # -- reading -----------------------------------------------------------
@@ -229,30 +238,54 @@ class ParallelConsumer(StreamConsumer):
         with open(self._member_path) as f:
             return int(json.load(f)["next_epoch"])
 
+    def _advance(self, next_epoch: int) -> None:
+        # the member file is THIS consumer's position; the shared group
+        # file only ever moves via the locked minimum-sync below
+        self._write_member(next_epoch)
+        self._sync_group_position()
+
     def commit(self, upto_epoch: int) -> None:
         if upto_epoch + 1 > self.position():
-            self._write_member(upto_epoch + 1)
-        self._sync_group_position()
+            self._advance(upto_epoch + 1)
+        else:
+            self._sync_group_position()
 
     def _sync_group_position(self) -> None:
         """Group position := min over member positions (a member that
-        never registered holds the group at the shared position)."""
-        positions = []
-        seen = set()
-        suffix = f"of{self.n_members}.json"
-        for name in os.listdir(self._pos_dir):
-            if name.startswith(f"{self.stream}.member") and name.endswith(suffix):
-                with open(os.path.join(self._pos_dir, name)) as f:
-                    rec = json.load(f)
-                positions.append(int(rec["next_epoch"]))
-                seen.add(int(rec["member"]))
-        if len(seen) < self.n_members:
-            return  # an unregistered member is implicitly at the group position
-        nxt = min(positions)
-        with open(self._pos_path) as f:
-            cur = int(json.load(f)["next_epoch"])
-        if nxt > cur:
-            self._write_position(nxt)
+        never registered holds the group at the shared position).
+
+        The read-members -> min -> compare -> write sequence runs under
+        an advisory file lock: without it two concurrently committing
+        members can interleave so a stale (smaller) minimum is written
+        AFTER a newer one, and the group position — which external
+        tools treat as monotone — moves backwards."""
+        import fcntl
+
+        lock_path = os.path.join(self._pos_dir, f"{self.stream}.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+            try:
+                positions = []
+                seen = set()
+                suffix = f"of{self.n_members}.json"
+                for name in os.listdir(self._pos_dir):
+                    if (name.startswith(f"{self.stream}.member")
+                            and name.endswith(suffix)):
+                        with open(os.path.join(self._pos_dir, name)) as f:
+                            rec = json.load(f)
+                        positions.append(int(rec["next_epoch"]))
+                        seen.add(int(rec["member"]))
+                if len(seen) < self.n_members:
+                    # an unregistered member is implicitly at the group
+                    # position
+                    return
+                nxt = min(positions)
+                with open(self._pos_path) as f:
+                    cur = int(json.load(f)["next_epoch"])
+                if nxt > cur:
+                    self._write_position(nxt)
+            finally:
+                fcntl.flock(lk.fileno(), fcntl.LOCK_UN)
 
     def poll(self, max_epochs: int | None = None):
         """Same contract as StreamConsumer.poll, over this member's

@@ -78,19 +78,37 @@ def _processor_code_hash(p) -> str:
     """Stable digest of a plugin processor's CODE + constructor config.
     Module/file-defined classes hash their source text (edits change
     it); dynamically defined classes fall back to the by-value
-    cloudpickle bytes. Instance attrs are folded in so a same-named
-    processor with different knobs (e.g. max_hamming) also refuses to
-    resume."""
+    cloudpickle bytes. User-defined BASE classes in the MRO are folded
+    in too (an edited inherited body must refuse resume like an edited
+    leaf), but the engine's own StatefulProcessor contract is excluded
+    so engine upgrades stay resume-compatible. Instance attrs are
+    folded in so a same-named processor with different knobs (e.g.
+    max_hamming) also refuses to resume; default object reprs embed a
+    memory address that differs every process start, so addresses are
+    masked — a byte-identical processor must hash identically across
+    restarts or every resume is spuriously refused."""
     import hashlib
     import inspect
+    import re
 
-    try:
-        code = inspect.getsource(type(p))
-    except (OSError, TypeError):
-        import cloudpickle
+    def _src(cls) -> str:
+        try:
+            return inspect.getsource(cls)
+        except (OSError, TypeError):
+            import cloudpickle
 
-        code = cloudpickle.dumps(type(p)).hex()
-    cfg = repr(sorted((k, repr(v)) for k, v in vars(p).items()))
+            return cloudpickle.dumps(cls).hex()
+
+    code = "|".join(
+        _src(cls)
+        for cls in type(p).__mro__
+        if cls is not object
+        and getattr(cls, "__module__", "") != "dataflow_mm_ray.streaming.processor"
+    )
+    stable = re.compile(r" at 0x[0-9a-fA-F]+")
+    cfg = repr(sorted(
+        (k, stable.sub(" at 0x..", repr(v))) for k, v in vars(p).items()
+    ))
     return hashlib.sha256((code + "|" + cfg).encode()).hexdigest()[:16]
 
 

@@ -80,7 +80,17 @@ def main() -> None:
         from dataflow_mm_ray.streaming.sink import EpochSink
 
         cols = args.columns.split(",") if args.columns else None
-        down = EpochSink(args.dest, [args.stream])
+        # parallel members write DISJOINT slices of each epoch, but the
+        # downstream sink keys commits by (stream, epoch): sharing one
+        # sink root would let the first member's slice commit the epoch
+        # and every other member's slice become a silent no-op. Each
+        # member gets its own sink root; the union of the member roots
+        # is the full stream, and each member's chain is independently
+        # exactly-once.
+        dest = args.dest
+        if isinstance(c, ParallelConsumer):
+            dest = os.path.join(dest, f"member{c.member}of{c.n_members}")
+        down = EpochSink(dest, [args.stream])
         drained, rows = [], 0
         while True:
             try:
@@ -107,7 +117,7 @@ def main() -> None:
             rows += len(df)
         print(json.dumps({
             "stream": args.stream, "group": args.group, "mode": "dest-sink",
-            "drained_epochs": drained, "rows": rows,
+            "dest": dest, "drained_epochs": drained, "rows": rows,
             "position": c.position(),
         }))
         ray.shutdown()

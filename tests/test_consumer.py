@@ -258,3 +258,74 @@ def test_compaction_protects_slowest_parallel_member(ray_session,
     want = _engine(transcripts_path, out).results()["windows"]
     got = pd.concat([fast_rows, slow_rows], ignore_index=True)
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_parallel_reset_to_horizon_is_member_scoped(ray_session,
+                                                    transcripts_path,
+                                                    tmp_path):
+    """(r5 review) reset_to_horizon on a parallel member must move the
+    MEMBER position (so its poll un-wedges) and never push the shared
+    GROUP position — what compaction protection reads — past the other
+    members' minimum."""
+    from dataflow_mm_ray.streaming.compact import (compact_stream,
+                                                   read_compaction)
+    from dataflow_mm_ray.streaming.consumer import (ParallelConsumer,
+                                                    PositionCompactedError,
+                                                    consumer_positions)
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+    m0 = ParallelConsumer(str(out), "windows", group="pr", member=0,
+                          n_members=2)
+    m1 = ParallelConsumer(str(out), "windows", group="pr", member=1,
+                          n_members=2)
+    compact_stream(str(out), "windows", target_rows=10,
+                   protect_consumers=False)
+    cov = read_compaction(str(out), "windows")["segments"][-1]["upto_epoch"]
+    assert cov >= 0
+    with pytest.raises(PositionCompactedError):
+        m0.poll()
+    pos = m0.reset_to_horizon()
+    assert pos == cov + 1                 # past the horizon
+    assert m0.position() == cov + 1       # the MEMBER file moved
+    assert m1.position() == 0             # the other member untouched
+    # the group position still follows the minimum across members
+    assert consumer_positions(str(out), "windows")["pr"] == 0
+    # member 1 recovers independently; only then the group advances
+    m1.reset_to_horizon()
+    assert consumer_positions(str(out), "windows")["pr"] == cov + 1
+
+
+def test_parallel_dest_sink_members_union_is_full_stream(ray_session,
+                                                         transcripts_path,
+                                                         tmp_path):
+    """(r5 review) jobs/consume_stream --dest-sink with parallel
+    members: the downstream sink keys commits by (stream, epoch), so
+    members sharing ONE sink root would silently drop every slice but
+    the first committer's. The job gives each member its own sink root;
+    the union of the member roots must equal the full stream."""
+    import subprocess
+    import sys
+
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+    dest = tmp_path / "down"
+    for member in (0, 1):
+        r = subprocess.run(
+            [sys.executable, "jobs/consume_stream.py", "--out", str(out),
+             "--stream", "windows", "--group", "pds", "--dest", str(dest),
+             "--dest-sink", "--member", str(member), "--n-members", "2",
+             "--num-cpus", "2"],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+    frames = []
+    for member in (0, 1):
+        root = dest / f"member{member}of2"
+        ds = EpochSink(str(root), ["windows"]).read_committed_ds("windows")
+        if ds is not None:
+            frames.append(ds.to_pandas())
+    want = _engine(transcripts_path, out).results()["windows"]
+    pd.testing.assert_frame_equal(
+        _canon(pd.concat(frames, ignore_index=True)), _canon(want))

@@ -243,3 +243,40 @@ def test_video_chain_spec_matches_query_and_resumes(ray_session, tmp_path):
         edited, cache_dir=str(cache), source_tag="t", report=rep3)))
     assert [r.action for r in rep3] == ["cached"] * 4 + ["ran"] * 4
     assert len(stricter) < len(want)  # the tighter gate drops clips
+
+
+def test_video_chain_partition_count_invariant_dtypes(ray_session):
+    """(r5 review) num_partitions far above the distinct-conv count
+    hands the videochain kernels empty partitions; those must emit the
+    TYPED empty schema — a column-less or all-object empty frame
+    poisons the concat'd result to object dtype and breaks the
+    'identical rows at any num_partitions' rule."""
+    import pandas.testing as pdt
+
+    from dataflow_mm_ray.stages.videochain import (
+        events_to_transcripts, video_aesthetic_score, video_clip_metadata,
+        video_cut_plan, video_frame_plan, video_luminance_score,
+        video_ocr_score, video_scene_chunks)
+    from dataflow_mm_ray.sources.tables import read_table
+    from dataflow_mm_ray.testing import canon, to_pandas
+    from tests.conftest import SF_TINY
+
+    def chain(num_partitions):
+        ds = read_table(SF_TINY, "events",
+                        columns=["event_id", "ts", "user_id", "event_type",
+                                 "props"])
+        ds = events_to_transcripts(ds, num_partitions=num_partitions)
+        ds = video_scene_chunks(ds, num_partitions=num_partitions)
+        ds = video_clip_metadata(ds, num_partitions=num_partitions)
+        ds = video_frame_plan(ds)
+        ds = video_aesthetic_score(ds)
+        ds = video_luminance_score(ds)
+        ds = video_ocr_score(ds)
+        return to_pandas(video_cut_plan(ds))
+
+    small = chain(4)
+    assert len(small) > 0
+    # sf0.001 has ~50 conversations; 128 partitions guarantees empties
+    wide = chain(128)
+    assert {str(t) for t in wide.dtypes} == {str(t) for t in small.dtypes}
+    pdt.assert_frame_equal(canon(wide), canon(small))

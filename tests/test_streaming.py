@@ -947,6 +947,113 @@ def test_spill_kill_resume_and_rescale_refusal(ray_session, transcripts_path,
             _canon(fr[stream]), _canon(rr[stream]), check_dtype=False)
 
 
+def test_spill_seq_continues_after_restart_and_prunes(ray_session, tmp_path):
+    """(r5 review) A recreated shard (crash -> actor restart) must
+    continue the spill-segment filename sequence past every file
+    already on disk — restarting at 0 would overwrite a segment a
+    restored checkpoint still references (rows silently lost or
+    double-processed at flush). And segments nothing references anymore
+    are reclaimed after two snapshots (the engine retains the latest
+    checkpoint + one prior), so a long spilled run's disk stays
+    O(state), not O(n_epochs x state)."""
+    import os
+
+    import ray
+
+    from dataflow_mm_ray.state.store import StateShard
+
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    # a pre-existing segment, as after a crash mid-run
+    (spill / "inv-000007.parquet").write_bytes(b"stale")
+
+    def mk():
+        return StateShard.remote(0, 3600, 1800, 7200, spill_dir=str(spill),
+                                 spill_threshold_bytes=0)
+
+    def pend(sh, conv, aid):
+        inv = pd.DataFrame({"conv_id": [conv], "kind": ["inv"],
+                            "turn_idx": [np.int32(1)], "tool": ["t"],
+                            "ts_us": [np.int64(10**15)]})
+        ray.get(sh.apply.remote(None, None, inv, None, apply_id=aid))
+
+    import re
+
+    def seqs():
+        return {n: int(m.group(1)) for n in os.listdir(spill)
+                if (m := re.search(r"-(\d{6})\.parquet$", n))}
+
+    sh = mk()
+    pend(sh, "conv-1", (1, 0, 1, 1))
+    ray.get(sh.finalize.remote(wm_us=0, flush=False))  # threshold 0 -> spills
+    s1 = seqs()
+    assert min(v for n, v in s1.items() if n != "inv-000007.parquet") > 7, s1
+    assert (spill / "inv-000007.parquet").read_bytes() == b"stale"  # intact
+    ckpt = str(tmp_path / "ckpt.parquet")
+    ray.get(sh.snapshot.remote(ckpt))                 # references round-1 files
+    ray.kill(sh)
+
+    # crash-restore: the fresh actor scans the dir and continues past
+    # max(existing) — NOT back at 0 (the collision that lost/duplicated
+    # segment rows)
+    sh2 = mk()
+    ray.get(sh2.restore.remote(ckpt))
+    pend(sh2, "conv-2", (2, 0, 1, 2))
+    ray.get(sh2.finalize.remote(wm_us=0, flush=False))
+    s2 = seqs()
+    new = set(s2) - set(s1)
+    assert new and min(s2[n] for n in new) > max(s1.values()), (s1, s2)
+    assert set(s1) <= set(s2)                         # nothing overwritten
+
+    # pruning: after >= 3 snapshots the stale unreferenced file goes,
+    # live segments stay
+    for i in range(3):
+        ray.get(sh2.snapshot.remote(str(tmp_path / f"snap-{i}.parquet")))
+    names = set(seqs())
+    assert "inv-000007.parquet" not in names          # unreferenced: pruned
+    assert new <= names                               # live: kept
+    # the shard still reads its live segment back intact
+    out = ray.get(sh2.finalize.remote(wm_us=1 << 60, flush=True))
+    assert set(out["joins"]["conv_id"]) == {"conv-1", "conv-2"}
+    ray.kill(sh2)
+
+
+def test_processor_hash_stable_across_processes_and_sees_bases(ray_session):
+    """(r5 review) The plugin code hash must be identical for a
+    byte-identical processor across interpreter restarts — an attribute
+    holding an object with the default repr ('<X object at 0x..>')
+    previously folded a memory address into the hash, refusing every
+    valid resume. Conversely an edited USER base-class body must change
+    the hash (it changes emission semantics like an edited leaf)."""
+    from dataflow_mm_ray.streaming.engine import _processor_code_hash
+    from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst
+
+    class Helper:
+        pass  # default repr embeds id()
+
+    a = SimhashNearDupFirst()
+    b = SimhashNearDupFirst()
+    a.helper, b.helper = Helper(), Helper()  # distinct addresses
+    assert _processor_code_hash(a) == _processor_code_hash(b)
+
+    class Base(SimhashNearDupFirst):
+        def helper_rule(self):
+            return 1
+
+    class Leaf(Base):
+        pass
+
+    class Base2(SimhashNearDupFirst):
+        def helper_rule(self):
+            return 2  # edited inherited body
+
+    class Leaf2(Base2):
+        pass
+
+    Leaf2.__name__ = Leaf.__name__  # same leaf name, edited base
+    assert _processor_code_hash(Leaf()) != _processor_code_hash(Leaf2())
+
+
 # --- r5: plugin code hashes + by_ts bounded-state pin ----------------------
 
 
