@@ -452,10 +452,12 @@ class StateShard:
             # segments a restored checkpoint still references — rows
             # silently lost or double-counted at flush, exactly-once
             # broken
+            # {6,}: {:06d} grows PAST 6 digits — a 7-digit segment
+            # invisible to the scan would be overwritten after restart
             seqs = [
                 int(m.group(1))
                 for n in os.listdir(spill_dir)
-                if (m := re.search(r"-(\d{6})\.parquet$", n))
+                if (m := re.search(r"-(\d{6,})\.parquet$", n))
             ]
             self._spill_seq = max(seqs, default=0)
         # plugin processors (streaming/processor.py) — instances are
@@ -1095,14 +1097,18 @@ class StateShard:
             return
         import os
 
-        live = {g["path"] for g in self.s.spill_segments}
+        # compare REAL paths: segment paths restored from a checkpoint
+        # carry the spelling of the run that wrote them (./out vs out);
+        # raw-string comparison would classify every live segment as
+        # unreferenced and delete it
+        live = {os.path.realpath(g["path"]) for g in self.s.spill_segments}
         self._snap_refs.append(live)
         if len(self._snap_refs) < 3:
             return
         self._snap_refs = self._snap_refs[-2:]
         keep = live | self._snap_refs[0] | self._snap_refs[1]
         for name in os.listdir(self._spill_dir):
-            p = os.path.join(self._spill_dir, name)
+            p = os.path.realpath(os.path.join(self._spill_dir, name))
             if name.endswith(".parquet") and p not in keep:
                 try:
                     os.remove(p)

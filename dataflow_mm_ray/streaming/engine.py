@@ -91,24 +91,53 @@ def _processor_code_hash(p) -> str:
     import inspect
     import re
 
-    def _src(cls) -> str:
+    from dataflow_mm_ray.streaming.processor import StatefulProcessor
+
+    def _src(obj) -> str:
         try:
-            return inspect.getsource(cls)
+            return inspect.getsource(obj)
         except (OSError, TypeError):
             import cloudpickle
 
-            return cloudpickle.dumps(cls).hex()
+            return cloudpickle.dumps(obj).hex()
 
+    # exclude ONLY the abstract contract itself (by identity): the
+    # built-in processors live in the same module, and filtering by
+    # module name would drop their bodies from the hash entirely —
+    # an edited built-in would then resume silently
     code = "|".join(
         _src(cls)
         for cls in type(p).__mro__
-        if cls is not object
-        and getattr(cls, "__module__", "") != "dataflow_mm_ray.streaming.processor"
+        if cls is not object and cls is not StatefulProcessor
     )
     stable = re.compile(r" at 0x[0-9a-fA-F]+")
-    cfg = repr(sorted(
-        (k, stable.sub(" at 0x..", repr(v))) for k, v in vars(p).items()
-    ))
+
+    def _val_digest(v) -> str:
+        r = stable.sub(" at 0x..", repr(v))
+        if " at 0x.." not in r:
+            return r
+        # default repr: the (masked) address says nothing about the
+        # value — fold in its CODE instead, or a swapped function /
+        # edited helper class in the config would resume silently.
+        # Failure direction matters: anything un-introspectable keeps
+        # the masked repr (stable across restarts -> resumes), while
+        # introspection differences refuse — fail-safe, never silent.
+        try:
+            if inspect.isroutine(v) or inspect.isclass(v):
+                return r + _src(v)
+            parts = [r, _src(type(v))]
+            try:
+                import cloudpickle
+
+                parts.append(
+                    hashlib.sha256(cloudpickle.dumps(v)).hexdigest())
+            except Exception:
+                pass
+            return "|".join(parts)
+        except Exception:
+            return r
+
+    cfg = repr(sorted((k, _val_digest(v)) for k, v in vars(p).items()))
     return hashlib.sha256((code + "|" + cfg).encode()).hexdigest()[:16]
 
 

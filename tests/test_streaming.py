@@ -964,11 +964,18 @@ def test_spill_seq_continues_after_restart_and_prunes(ray_session, tmp_path):
 
     spill = tmp_path / "spill"
     spill.mkdir()
-    # a pre-existing segment, as after a crash mid-run
+    # a pre-existing segment, as after a crash mid-run — plus one past
+    # the 6-digit format width ({:06d} grows; the restart scan must
+    # still see it or seq 1000000 would be written twice)
     (spill / "inv-000007.parquet").write_bytes(b"stale")
+    (spill / "tool-1000000.parquet").write_bytes(b"stale-wide")
 
-    def mk():
-        return StateShard.remote(0, 3600, 1800, 7200, spill_dir=str(spill),
+    # the first incarnation spells the dir differently (as a resume
+    # with --out ./out vs out would): pruning must compare REAL paths,
+    # or every restored live segment reads as unreferenced and dies
+    def mk(odd_spelling=False):
+        d = (str(tmp_path) + "/./spill") if odd_spelling else str(spill)
+        return StateShard.remote(0, 3600, 1800, 7200, spill_dir=d,
                                  spill_threshold_bytes=0)
 
     def pend(sh, conv, aid):
@@ -981,13 +988,14 @@ def test_spill_seq_continues_after_restart_and_prunes(ray_session, tmp_path):
 
     def seqs():
         return {n: int(m.group(1)) for n in os.listdir(spill)
-                if (m := re.search(r"-(\d{6})\.parquet$", n))}
+                if (m := re.search(r"-(\d{6,})\.parquet$", n))}
 
-    sh = mk()
+    sh = mk(odd_spelling=True)
     pend(sh, "conv-1", (1, 0, 1, 1))
     ray.get(sh.finalize.remote(wm_us=0, flush=False))  # threshold 0 -> spills
     s1 = seqs()
-    assert min(v for n, v in s1.items() if n != "inv-000007.parquet") > 7, s1
+    stale = {"inv-000007.parquet", "tool-1000000.parquet"}
+    assert min(v for n, v in s1.items() if n not in stale) > 1000000, s1
     assert (spill / "inv-000007.parquet").read_bytes() == b"stale"  # intact
     ckpt = str(tmp_path / "ckpt.parquet")
     ray.get(sh.snapshot.remote(ckpt))                 # references round-1 files
@@ -1011,7 +1019,11 @@ def test_spill_seq_continues_after_restart_and_prunes(ray_session, tmp_path):
         ray.get(sh2.snapshot.remote(str(tmp_path / f"snap-{i}.parquet")))
     names = set(seqs())
     assert "inv-000007.parquet" not in names          # unreferenced: pruned
+    assert "tool-1000000.parquet" not in names        # unreferenced: pruned
     assert new <= names                               # live: kept
+    # round-1 segments were recorded under the './'-spelled dir by the
+    # first incarnation; real-path comparison must have kept them
+    assert set(s1) - stale <= names
     # the shard still reads its live segment back intact
     out = ray.get(sh2.finalize.remote(wm_us=1 << 60, flush=True))
     assert set(out["joins"]["conv_id"]) == {"conv-1", "conv-2"}
@@ -1052,6 +1064,29 @@ def test_processor_hash_stable_across_processes_and_sees_bases(ray_session):
 
     Leaf2.__name__ = Leaf.__name__  # same leaf name, edited base
     assert _processor_code_hash(Leaf()) != _processor_code_hash(Leaf2())
+
+    # the BUILT-IN processors' own bodies must be in the hash (only the
+    # abstract StatefulProcessor contract is excluded): two built-ins
+    # forced to identical instance config must still hash differently
+    from dataflow_mm_ray.streaming.processor import GlobalDedupFirst
+
+    x, y = SimhashNearDupFirst(), GlobalDedupFirst()
+    y.__dict__ = dict(x.__dict__)  # identical cfg -> only CODE differs
+    assert _processor_code_hash(x) != _processor_code_hash(y)
+
+    # a function-valued config attr is hashed by its SOURCE, not its
+    # (masked) address repr: a swapped body refuses resume, an
+    # identical one resumes
+    def rule_v1(s):
+        return s + 1
+
+    def rule_v2(s):
+        return s + 2
+
+    f1, f2, f3 = (SimhashNearDupFirst() for _ in range(3))
+    f1.rule, f2.rule, f3.rule = rule_v1, rule_v2, rule_v1
+    assert _processor_code_hash(f1) != _processor_code_hash(f2)
+    assert _processor_code_hash(f1) == _processor_code_hash(f3)
 
 
 # --- r5: plugin code hashes + by_ts bounded-state pin ----------------------
