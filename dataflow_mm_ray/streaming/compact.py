@@ -104,6 +104,18 @@ def compact_stream(
     covered = comp["segments"][-1]["upto_epoch"] if comp["segments"] else -1
 
     epochs = [e for e in sink.committed_epochs(stream) if e > covered]
+    # contiguous prefix only: the engine commits epochs in order, but a
+    # foreign writer could leave a gap — covering past one would
+    # permanently hide the gap epoch's data from every reader once its
+    # manifest lands (segment files replace ALL epochs <= upto_epoch)
+    contiguous: list[int] = []
+    want = covered + 1
+    for e in epochs:
+        if e != want:
+            break
+        contiguous.append(e)
+        want += 1
+    epochs = contiguous
     if protect_consumers:
         from dataflow_mm_ray.streaming.consumer import consumer_positions
 

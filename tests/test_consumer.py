@@ -329,3 +329,32 @@ def test_parallel_dest_sink_members_union_is_full_stream(ray_session,
     want = _engine(transcripts_path, out).results()["windows"]
     pd.testing.assert_frame_equal(
         _canon(pd.concat(frames, ignore_index=True)), _canon(want))
+
+
+def test_compaction_never_covers_past_a_gap(ray_session, transcripts_path,
+                                            tmp_path):
+    """A committed-epoch gap (possible for a foreign writer using the
+    sink API out of order) must stop compaction: covering past the gap
+    would permanently hide the gap epoch's rows from every reader once
+    its manifest lands."""
+    from dataflow_mm_ray.streaming.compact import compact_stream, read_compaction
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    out = tmp_path / "out"
+    sink = EpochSink(str(out), ["s"])
+    rows = pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})
+    sink.stage_and_commit("s", 0, rows, 0)
+    sink.stage_and_commit("s", 1, rows, 0)
+    sink.stage_and_commit("s", 3, rows, 0)          # gap: epoch 2 missing
+    comp = compact_stream(str(out), "s", target_rows=1)
+    assert comp["compacted"]
+    assert comp["upto_epoch"] == 1                  # stops at the gap
+    # the late epoch lands; a reader sees ALL committed rows
+    sink.stage_and_commit("s", 2, rows, 0)
+    got = sink.read_committed("s")
+    assert len(got) == 8
+    # once contiguous, the rest compacts
+    comp2 = compact_stream(str(out), "s", target_rows=1)
+    assert comp2["compacted"] and comp2["upto_epoch"] == 3
+    assert read_compaction(str(out), "s")["segments"][-1]["upto_epoch"] == 3
+    assert len(sink.read_committed("s")) == 8
