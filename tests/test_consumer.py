@@ -358,3 +358,63 @@ def test_compaction_never_covers_past_a_gap(ray_session, transcripts_path,
     assert comp2["compacted"] and comp2["upto_epoch"] == 3
     assert read_compaction(str(out), "s")["segments"][-1]["upto_epoch"] == 3
     assert len(sink.read_committed("s")) == 8
+
+
+def test_parallel_dest_sink_randomized_crashes(ray_session, transcripts_path,
+                                               tmp_path):
+    """Randomized adversary over the parallel consume->transform->sink
+    composition: N members drain the same stream into per-member
+    downstream sink roots, and after EVERY downstream commit the member
+    may 'crash' (object abandoned before the consumer commit — the
+    worst-case cut) or fall behind arbitrarily. Whatever the
+    interleaving, when every member eventually finishes, the union of
+    the downstream roots must equal the full stream row-for-row and
+    every group position must read fully drained."""
+    import random
+
+    from dataflow_mm_ray.streaming.consumer import ParallelConsumer
+    from dataflow_mm_ray.streaming.sink import EpochSink
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+    want = _engine(transcripts_path, out).results()["windows"]
+
+    rng = random.Random(20260820)
+    n = 3
+    downs = [EpochSink(str(tmp_path / f"down{i}"), ["windows"])
+             for i in range(n)]
+
+    def step(member: int) -> bool:
+        """One poll/commit cycle for one member; True when drained.
+        A fresh consumer object every call = restart-per-step."""
+        c = ParallelConsumer(str(out), "windows", group="rz",
+                             member=member, n_members=n)
+        epochs, ds = c.poll(max_epochs=1)
+        if not epochs:
+            return True
+        (e,) = epochs
+        df = ds.to_pandas() if ds is not None else pd.DataFrame()
+        downs[member].stage_and_commit("windows", e, df, 0)
+        if rng.random() < 0.5:
+            return False  # crash between the two commits: re-polls same epoch
+        c.commit(e)
+        return False
+
+    done = [False] * n
+    for _ in range(400):
+        if all(done):
+            break
+        m = rng.randrange(n)
+        if not done[m]:
+            done[m] = step(m)
+    assert all(done), "adversary budget too small"
+    frames = []
+    for i in range(n):
+        ds = downs[i].read_committed_ds("windows")
+        if ds is not None:
+            frames.append(ds.to_pandas())
+    got = pd.concat(frames, ignore_index=True)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    from dataflow_mm_ray.streaming.consumer import consumer_positions
+
+    assert consumer_positions(str(out), "windows")["rz"] == 5
