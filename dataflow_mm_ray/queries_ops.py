@@ -681,6 +681,32 @@ def q_audio_vad(sf_dir: str):
     return audio_vad_pipeline(docs, concurrency=(1, 2))
 
 
+AUDIO_CHAIN_STEPS = [
+    ("attach_stub_audio", {}),
+    ("audio_vad", {"threshold": 0.5, "min_speech_duration_s": 0.25,
+                   "min_silence_duration_s": 0.1,
+                   "max_speech_duration_s": 30.0, "seg_lists": True}),
+    ("vad_segments_to_rows", {}),
+    ("chunk_rows", {"mode": "split", "max_duration_s": 30.0}),
+]
+
+
+@register("audio_chain_pipeline", None)  # VAD state machine: pytest-oracled
+def q_audio_chain_pipeline(sf_dir: str):
+    """The reference's composed audio VAD pipeline
+    (audio_voice_activity_detection_pipeline.py:18-50 — Silero VAD ->
+    timestamp chunk split) as ONE lazy runner chain (registry ops,
+    stages/audiochain.py glue); `jobs/specs/audio_chain.json` is the
+    same chain as a CLI spec with cache/resume. Frame-equality to the
+    manual stage composition + partition invariance are pytest-pinned
+    (tests/test_runner.py)."""
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+
+    steps = [Step(op, kw) for op, kw in AUDIO_CHAIN_STEPS]
+    return run_pipeline(read_table(sf_dir, "documents", columns=["doc_id"]),
+                        steps)
+
+
 # ---------------------------------------------------------------------------
 # sequential diversity filter (ImageDiversityFilter scan)
 # ---------------------------------------------------------------------------

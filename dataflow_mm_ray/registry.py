@@ -151,6 +151,16 @@ def _ensure_loaded() -> None:
         ("video_ocr_score", _vchain.video_ocr_score, "VideoOCRFilter: clip OCR area + band gate", "filter", ("clip_id",), ("ocr_score",), False),
         ("video_cut_plan", _vchain.video_cut_plan, "VideoClipGenerator: cut plan for passing clips", "map", ("clip_id", "passed"), ("video_path",), False),
     ]
+    # the reference's composed audio VAD pipeline
+    # (audio_voice_activity_detection_pipeline.py:18-50) as runner
+    # steps — stages/audiochain.py glue around the existing audio_vad +
+    # chunk_rows ops; chained by jobs/specs/audio_chain.json
+    from dataflow_mm_ray.stages import audiochain as _achain
+
+    entries += [
+        ("attach_stub_audio", _achain.attach_stub_audio, "id rows -> deterministic audio-bytes fixture rows", "map", ("doc_id",), ("audio",), False),
+        ("vad_segments_to_rows", _achain.vad_segments_to_rows, "VAD timestamps handoff: segment lists -> (conv_id, start_us, end_us) rows", "map", ("seg_starts", "seg_ends"), ("start_us", "end_us"), False),
+    ]
     for name, fn, desc, kind, inp, out, stateful in entries:
         _OPERATORS[name] = OpSpec(name, fn, desc, kind, tuple(inp), tuple(out), stateful)
     # only mark loaded on success: a transient import failure above must

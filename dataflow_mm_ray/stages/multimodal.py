@@ -281,10 +281,18 @@ class AudioVAD:
 
     def __init__(self, audio_col: str = "audio", sr: int = 16000, frame_s: float = 0.032,
                  threshold: float = 0.5, min_speech_duration_s: float = 0.25,
-                 min_silence_duration_s: float = 0.1, max_speech_duration_s: float = 10.0):
+                 min_silence_duration_s: float = 0.1, max_speech_duration_s: float = 10.0,
+                 seg_lists: bool = False):
         self.audio_col = audio_col
         self.sr = sr
         self.frame_s = frame_s
+        # seg_lists: emit seg_starts/seg_ends as PYTHON lists so the
+        # Arrow block type is plain list<double> — numpy-array cells
+        # become Ray's variable-shaped tensor EXTENSION type, which
+        # this pyarrow/pandas combination cannot convert back to pandas
+        # for a downstream map_batches stage (the composed audio chain
+        # needs the handoff; the standalone query keeps arrays)
+        self.seg_lists = seg_lists
         self.params = dict(
             threshold=threshold,
             min_speech_duration_s=min_speech_duration_s,
@@ -319,8 +327,12 @@ class AudioVAD:
                 wave = _stub_decode_audio(data, self.sr)
                 probs = self._frame_probs(wave)
             segs = vad_segments(probs, self.frame_s, **self.params)
-            starts.append(np.asarray([s for s, _ in segs], dtype=np.float64))
-            ends.append(np.asarray([e for _, e in segs], dtype=np.float64))
+            if self.seg_lists:
+                starts.append([float(s) for s, _ in segs])
+                ends.append([float(e) for _, e in segs])
+            else:
+                starts.append(np.asarray([s for s, _ in segs], dtype=np.float64))
+                ends.append(np.asarray([e for _, e in segs], dtype=np.float64))
             counts.append(len(segs))
         batch = batch.drop(columns=[self.audio_col]).copy(deep=False)
         batch["seg_starts"] = starts

@@ -280,3 +280,61 @@ def test_video_chain_partition_count_invariant_dtypes(ray_session):
     wide = chain(128)
     assert {str(t) for t in wide.dtypes} == {str(t) for t in small.dtypes}
     pdt.assert_frame_equal(canon(wide), canon(small))
+
+
+def test_audio_chain_spec_matches_query_and_composition(ray_session, tmp_path):
+    """The reference's audio VAD pipeline (Silero VAD -> timestamp
+    chunk split) as a runner chain: the JSON spec
+    (jobs/specs/audio_chain.json), the registered query
+    (audio_chain_pipeline), the manual stage composition, and a CACHED
+    run (list<double> VAD columns surviving the parquet IR round trip)
+    must agree row-for-row; chunking is partition-count invariant."""
+    import pandas.testing as pdt
+
+    from dataflow_mm_ray.pipelines.runner import (
+        Step, load_pipeline_spec, run_pipeline)
+    from dataflow_mm_ray.queries import registry
+    from dataflow_mm_ray.sources.tables import read_table
+    from dataflow_mm_ray.stages.audiochain import (
+        attach_stub_audio, vad_segments_to_rows)
+    from dataflow_mm_ray.stages.chunks import chunk_rows
+    from dataflow_mm_ray.stages.multimodal import audio_vad_pipeline
+    from dataflow_mm_ray.testing import canon, to_pandas
+    from tests.conftest import SF_TINY
+
+    want = canon(to_pandas(registry()["audio_chain_pipeline"].fn(SF_TINY)))
+    assert len(want) > 0
+    assert set(want["conv_id"]) != set()  # real segments, many docs
+
+    # manual composition == the chain
+    manual = chunk_rows(
+        vad_segments_to_rows(
+            audio_vad_pipeline(
+                attach_stub_audio(read_table(SF_TINY, "documents",
+                                             columns=["doc_id"])),
+                max_speech_duration_s=30.0, seg_lists=True)),
+        mode="split", max_duration_s=30.0)
+    pdt.assert_frame_equal(canon(to_pandas(manual)), want)
+
+    # chunk stage partition invariance
+    wide = chunk_rows(
+        vad_segments_to_rows(
+            audio_vad_pipeline(
+                attach_stub_audio(read_table(SF_TINY, "documents",
+                                             columns=["doc_id"])),
+                max_speech_duration_s=30.0, seg_lists=True)),
+        mode="split", max_duration_s=30.0, num_partitions=64)
+    pdt.assert_frame_equal(canon(to_pandas(wide)), want)
+
+    # the CLI spec with cache/resume
+    src, steps = load_pipeline_spec("jobs/specs/audio_chain.json")
+    cache = tmp_path / "cache"
+    rep1, rep2 = [], []
+    cached = canon(to_pandas(run_pipeline(
+        read_table(SF_TINY, src["table"], columns=src.get("columns")),
+        steps, cache_dir=str(cache), source_tag="a", report=rep1)))
+    pdt.assert_frame_equal(cached, want)
+    assert all(r.action == "ran" for r in rep1)
+    run_pipeline(read_table(SF_TINY, src["table"], columns=src.get("columns")),
+                 steps, cache_dir=str(cache), source_tag="a", report=rep2)
+    assert all(r.action == "cached" for r in rep2)
