@@ -161,6 +161,35 @@ def _ensure_loaded() -> None:
         ("attach_stub_audio", _achain.attach_stub_audio, "id rows -> deterministic audio-bytes fixture rows", "map", ("doc_id",), ("audio",), False),
         ("vad_segments_to_rows", _achain.vad_segments_to_rows, "VAD timestamps handoff: segment lists -> (conv_id, start_us, end_us) rows", "map", ("seg_starts", "seg_ends"), ("start_us", "end_us"), False),
     ]
+    # near-dup family as chainable ds -> ds steps (each already takes a
+    # ds= input; the sf_dir form stays for the standalone queries)
+    from dataflow_mm_ray.stages.neardup import (
+        minhash_lsh_dedup, ngram_jaccard_dedup, simhash_dedup)
+
+    def minhash_dedup_op(ds, threshold=0.7, id_col="doc_id",
+                         text_col="text", num_partitions=16):
+        return minhash_lsh_dedup(None, threshold, id_col=id_col,
+                                 text_col=text_col, ds=ds,
+                                 num_partitions=num_partitions)
+
+    def ngram_dedup_op(ds, threshold=0.5, id_col="doc_id", text_col="text",
+                       num_partitions=16, max_posting=None):
+        return ngram_jaccard_dedup(None, threshold, id_col=id_col,
+                                   text_col=text_col, ds=ds,
+                                   num_partitions=num_partitions,
+                                   max_posting=max_posting)
+
+    def simhash_dedup_op(ds, max_hamming=3, id_col="doc_id",
+                         text_col="text", num_partitions=16):
+        return simhash_dedup(None, max_hamming, id_col=id_col,
+                             text_col=text_col, ds=ds,
+                             num_partitions=num_partitions)
+
+    entries += [
+        ("minhash_lsh_dedup", minhash_dedup_op, "MinHash-LSH near-dup: (doc_id, keep, n_dup_partners)", "dedup", ("doc_id", "text"), ("keep",), False),
+        ("ngram_jaccard_dedup", ngram_dedup_op, "exact n-gram Jaccard near-dup via inverted index: (doc_id, keep)", "dedup", ("doc_id", "text"), ("keep",), False),
+        ("simhash_dedup", simhash_dedup_op, "SimHash banded near-dup: (doc_id, simhash, keep)", "dedup", ("doc_id", "text"), ("keep",), False),
+    ]
     for name, fn, desc, kind, inp, out, stateful in entries:
         _OPERATORS[name] = OpSpec(name, fn, desc, kind, tuple(inp), tuple(out), stateful)
     # only mark loaded on success: a transient import failure above must

@@ -338,3 +338,30 @@ def test_audio_chain_spec_matches_query_and_composition(ray_session, tmp_path):
     run_pipeline(read_table(SF_TINY, src["table"], columns=src.get("columns")),
                  steps, cache_dir=str(cache), source_tag="a", report=rep2)
     assert all(r.action == "cached" for r in rep2)
+
+
+def test_neardup_ops_chain_equals_direct(ray_session):
+    """The near-dup family as registry steps: a filtered-then-deduped
+    chain must equal calling the stage directly on the same filtered
+    input (the ds= form the ops wrap)."""
+    import pandas.testing as pdt
+
+    from dataflow_mm_ray.pipelines.runner import Step, run_pipeline
+    from dataflow_mm_ray.stages.neardup import (
+        minhash_lsh_dedup, ngram_jaccard_dedup, simhash_dedup)
+    from dataflow_mm_ray.stages.text_analysis import rule_filter_kept
+    from dataflow_mm_ray.testing import canon, to_pandas
+
+    for op, kwargs, direct in [
+        ("minhash_lsh_dedup", {"threshold": 0.7},
+         lambda ds: minhash_lsh_dedup(None, 0.7, ds=ds)),
+        ("ngram_jaccard_dedup", {"threshold": 0.5},
+         lambda ds: ngram_jaccard_dedup(None, 0.5, ds=ds)),
+        ("simhash_dedup", {"max_hamming": 3},
+         lambda ds: simhash_dedup(None, 3, ds=ds)),
+    ]:
+        got = run_pipeline(_docs(), [Step("rule_base_filter"), Step(op, kwargs)])
+        want = direct(rule_filter_kept(_docs()))
+        pdt.assert_frame_equal(canon(to_pandas(got)), canon(to_pandas(want)),
+                               obj=op)
+        assert to_pandas(got)["keep"].dtype == bool
