@@ -128,6 +128,44 @@ class StreamConsumer:
             self._advance(nxt)
         return self.position()
 
+    def backfill(self):
+        """Recovery read for a position at-or-below the compaction
+        horizon: ``(dataset, covered_epoch)`` — a lazy Dataset over the
+        compacted segment files (all epochs ``<= covered_epoch``), or
+        ``(None, -1)`` when nothing is compacted. After the downstream
+        write of the backfill is durable, ``commit(covered_epoch)``
+        moves past the horizon and ``poll()`` resumes epoch-by-epoch —
+        the complete alternative to ``reset_to_horizon()`` (which skips
+        the prefix instead of reading it).
+
+        Delivery note: segments have no per-epoch boundaries, so a
+        consumer that had already consumed part of the prefix re-reads
+        those rows (at-least-once over the prefix; exact for a consumer
+        at position 0 — key the downstream write by
+        ``(group, stream, 'backfill', covered_epoch)`` to make the
+        composition idempotent). Parallel members slice segment files
+        like epochs: disjoint, union == the full prefix."""
+        from dataflow_mm_ray.streaming.compact import read_compaction
+
+        comp = read_compaction(self.out_dir, self.stream)
+        if not comp["segments"]:
+            return None, -1
+        covered = comp["segments"][-1]["upto_epoch"]
+        files = [os.path.join(self.out_dir, rel)
+                 for seg in comp["segments"] for rel in seg["files"]]
+        files = self._slice_files(files)
+        if not files:
+            return None, covered
+        import ray.data as rd
+
+        return rd.read_parquet(files, partitioning=None), covered
+
+    def _slice_files(self, files: list[str]) -> list[str]:
+        """Hook: which of an epoch's (or the backfill's) files this
+        consumer reads. The single reader takes all; ParallelConsumer
+        takes its member slice."""
+        return files
+
     # -- reading -----------------------------------------------------------
     def _ready_epochs(self, max_epochs: int | None) -> list[int]:
         pos = self.position()
@@ -165,7 +203,8 @@ class StreamConsumer:
         for e in epochs:
             with open(self.sink._manifest_path(self.stream, e)) as f:
                 m = json.load(f)
-            files.extend(os.path.join(self.out_dir, rel) for rel in m["files"])
+            files.extend(self._slice_files(
+                [os.path.join(self.out_dir, rel) for rel in m["files"]]))
         if not files:
             return epochs, None
         import ray.data as rd
@@ -287,21 +326,8 @@ class ParallelConsumer(StreamConsumer):
             finally:
                 fcntl.flock(lk.fileno(), fcntl.LOCK_UN)
 
-    def poll(self, max_epochs: int | None = None):
-        """Same contract as StreamConsumer.poll, over this member's
-        file slice (epoch-local ``file_index % n_members``)."""
-        epochs = self._ready_epochs(max_epochs)
-        files: list[str] = []
-        for e in epochs:
-            with open(self.sink._manifest_path(self.stream, e)) as f:
-                m = json.load(f)
-            files.extend(
-                os.path.join(self.out_dir, rel)
-                for i, rel in enumerate(m["files"])
-                if i % self.n_members == self.member
-            )
-        if not files:
-            return epochs, None
-        import ray.data as rd
-
-        return epochs, rd.read_parquet(files, partitioning=None)
+    def _slice_files(self, files: list[str]) -> list[str]:
+        # epoch-local (and backfill-local) ``file_index % n_members``:
+        # disjoint by construction, union == every file
+        return [f for i, f in enumerate(files)
+                if i % self.n_members == self.member]

@@ -418,3 +418,53 @@ def test_parallel_dest_sink_randomized_crashes(ray_session, transcripts_path,
     from dataflow_mm_ray.streaming.consumer import consumer_positions
 
     assert consumer_positions(str(out), "windows")["rz"] == 5
+
+
+def test_backfill_recovers_compacted_prefix(ray_session, transcripts_path,
+                                            tmp_path):
+    """A group registered after compaction hits PositionCompactedError;
+    backfill() + commit(covered) + poll() must deliver the FULL stream
+    (prefix from segments, tail epoch-by-epoch) — the no-data-loss
+    alternative to reset_to_horizon(). Parallel members slice the
+    backfill like epochs: disjoint, union == the prefix."""
+    from dataflow_mm_ray.streaming.compact import compact_stream, read_compaction
+    from dataflow_mm_ray.streaming.consumer import (ParallelConsumer,
+                                                    PositionCompactedError,
+                                                    StreamConsumer)
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+    want = _engine(transcripts_path, out).results()["windows"]
+
+    # compact only a prefix: protect nothing, small target, then check
+    compact_stream(str(out), "windows", target_rows=10,
+                   protect_consumers=False)
+    covered = read_compaction(str(out), "windows")["segments"][-1]["upto_epoch"]
+    assert 0 <= covered <= 4
+
+    c = StreamConsumer(str(out), "windows", group="bf")
+    with pytest.raises(PositionCompactedError):
+        c.poll()
+    ds, cov = c.backfill()
+    assert cov == covered and ds is not None
+    prefix = ds.to_pandas()
+    c.commit(cov)
+    epochs, tail_ds = c.poll()
+    assert epochs == list(range(covered + 1, 5))
+    frames = [prefix] + ([tail_ds.to_pandas()] if tail_ds is not None else [])
+    pd.testing.assert_frame_equal(
+        _canon(pd.concat(frames, ignore_index=True)), _canon(want))
+
+    # parallel members: backfill slices are disjoint, union == prefix
+    members = [ParallelConsumer(str(out), "windows", group="bfp",
+                                member=i, n_members=2) for i in range(2)]
+    pieces, file_sets = [], []
+    for m in members:
+        mds, mcov = m.backfill()
+        assert mcov == covered
+        if mds is not None:
+            file_sets.append(set(mds.input_files()))
+            pieces.append(mds.to_pandas())
+    assert len(file_sets) < 2 or not (file_sets[0] & file_sets[1])
+    pd.testing.assert_frame_equal(
+        _canon(pd.concat(pieces, ignore_index=True)), _canon(prefix))
