@@ -47,7 +47,14 @@ def main() -> None:
                     help="member id for N-way parallel group consumption")
     ap.add_argument("--n-members", type=int, default=None)
     ap.add_argument("--max-epochs", type=int, default=None)
-    ap.add_argument("--reset-to-horizon", action="store_true")
+    ap.add_argument("--reset-to-horizon", action="store_true",
+                    help="recover from PositionCompactedError by SKIPPING "
+                         "the compacted prefix (explicit data loss)")
+    ap.add_argument("--backfill", action="store_true",
+                    help="recover from PositionCompactedError by READING "
+                         "the compacted prefix: drain it as one segment "
+                         "(epochs=prefix-<covered>), commit past the "
+                         "horizon, then continue epoch-by-epoch")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -61,6 +68,13 @@ def main() -> None:
     from dataflow_mm_ray.streaming.consumer import (
         ParallelConsumer, PositionCompactedError, StreamConsumer)
 
+    if args.backfill and args.dest_sink:
+        # a compacted prefix has no per-epoch boundaries, so it cannot
+        # be committed as downstream epochs without leaving a gap that
+        # stalls downstream consumers — drain the prefix as a plain
+        # segment first, then run --dest-sink for the tail
+        ap.error("--backfill writes a plain segment; run it without "
+                 "--dest-sink, then continue with --dest-sink")
     if args.member is not None or args.n_members is not None:
         if args.member is None or args.n_members is None:
             ap.error("--member and --n-members go together")
@@ -70,6 +84,24 @@ def main() -> None:
         c = StreamConsumer(args.out, args.stream, group=args.group)
     if args.reset_to_horizon:
         c.reset_to_horizon()
+    if args.backfill:
+        ds, covered = c.backfill()
+        if covered >= 0 and c.position() <= covered:
+            rows = 0
+            segment = None
+            if ds is not None:
+                # deterministic path keyed by the horizon: a retry
+                # after a crash-before-commit rewrites the same segment
+                segment = os.path.join(args.dest, f"epochs=prefix-{covered}")
+                os.makedirs(segment, exist_ok=True)
+                ds.write_parquet(segment)
+                rows = ds.count()
+            c.commit(covered)
+            print(json.dumps({
+                "stream": args.stream, "group": args.group,
+                "mode": "backfill", "upto_epoch": covered, "rows": rows,
+                "segment": segment, "position": c.position(),
+            }))
 
     if args.dest_sink:
         # exactly-once consume -> transform -> commit into a second

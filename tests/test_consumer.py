@@ -468,3 +468,39 @@ def test_backfill_recovers_compacted_prefix(ray_session, transcripts_path,
     assert len(file_sets) < 2 or not (file_sets[0] & file_sets[1])
     pd.testing.assert_frame_equal(
         _canon(pd.concat(pieces, ignore_index=True)), _canon(prefix))
+
+
+def test_backfill_cli_then_incremental(ray_session, transcripts_path,
+                                       tmp_path):
+    """The CLI composition of the recovery: `--backfill` drains the
+    compacted prefix as one deterministic segment and commits past the
+    horizon; a plain follow-up run drains the remaining epochs. The
+    two segments together equal the full stream."""
+    import glob
+    import subprocess
+    import sys
+
+    from dataflow_mm_ray.streaming.compact import compact_stream
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+    want = _engine(transcripts_path, out).results()["windows"]
+    compact_stream(str(out), "windows", target_rows=10,
+                   protect_consumers=False)
+    dest = tmp_path / "drained"
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "jobs/consume_stream.py", "--out", str(out),
+             "--stream", "windows", "--group", "bfc", "--dest", str(dest),
+             "--num-cpus", "2", *extra],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r
+
+    run("--backfill")
+    run()
+    files = glob.glob(str(dest / "epochs=*" / "*.parquet"))
+    assert files
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
