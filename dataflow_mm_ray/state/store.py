@@ -421,6 +421,19 @@ def merge_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     return out[_SESS_STATE_COLS]
 
 
+# spill section -> (settle-key column, margin kind, bucket rule) —
+# shared by the shard's spill machinery and the rescale splitter
+SPILL_BUILTIN = {
+    "inv": ("ts_us", "zero", "conv"),
+    "tool": ("ts_us", "zero", "conv"),
+    "asof_pending": ("ts_us", "zero", "conv"),
+    "cep_pending": ("ts_us", "zero", "conv"),
+    "alert_pending": ("ts_us", "zero", "conv"),
+    "sessions": ("start_us", "gap", "conv"),
+    "dedup": ("window_start_us", "width", "dk"),
+}
+
+
 @ray.remote
 class StateShard:
     def __init__(self, shard_id: int, width_s: int, gap_s: int, slide_width_s: int = 0,
@@ -1139,16 +1152,10 @@ class StateShard:
     # kept until the engine's terminal cleanup so checkpoints that
     # reference them stay restorable.
 
-    # section -> (settle-key column, margin kind, bucket rule)
-    _SPILL_BUILTIN = {
-        "inv": ("ts_us", "zero", "conv"),
-        "tool": ("ts_us", "zero", "conv"),
-        "asof_pending": ("ts_us", "zero", "conv"),
-        "cep_pending": ("ts_us", "zero", "conv"),
-        "alert_pending": ("ts_us", "zero", "conv"),
-        "sessions": ("start_us", "gap", "conv"),
-        "dedup": ("window_start_us", "width", "dk"),
-    }
+    # section -> (settle-key column, margin kind, bucket rule); the
+    # table itself lives at module level (SPILL_BUILTIN) so the rescale
+    # splitter shares ONE definition with the shard
+    _SPILL_BUILTIN = SPILL_BUILTIN
     _SPILL_CHUNK_OF = {
         "inv": "inv_chunks", "tool": "tool_chunks",
         "asof_pending": "asof_chunks", "cep_pending": "cep_chunks",

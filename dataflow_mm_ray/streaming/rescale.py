@@ -25,6 +25,11 @@ routing rule shared with the engine's extract path
 Because the engine checkpoints immediately after ``finalize`` (the
 epoch barrier), every ``*_chunks`` staging list is empty in a
 snapshot — rescale refuses to proceed otherwise rather than guess.
+Disk-SPILLED state is first-class: segments referenced by the
+checkpoint are re-routed to the new shard count with the same
+per-section rules and rewritten into the new shards' spill dirs
+(``_resplit_spill_segments``), so the jobs big enough to spill are
+exactly the ones that can still resize.
 
 The rewritten checkpoint keeps the same epoch and watermark; only
 ``config.n_shards`` and the state files change. Resuming with
@@ -56,6 +61,88 @@ _CONV_FRAMES = (
     "asof_pending", "cep_pending", "alert_pending", "upsert_rev",
 )
 _CONV_DICTS = ("session_seq", "asof_last", "cep_ptr", "cep_seq", "alert_seq")
+
+
+def _resplit_spill_segments(old_states, new_states, cfg, proc_route,
+                            out_dir: str) -> None:
+    """Re-route disk-spilled state to the new shard count.
+
+    Segment rows follow the same per-section routing rules as resident
+    state (the SPILL_BUILTIN table shared with the shard): conv-keyed
+    sections by ``partition_ids(conv_id, M)``, windowed-dedup winners
+    by ``dk1 % M``, plugin state by its ``route_key``. One merged
+    segment per (new shard, section) is written into the new shard's
+    spill dir in the shard's own layout (bucket-sorted, bucket-sized
+    row groups — ``spill_buckets`` is pinned in the config), with a
+    sequence number continuing past any file already there, and
+    referenced from the rewritten snapshot's ``spill_segments``. A
+    crash mid-rescale leaves the new files as unreferenced orphans (the
+    original checkpoint is untouched until the final atomic replace);
+    the resumed shards' snapshot-time pruning reclaims them.
+
+    Only ``prows:`` sections (mid-final-flush plugin rows) refuse —
+    the engine never checkpoints in that state."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflow_mm_ray.state.store import SPILL_BUILTIN
+
+    m = len(new_states)
+    buckets = int(cfg.get("spill_buckets") or 16)
+
+    def route(df: pd.DataFrame, section: str, k: int) -> np.ndarray:
+        if section in SPILL_BUILTIN and SPILL_BUILTIN[section][2] == "dk":
+            return (df["dk1"].to_numpy(dtype=np.int64).view(np.uint64)
+                    % np.uint64(k)).astype(np.int64)
+        if section.startswith("pstate:"):
+            return partition_ids(
+                df[proc_route[section[len("pstate:"):]]].to_numpy(), k)
+        return partition_ids(df["conv_id"].to_numpy(), k)
+
+    acc: dict[tuple[int, str], list[pd.DataFrame]] = {}
+    for st in old_states:
+        for seg in st.spill_segments:
+            section = seg["section"]
+            if not (section in SPILL_BUILTIN or section.startswith("pstate:")):
+                raise RuntimeError(
+                    f"cannot rescale spill section {section!r} — the "
+                    "checkpoint holds mid-flush state"
+                )
+            df = pq.read_table(seg["path"]).to_pandas().drop(
+                columns=["__bucket"])
+            ids = route(df, section, m)
+            for i in range(m):
+                piece = df[ids == i]
+                if len(piece):
+                    acc.setdefault((i, section), []).append(
+                        piece.reset_index(drop=True))
+    for (i, section), frames in sorted(acc.items()):
+        df = (pd.concat(frames, ignore_index=True)
+              if len(frames) > 1 else frames[0])
+        spill_dir = os.path.join(out_dir, "spill", f"shard{i}")
+        os.makedirs(spill_dir, exist_ok=True)
+        seqs = [int(mm.group(1)) for n in os.listdir(spill_dir)
+                if (mm := re.search(r"-(\d{6,})\.parquet$", n))]
+        seq = max(seqs, default=0) + 1
+        key_col = (SPILL_BUILTIN[section][0]
+                   if section in SPILL_BUILTIN else "ts_us")
+        min_key = (int(df[key_col].min())
+                   if key_col in df.columns and len(df) else -(1 << 62))
+        df = df.copy(deep=False)
+        df["__bucket"] = route(df, section, buckets)
+        df = df.sort_values("__bucket", kind="mergesort").reset_index(drop=True)
+        path = os.path.join(
+            spill_dir, f"{section.replace(':', '_')}-{seq:06d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), path,
+            row_group_size=max(1, -(-len(df) // buckets)),
+        )
+        new_states[i].spill_segments.append(
+            {"section": section, "path": path, "min_key": min_key,
+             "n": len(df)}
+        )
 
 
 def _latest_ckpt(checkpoint_dir: str) -> tuple[int, dict]:
@@ -111,15 +198,6 @@ def rescale_checkpoint(out_dir: str, new_n_shards: int,
         )
         for i in range(old_n)
     ]
-    for st in old_states:
-        if st.spill_segments:
-            raise RuntimeError(
-                "checkpoint has disk-spilled state segments — rescale "
-                "operates on resident state only; resume the run (which "
-                "reads the segments back as the watermark settles them) "
-                "or rerun without spill before rescaling"
-            )
-
     m = new_n_shards
     new_states = [
         _ShardState(
@@ -202,6 +280,8 @@ def rescale_checkpoint(out_dir: str, new_n_shards: int,
                         piece if cur is None or not len(cur)
                         else pd.concat([cur, piece], ignore_index=True)
                     )
+
+    _resplit_spill_segments(old_states, new_states, cfg, proc_route, out_dir)
 
     # --- write the rewritten checkpoint (new file names — never clobber
     # the old shard files, so a crash mid-rescale leaves the original

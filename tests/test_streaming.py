@@ -919,32 +919,52 @@ def test_spill_is_content_transparent(ray_session, transcripts_path, tmp_path,
             _canon(a[stream]), _canon(b[stream]), check_dtype=False)
 
 
-def test_spill_kill_resume_and_rescale_refusal(ray_session, transcripts_path,
+def test_spill_kill_resume_and_spilled_rescale(ray_session, transcripts_path,
                                                tmp_path):
     """Checkpoints carry the spill-segment list; a killed spilled run
-    resumes to output identical to an uninterrupted one, and rescale
-    refuses a checkpoint with disk-spilled state loudly."""
+    resumes to output identical to an uninterrupted one — including
+    THROUGH a rescale: disk-spilled segments are re-routed to the new
+    shard count by the same per-section rules as resident state
+    (rescale._resplit_spill_segments), so a big spilled job can resize
+    instead of refusing."""
     from dataflow_mm_ray.streaming.engine import StreamingEngine
     from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst
     from dataflow_mm_ray.streaming.rescale import rescale_checkpoint
 
-    kw = dict(n_epochs=5, n_shards=3, width_s=WIDTH_S, gap_s=GAP_S,
+    kw = dict(n_epochs=5, width_s=WIDTH_S, gap_s=GAP_S,
               lateness_s=3600, spill_mb=0,
               processors=[SimhashNearDupFirst()])
-    full = StreamingEngine(transcripts_path, str(tmp_path / "full"), **kw)
+    full = StreamingEngine(transcripts_path, str(tmp_path / "full"),
+                           n_shards=3, **kw)
     full.run()
     fr = full.results()
-    kill = StreamingEngine(transcripts_path, str(tmp_path / "kill"), **kw)
+
+    # plain kill-resume at the same shard count
+    kill = StreamingEngine(transcripts_path, str(tmp_path / "kill"),
+                           n_shards=3, **kw)
     kill.run(stop_after=2)
-    with pytest.raises(RuntimeError, match="spilled"):
-        rescale_checkpoint(str(tmp_path / "kill"), 6,
-                           processors=[SimhashNearDupFirst()])
-    resumed = StreamingEngine(transcripts_path, str(tmp_path / "kill"), **kw)
+    resumed = StreamingEngine(transcripts_path, str(tmp_path / "kill"),
+                              n_shards=3, **kw)
     resumed.run()
     rr = resumed.results()
     for stream in fr:
         pd.testing.assert_frame_equal(
             _canon(fr[stream]), _canon(rr[stream]), check_dtype=False)
+
+    # kill -> RESCALE 3 -> 6 shards with spilled segments -> resume
+    kill2 = StreamingEngine(transcripts_path, str(tmp_path / "kill2"),
+                            n_shards=3, **kw)
+    kill2.run(stop_after=2)
+    meta = rescale_checkpoint(str(tmp_path / "kill2"), 6,
+                              processors=[SimhashNearDupFirst()])
+    assert meta["config"]["n_shards"] == 6
+    resumed6 = StreamingEngine(transcripts_path, str(tmp_path / "kill2"),
+                               n_shards=6, **kw)
+    resumed6.run()
+    r6 = resumed6.results()
+    for stream in fr:
+        pd.testing.assert_frame_equal(
+            _canon(fr[stream]), _canon(r6[stream]), check_dtype=False)
 
 
 def test_spill_seq_continues_after_restart_and_prunes(ray_session, tmp_path):
