@@ -687,7 +687,7 @@ AUDIO_CHAIN_STEPS = [
                    "min_silence_duration_s": 0.1,
                    "max_speech_duration_s": 30.0, "seg_lists": True}),
     ("vad_segments_to_rows", {}),
-    ("chunk_rows", {"mode": "split", "max_duration_s": 30.0}),
+    ("chunk_rows", {"mode": "split"}),
 ]
 
 

@@ -112,27 +112,43 @@ def _processor_code_hash(p) -> str:
     )
     stable = re.compile(r" at 0x[0-9a-fA-F]+")
 
-    def _val_digest(v) -> str:
-        r = stable.sub(" at 0x..", repr(v))
-        if " at 0x.." not in r:
-            return r
-        # default repr: the (masked) address says nothing about the
-        # value — fold in its CODE instead, or a swapped function /
-        # edited helper class in the config would resume silently.
-        # Failure direction matters: anything un-introspectable keeps
-        # the masked repr (stable across restarts -> resumes), while
-        # introspection differences refuse — fail-safe, never silent.
+    def _val_digest(v, depth: int = 0) -> str:
+        # code-carrying values FIRST — a class repr has no address
+        # marker ("<class 'mod.X'>"), so an address-based early return
+        # would let an edited helper class resume silently
         try:
             if inspect.isroutine(v) or inspect.isclass(v):
-                return r + _src(v)
+                return _src(v)
+        except Exception:
+            pass
+        # unordered containers repr in hash-randomized iteration order
+        # (PYTHONHASHSEED) — canonicalize, or a byte-identical config
+        # would hash differently across process starts
+        if isinstance(v, (set, frozenset)):
+            return "{" + ", ".join(
+                sorted(_val_digest(x, depth + 1) for x in v)) + "}"
+        if isinstance(v, dict):
+            return repr(sorted(
+                (repr(k2), _val_digest(v2, depth + 1))
+                for k2, v2 in v.items()
+            ))
+        r = stable.sub(" at 0x..", repr(v))
+        if " at 0x.." not in r or depth >= 2:
+            return r
+        # default (address-bearing) repr: the masked address says
+        # nothing about the value — fold in its class SOURCE plus a
+        # canonical digest of its instance state. Deliberately NOT
+        # pickle bytes: a set attribute pickles in hash-randomized
+        # iteration order, which would make a byte-identical processor
+        # hash differently every process start and refuse every resume.
+        try:
             parts = [r, _src(type(v))]
-            try:
-                import cloudpickle
-
-                parts.append(
-                    hashlib.sha256(cloudpickle.dumps(v)).hexdigest())
-            except Exception:
-                pass
+            state = vars(v) if hasattr(v, "__dict__") else None
+            if state is not None:
+                parts.append(repr(sorted(
+                    (k2, _val_digest(v2, depth + 1))
+                    for k2, v2 in state.items()
+                )))
             return "|".join(parts)
         except Exception:
             return r

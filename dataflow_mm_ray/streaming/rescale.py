@@ -70,12 +70,15 @@ def _resplit_spill_segments(old_states, new_states, cfg, proc_route,
     Segment rows follow the same per-section routing rules as resident
     state (the SPILL_BUILTIN table shared with the shard): conv-keyed
     sections by ``partition_ids(conv_id, M)``, windowed-dedup winners
-    by ``dk1 % M``, plugin state by its ``route_key``. One merged
-    segment per (new shard, section) is written into the new shard's
-    spill dir in the shard's own layout (bucket-sorted, bucket-sized
-    row groups — ``spill_buckets`` is pinned in the config), with a
-    sequence number continuing past any file already there, and
-    referenced from the rewritten snapshot's ``spill_segments``. A
+    by ``dk1 % M``, plugin state by its ``route_key``. Each old segment
+    is processed independently — one new segment per (old segment,
+    target shard), written into the new shard's spill dir in the
+    shard's own layout (bucket-sorted, bucket-sized row groups —
+    ``spill_buckets`` is pinned in the config) with a sequence number
+    continuing past any file already there, and referenced from the
+    rewritten snapshot's ``spill_segments``. Peak memory is O(one
+    segment): a spill-scale checkpoint is precisely one whose state
+    does not fit resident, so the splitter must never hold it all. A
     crash mid-rescale leaves the new files as unreferenced orphans (the
     original checkpoint is untouched until the final atomic replace);
     the resumed shards' snapshot-time pruning reclaims them.
@@ -101,7 +104,26 @@ def _resplit_spill_segments(old_states, new_states, cfg, proc_route,
                 df[proc_route[section[len("pstate:"):]]].to_numpy(), k)
         return partition_ids(df["conv_id"].to_numpy(), k)
 
-    acc: dict[tuple[int, str], list[pd.DataFrame]] = {}
+    # one NEW segment per (old segment, target shard) — pieces are
+    # never merged across old segments, so peak memory is O(one
+    # segment), not O(total spilled state). A spill-scale checkpoint
+    # is exactly one whose state does not fit resident; accumulating
+    # it all on the rescale driver would OOM where the old refusal
+    # failed cleanly. Segment-count growth is bounded (x M pieces per
+    # old segment) and self-heals: resumed shards re-spill into
+    # consolidated segments and prune the old ones.
+    next_seq: dict[int, int] = {}
+
+    def seq_for(i: int) -> int:
+        if i not in next_seq:
+            spill_dir = os.path.join(out_dir, "spill", f"shard{i}")
+            os.makedirs(spill_dir, exist_ok=True)
+            seqs = [int(mm.group(1)) for n in os.listdir(spill_dir)
+                    if (mm := re.search(r"-(\d{6,})\.parquet$", n))]
+            next_seq[i] = max(seqs, default=0)
+        next_seq[i] += 1
+        return next_seq[i]
+
     for st in old_states:
         for seg in st.spill_segments:
             section = seg["section"]
@@ -113,36 +135,30 @@ def _resplit_spill_segments(old_states, new_states, cfg, proc_route,
             df = pq.read_table(seg["path"]).to_pandas().drop(
                 columns=["__bucket"])
             ids = route(df, section, m)
+            key_col = (SPILL_BUILTIN[section][0]
+                       if section in SPILL_BUILTIN else "ts_us")
             for i in range(m):
                 piece = df[ids == i]
-                if len(piece):
-                    acc.setdefault((i, section), []).append(
-                        piece.reset_index(drop=True))
-    for (i, section), frames in sorted(acc.items()):
-        df = (pd.concat(frames, ignore_index=True)
-              if len(frames) > 1 else frames[0])
-        spill_dir = os.path.join(out_dir, "spill", f"shard{i}")
-        os.makedirs(spill_dir, exist_ok=True)
-        seqs = [int(mm.group(1)) for n in os.listdir(spill_dir)
-                if (mm := re.search(r"-(\d{6,})\.parquet$", n))]
-        seq = max(seqs, default=0) + 1
-        key_col = (SPILL_BUILTIN[section][0]
-                   if section in SPILL_BUILTIN else "ts_us")
-        min_key = (int(df[key_col].min())
-                   if key_col in df.columns and len(df) else -(1 << 62))
-        df = df.copy(deep=False)
-        df["__bucket"] = route(df, section, buckets)
-        df = df.sort_values("__bucket", kind="mergesort").reset_index(drop=True)
-        path = os.path.join(
-            spill_dir, f"{section.replace(':', '_')}-{seq:06d}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(df, preserve_index=False), path,
-            row_group_size=max(1, -(-len(df) // buckets)),
-        )
-        new_states[i].spill_segments.append(
-            {"section": section, "path": path, "min_key": min_key,
-             "n": len(df)}
-        )
+                if not len(piece):
+                    continue
+                piece = piece.reset_index(drop=True)
+                min_key = (int(piece[key_col].min())
+                           if key_col in piece.columns else -(1 << 62))
+                piece = piece.copy(deep=False)
+                piece["__bucket"] = route(piece, section, buckets)
+                piece = piece.sort_values(
+                    "__bucket", kind="mergesort").reset_index(drop=True)
+                path = os.path.join(
+                    out_dir, "spill", f"shard{i}",
+                    f"{section.replace(':', '_')}-{seq_for(i):06d}.parquet")
+                pq.write_table(
+                    pa.Table.from_pandas(piece, preserve_index=False), path,
+                    row_group_size=max(1, -(-len(piece) // buckets)),
+                )
+                new_states[i].spill_segments.append(
+                    {"section": section, "path": path, "min_key": min_key,
+                     "n": len(piece)}
+                )
 
 
 def _latest_ckpt(checkpoint_dir: str) -> tuple[int, dict]:

@@ -5,8 +5,9 @@ durable consumer group (streaming/consumer.py), writes them as one
 parquet segment per poll, and commits the group position only after
 the segment is durable — the idempotent-writer composition that gives
 end-to-end exactly-once (a crash between write and commit re-polls the
-same epochs; the segment path is derived from the epoch range, so the
-rerun overwrites identical bytes instead of duplicating).
+same epochs; the segment path is derived from the epoch range and is
+CLEANED before the rewrite, so the rerun replaces the partial attempt
+instead of appending next to it).
 
 Local run (after a `jobs/run_streaming.py --out <dir>` run):
     python jobs/consume_stream.py --out <dir> --stream windows \
@@ -86,16 +87,44 @@ def main() -> None:
         c.reset_to_horizon()
     if args.backfill:
         ds, covered = c.backfill()
+        if covered >= 0 and 0 < c.position() <= covered:
+            # segments have no per-epoch boundaries: a group that
+            # already drained part of the prefix would re-emit those
+            # epochs into the union and double-count them silently —
+            # refuse; the lossless paths are a FRESH group (position 0)
+            # or downstream dedup keyed by the backfill
+            print(json.dumps({
+                "error": f"group {args.group!r} is mid-prefix (position "
+                         f"{c.position()} <= compaction horizon {covered}): "
+                         "a backfill would re-deliver epochs "
+                         f"0..{c.position() - 1} already drained to --dest",
+                "hint": "drain with a fresh --group, or reset-to-horizon "
+                        "if re-reading the prefix elsewhere",
+            }))
+            raise SystemExit(2)
         if covered >= 0 and c.position() <= covered:
+            import shutil
+
             rows = 0
             segment = None
             if ds is not None:
-                # deterministic path keyed by the horizon: a retry
-                # after a crash-before-commit rewrites the same segment
+                # deterministic path keyed by the horizon. Ray's
+                # write_parquet APPENDS uuid-named files, so a retry
+                # after a crash-before-commit must CLEAN the segment
+                # dir first or the rerun duplicates rows next to the
+                # partial old write
                 segment = os.path.join(args.dest, f"epochs=prefix-{covered}")
+                shutil.rmtree(segment, ignore_errors=True)
                 os.makedirs(segment, exist_ok=True)
                 ds.write_parquet(segment)
-                rows = ds.count()
+                # count from the written files' footers — ds.count()
+                # would re-execute the whole prefix read
+                import glob as _glob
+
+                import pyarrow.parquet as pq
+
+                rows = sum(pq.read_metadata(f).num_rows
+                           for f in _glob.glob(os.path.join(segment, "*.parquet")))
             c.commit(covered)
             print(json.dumps({
                 "stream": args.stream, "group": args.group,
@@ -165,13 +194,24 @@ def main() -> None:
     segment = None
     if epochs:
         if ds is not None:
-            # deterministic segment path from the epoch range: a retry
-            # after a crash-before-commit rewrites the same segment
+            # deterministic segment path from the epoch range; cleaned
+            # first because Ray's write_parquet APPENDS uuid-named
+            # files — a retry after a crash-before-commit would
+            # otherwise duplicate rows next to the partial old write
+            import shutil
+
             segment = os.path.join(
                 args.dest, f"epochs={epochs[0]}-{epochs[-1]}")
+            shutil.rmtree(segment, ignore_errors=True)
             os.makedirs(segment, exist_ok=True)
             ds.write_parquet(segment)
-            rows = ds.count()
+            # footer counts — ds.count() would re-execute the read
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            rows = sum(pq.read_metadata(f).num_rows
+                       for f in _glob.glob(os.path.join(segment, "*.parquet")))
         c.commit(epochs[-1])
     print(json.dumps({
         "stream": args.stream, "group": args.group,

@@ -504,3 +504,67 @@ def test_backfill_cli_then_incremental(ray_session, transcripts_path,
     assert files
     got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_backfill_cli_retry_and_midprefix_refusal(ray_session,
+                                                  transcripts_path,
+                                                  tmp_path):
+    """(r5 review 3) 1) A --backfill retried after a crash between
+    write and commit must REPLACE the partial segment, not append next
+    to it (Ray's write_parquet appends uuid-named files). 2) A group
+    that already drained part of the prefix refuses the backfill
+    loudly — segments have no epoch boundaries, so it would re-deliver
+    drained epochs into the union."""
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from dataflow_mm_ray.streaming.compact import compact_stream
+
+    out = tmp_path / "out"
+    _engine(transcripts_path, out).run()
+    want = _engine(transcripts_path, out).results()["windows"]
+    dest = tmp_path / "drained"
+
+    def run(group, *extra, expect=0):
+        r = subprocess.run(
+            [sys.executable, "jobs/consume_stream.py", "--out", str(out),
+             "--stream", "windows", "--group", group, "--dest", str(dest),
+             "--num-cpus", "2", *extra],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == expect, (r.returncode, r.stderr[-1500:],
+                                        r.stdout[-500:])
+        return r.stdout
+
+    # a group mid-prefix BEFORE compaction
+    run("lag", "--max-epochs", "2")
+    compact_stream(str(out), "windows", target_rows=10,
+                   protect_consumers=False)
+    out_s = run("lag", "--backfill", expect=2)
+    assert "re-deliver" in out_s
+
+    # fresh group: backfill, then simulate crash-before-commit by
+    # resetting the group position file, and retry
+    o1 = run("fresh", "--backfill")
+    rec = _json.loads(out_s := o1.strip().splitlines()[0])
+    seg = rec["segment"]
+    n1 = len(glob.glob(os.path.join(seg, "*.parquet")))
+    pos_path = out / "consumers" / "fresh" / "windows.json"
+    pos_path.write_text(_json.dumps({"stream": "windows", "group": "fresh",
+                                     "next_epoch": 0}))
+    o2 = run("fresh", "--backfill")
+    rec2 = _json.loads(o2.strip().splitlines()[0])
+    assert rec2["rows"] == rec["rows"]          # not doubled
+    # drain the tail; lag's drained segments + fresh backfill+tail
+    # would double-count for 'lag' — but 'fresh' alone equals the
+    # stream
+    run("fresh")
+    files = glob.glob(os.path.join(str(dest), "epochs=*", "*.parquet"))
+    # keep only fresh's segments: prefix + the post-horizon tail; the
+    # 'lag' group wrote epochs=0-1 before compaction — exclude it
+    files = [f for f in files if "epochs=0-1" not in f]
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    assert n1 >= 1

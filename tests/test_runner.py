@@ -313,7 +313,7 @@ def test_audio_chain_spec_matches_query_and_composition(ray_session, tmp_path):
                 attach_stub_audio(read_table(SF_TINY, "documents",
                                              columns=["doc_id"])),
                 max_speech_duration_s=30.0, seg_lists=True)),
-        mode="split", max_duration_s=30.0)
+        mode="split")
     pdt.assert_frame_equal(canon(to_pandas(manual)), want)
 
     # chunk stage partition invariance
@@ -323,7 +323,7 @@ def test_audio_chain_spec_matches_query_and_composition(ray_session, tmp_path):
                 attach_stub_audio(read_table(SF_TINY, "documents",
                                              columns=["doc_id"])),
                 max_speech_duration_s=30.0, seg_lists=True)),
-        mode="split", max_duration_s=30.0, num_partitions=64)
+        mode="split", num_partitions=64)
     pdt.assert_frame_equal(canon(to_pandas(wide)), want)
 
     # the CLI spec with cache/resume

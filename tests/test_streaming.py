@@ -1285,3 +1285,50 @@ def test_sigkill_anywhere_resumes_identically(ray_session, tmp_path):
         for s in streams:
             pd.testing.assert_frame_equal(got[s], want[s], check_dtype=False,
                                           obj=f"kill@{delay}s stream {s}")
+
+
+def test_processor_hash_class_attrs_and_set_determinism():
+    """(r5 review 3) 1) A CLASS-valued config attr folds in its source
+    (class reprs carry no address, so an address-gated digest would
+    skip them and an edited helper class would resume silently). 2) A
+    set-valued attr hashes identically across interpreter hash seeds —
+    pickle/repr iteration order is PYTHONHASHSEED-randomized and would
+    refuse every valid resume."""
+    import subprocess
+    import sys
+
+    from dataflow_mm_ray.streaming.engine import _processor_code_hash
+    from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst
+
+    a, b, c = (SimhashNearDupFirst() for _ in range(3))
+
+    class S1:
+        def rule(self):
+            return 1
+
+    class S2:
+        def rule(self):
+            return 2
+
+    a.strategy, b.strategy, c.strategy = S1, S2, S1
+    assert _processor_code_hash(a) != _processor_code_hash(b)
+    assert _processor_code_hash(a) == _processor_code_hash(c)
+
+    # set attrs: identical digests under different hash seeds
+    prog = (
+        "from dataflow_mm_ray.streaming.engine import _processor_code_hash\n"
+        "from dataflow_mm_ray.streaming.processor import SimhashNearDupFirst\n"
+        "p = SimhashNearDupFirst()\n"
+        "p.allowed = {'bash', 'edit', 'read', 'write'}\n"
+        "p.table = {'b': 2, 'a': 1}\n"
+        "print(_processor_code_hash(p))\n"
+    )
+    outs = set()
+    for seed in ("0", "1", "12345"):
+        r = subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": "/root/repo"}, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-1500:]
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, outs
