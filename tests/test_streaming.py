@@ -1229,6 +1229,28 @@ def test_spill_equivalence_randomized(ray_session, tmp_path):
                 _canon(ra[stream]), _canon(rb[stream]), check_dtype=False,
                 obj=f"trial {trial} {cfg} {spill} stream {stream}")
 
+        # third leg: kill a spilled twin mid-run, RESCALE to a random
+        # shard count (disk-spilled segments re-route), resume at the
+        # new count — still identical to the never-spilled run
+        from dataflow_mm_ray.streaming.rescale import rescale_checkpoint
+
+        c1 = StreamingEngine(prepared[n_epochs], str(tmp_path / f"c{trial}"),
+                             processors=[p() for p in procs], **cfg, **spill)
+        c1.run(stop_after=rng.randrange(max(1, n_epochs - 1)))
+        new_shards = rng.choice([1, 2, 4, 5])
+        rescale_checkpoint(str(tmp_path / f"c{trial}"), new_shards,
+                           processors=[p() for p in procs])
+        cfg2 = {**cfg, "n_shards": new_shards}
+        c2 = StreamingEngine(prepared[n_epochs], str(tmp_path / f"c{trial}"),
+                             processors=[p() for p in procs], **cfg2, **spill)
+        c2.run()
+        rc = c2.results()
+        for stream in ra:
+            pd.testing.assert_frame_equal(
+                _canon(ra[stream]), _canon(rc[stream]), check_dtype=False,
+                obj=f"trial {trial} rescale->{new_shards} {cfg} {spill} "
+                    f"stream {stream}")
+
 
 def test_sigkill_anywhere_resumes_identically(ray_session, tmp_path):
     """Hard-crash the WHOLE engine process (SIGKILL, not a cooperative
